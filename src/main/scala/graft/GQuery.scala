@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.ListMap
+
+/** One gated engine capability: a named Spark query over the fixture tables
+  * plus (when ANSI-SQL-expressible) a DuckDB oracle the driver hash-compares
+  * against (SURVEY.md §5). Queries without an oracle get the driver's weaker
+  * rows-only check and are covered by ScalaTest instead.
+  *
+  * Determinism contract: every gated query's output is fully ordered by an
+  * explicit ORDER BY over a unique key, with `ASC NULLS FIRST` on both sides
+  * (Spark's default ascending null ordering; DuckDB defaults to NULLS LAST,
+  * so oracles always spell it out).
+  */
+final case class GQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String)
+
+object QueryRegistry {
+  def all: Seq[GQuery] =
+    graft.queries.RelationalQueries.all ++
+      graft.queries.ScalarQueries.all ++
+      graft.queries.StreamQueries.all ++
+      graft.queries.NorthStarQueries.all
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ListMap(all.map(q => q.name -> q.fn): _*)
+
+  def oracleSql: Map[String, String] =
+    ListMap(all.collect { case GQuery(n, _, Some(sql), _) => n -> sql }: _*)
+}

@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import graft.types._
+
+/** Fixture table catalog with explicit schemas (no inference — SURVEY.md §1.4:
+  * the reference binds operators against fixed, explicit schemas,
+  * reference src/schema.rs:43-67). One loader per driver parquet table
+  * (TESTDATA.md / FIXTURES.md §B).
+  *
+  * Scale note (100 TB design point): loaders read a single parquet path here,
+  * but nothing below assumes a single file — `spark.read.parquet` over a
+  * directory of thousands of files partitions by `maxPartitionBytes`, and the
+  * explicit schema avoids a schema-inference scan over the footer of every
+  * file (which at 100 TB is itself a distributed job).
+  */
+object Tables {
+
+  /** Engine-level schemas (graft types; SURVEY.md §1.3 mapping). */
+  val graftSchemas: Map[String, GSchema] = Map(
+    "region" -> GSchema.of(
+      Attr("r_regionkey", GraftType.Int32, nullable = false),
+      Attr("r_name", GraftType.Text, nullable = false)),
+    "nation" -> GSchema.of(
+      Attr("n_nationkey", GraftType.Int32, nullable = false),
+      Attr("n_name", GraftType.Text, nullable = false),
+      Attr("n_regionkey", GraftType.Int32, nullable = false)),
+    "customer" -> GSchema.of(
+      Attr("c_custkey", GraftType.Int64, nullable = false),
+      Attr("c_name", GraftType.Text, nullable = false),
+      Attr("c_nationkey", GraftType.Int32, nullable = false),
+      Attr("c_acctbal", GraftType.Float64, nullable = false),
+      Attr("c_mktsegment", GraftType.Text, nullable = false)),
+    "supplier" -> GSchema.of(
+      Attr("s_suppkey", GraftType.Int64, nullable = false),
+      Attr("s_name", GraftType.Text, nullable = false),
+      Attr("s_nationkey", GraftType.Int32, nullable = false),
+      Attr("s_acctbal", GraftType.Float64, nullable = false)),
+    "part" -> GSchema.of(
+      Attr("p_partkey", GraftType.Int64, nullable = false),
+      Attr("p_name", GraftType.Text, nullable = false),
+      Attr("p_brand", GraftType.Text, nullable = false),
+      Attr("p_type", GraftType.Text, nullable = false),
+      Attr("p_size", GraftType.Int32, nullable = false),
+      Attr("p_retailprice", GraftType.Float64, nullable = false)),
+    "orders" -> GSchema.of(
+      Attr("o_orderkey", GraftType.Int64, nullable = false),
+      Attr("o_custkey", GraftType.Int64, nullable = false),
+      Attr("o_orderstatus", GraftType.Text, nullable = false),
+      Attr("o_totalprice", GraftType.Float64, nullable = false),
+      Attr("o_orderdate", GraftType.Timestamp, nullable = false),
+      Attr("o_orderpriority", GraftType.Text, nullable = false)),
+    "lineitem" -> GSchema.of(
+      Attr("l_orderkey", GraftType.Int64, nullable = false),
+      Attr("l_partkey", GraftType.Int64, nullable = false),
+      Attr("l_suppkey", GraftType.Int64, nullable = false),
+      Attr("l_linenumber", GraftType.Int32, nullable = false),
+      Attr("l_quantity", GraftType.Float64, nullable = false),
+      Attr("l_extendedprice", GraftType.Float64, nullable = false),
+      Attr("l_discount", GraftType.Float64, nullable = false),
+      Attr("l_tax", GraftType.Float64, nullable = false),
+      Attr("l_returnflag", GraftType.Text, nullable = false),
+      Attr("l_linestatus", GraftType.Text, nullable = false),
+      Attr("l_shipdate", GraftType.Timestamp, nullable = false)),
+    "events" -> GSchema.of(
+      Attr("event_id", GraftType.Int64, nullable = false),
+      Attr("ts", GraftType.Timestamp, nullable = false),
+      Attr("user_id", GraftType.Int64, nullable = false),
+      Attr("event_type", GraftType.Text, nullable = false),
+      Attr("value", GraftType.Float64, nullable = false),
+      Attr("props", GraftType.Text, nullable = false)),
+    "documents" -> GSchema.of(
+      Attr("doc_id", GraftType.Int64, nullable = false),
+      Attr("text", GraftType.Text, nullable = false),
+      Attr("lang", GraftType.Text, nullable = false),
+      Attr("source", GraftType.Text, nullable = false),
+      Attr("n_chars", GraftType.Int64, nullable = false)),
+    "embeddings" -> GSchema.of(
+      Attr("vec_id", GraftType.Int64, nullable = false),
+      Attr("embedding", GraftType.Vector, nullable = false),
+      Attr("label", GraftType.Int32, nullable = false)),
+  )
+
+  def names: Seq[String] = graftSchemas.keys.toSeq.sorted
+
+  /** Load a fixture table from `sfDir`. The parquet files carry their own
+    * (matching) physical schema; we assert compatibility rather than pass
+    * `.schema(...)` so the vectorized reader keeps its native column batch
+    * layout, and fail fast (bind-time error contract) on drift.
+    */
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val expected = graftSchemas.getOrElse(table, throw AttributeMissing(s"table $table"))
+    // events.ts is TIMESTAMP(NANOS), which Spark's parquet reader rejects;
+    // read it as raw nanos (legacy long mode) and truncate to microsecond NTZ
+    // — the same ns→µs truncation DuckDB applies, so both engines see
+    // identical values. `DIV` keeps the arithmetic in 64-bit integers
+    // (a double roundtrip would lose precision above 2^53 ns ≈ 104 days).
+    val df =
+      if (table == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/$table.parquet")
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000"))
+              .cast(TimestampNTZType))
+      } else spark.read.parquet(s"$sfDir/$table.parquet")
+    val got = df.schema
+    expected.attrs.foreach { a =>
+      val f = got.fields.find(_.name == a.name).getOrElse(throw AttributeMissing(s"$table.${a.name}"))
+      // Timestamps may surface at different precisions per file; both are TimestampType.
+      if (f.dataType != a.gtype.spark &&
+          !(a.gtype == GraftType.Vector && f.dataType.isInstanceOf[ArrayType]))
+        throw AttributeTypeMismatch(s"$table.${a.name}", a.gtype.spark, f.dataType)
+    }
+    df
+  }
+
+  def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+}
