@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection (SURVEY.md §2.11).
+  *
+  * Pipeline (all relational, no driver-side loops):
+  *   1. shingle: distinct word n-grams per doc               (map-side)
+  *   2. signature: k min-hashes via affine perms of a 60-bit
+  *      base hash                                            (map-side)
+  *   3. band: split the signature into b bands of r rows,
+  *      hash each band, explode to (band_id, band_key, doc)  (map ×b rows)
+  *   4. bucket join: self-join on (band_id, band_key) with
+  *      id< id — ONE shuffle keyed by band key; candidate
+  *      count is data-dependent, not O(n²)                   (shuffle)
+  *   5. verify: exact Jaccard on the candidates' shingle
+  *      sets, threshold filter                               (shuffle join ×2)
+  *
+  * At 100 TB this is the standard scalable shape: everything before the
+  * bucket join is linear scan work; the bucket join's shuffle volume is
+  * b rows per doc; only genuinely-colliding docs ever meet. Skewed buckets
+  * (boilerplate shingles) can be capped by filtering bucket sizes upstream.
+  *
+  * Parameters b=16, r=4 (k=64): P[candidate] = 1-(1-j⁴)¹⁶ — at j=0.9 it is
+  * 1-3.5e-6; the verify step then removes false positives exactly, so with
+  * the fixtures' similarity gap (near-dups j≥0.9, background j<0.1) the
+  * output equals the exact all-pairs result, which is what the DuckDB
+  * oracle computes.
+  */
+object MinHash {
+
+  val NumHashes = 64
+  val Bands = 16
+  val Rows = 4
+  val Prime = 2147483647L // 2^31-1, Mersenne
+
+  /** Deterministic affine permutation constants from a fixed LCG (seeds are
+    * engine-internal: the oracle validates end results, not signatures).
+    */
+  private val (seedsA, seedsB) = {
+    var x = 0x5DEECE66DL
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 33) % (Prime - 1) + 1 }
+    val a = Seq.fill(NumHashes)(next())
+    val b = Seq.fill(NumHashes)(next())
+    (a, b)
+  }
+
+  /** MinHash signature (array<long> of length k) over a shingle-set column.
+    * The k permutations are unrolled at plan time (k is a compile-time
+    * constant), keeping every hash inside one codegen stage.
+    */
+  def signature(shingles: Column): Column = {
+    val base = transform(shingles, s => pmod(TextFunctions.md5Hash60(s), lit(Prime)))
+    array((0 until NumHashes).map { j =>
+      array_min(transform(base, h =>
+        pmod(lit(seedsA(j)) * h + lit(seedsB(j)), lit(Prime))))
+    }: _*)
+  }
+
+  /** (doc_id, band_id, band_key) rows for LSH bucketing. */
+  def bands(df: DataFrame, idCol: String, sigCol: String): DataFrame = {
+    df.select(col(idCol), posexplode(
+        array((0 until Bands).map { b =>
+          xxhash64(concat_ws(",", slice(col(sigCol), b * Rows + 1, Rows)), lit(b))
+        }: _*))
+        .as(Seq("band_id", "band_key")))
+  }
+
+  /** Full pipeline: docs(id, text) → verified near-dup pairs
+    * (id_a < id_b, jaccard ≥ threshold).
+    */
+  def nearDuplicatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.wordShingles(col(textCol), shingleSize).as("sset"))
+    val sig = sh.select(col("doc_id"), signature(col("sset")).as("sig"))
+    val bd = bands(sig, "doc_id", "sig")
+
+    val candidates = bd.as("x")
+      .join(bd.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
+    candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("sset").as("set_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sset").as("set_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.jaccard(col("set_a"), col("set_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.CosineSimilarity
+
+/** Similarity search over embedding columns (SURVEY.md §2.11).
+  *
+  * Two tiers, same API shape:
+  *  - [[bruteForceTopK]]: exact. Query set is broadcast (it is small by
+  *    definition); ONE pass over the corpus computes Q×N similarities inside
+  *    codegen, then a per-query top-k window. At 100 TB the corpus scan
+  *    dominates and parallelizes perfectly; never do this for Q ~ N.
+  *  - [[lshTopK]]: approximate scale path. Random-hyperplane signatures
+  *    (sign-bit LSH) bucket the corpus; candidates share the query's bucket,
+  *    so the pairwise work drops from Q×N to Q×E[bucket]. Planes are derived
+  *    deterministically from md5 bits — no RNG state, reproducible across
+  *    runs and engines.
+  */
+object Similarity {
+
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
+  /** Exact top-k neighbors for each query vector (self-pairs excluded).
+    * Output: (query_id, rank, neighbor_id, sim).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("cvec")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  val DefaultPlanes = 12
+
+  /** Sign-bit signature: bit p = sign(v · plane_p), planes are ±1 vectors
+    * with plane_p[d] = bit0(md5("p:d")). Map-side only.
+    */
+  def hyperplaneSignature(vec: Column, dims: Int, planes: Int = DefaultPlanes): Column = {
+    val sig = (0 until planes).map { p =>
+      // ±1 plane as a literal array — resolved at plan time, codegen constant
+      val plane = array((0 until dims).map { d =>
+        val bit = (java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$d".getBytes("UTF-8"))(0) & 1)
+        lit(if (bit == 1) 1.0 else -1.0)
+      }: _*)
+      val dot = aggregate(
+        zip_with(vec, plane, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    sig.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates limited to the query's LSH bucket.
+    * Recall is tunable via plane count (fewer planes → bigger buckets).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dims: Int, k: Int,
+      planes: Int = DefaultPlanes): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      hyperplaneSignature(col(vecCol), dims, planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      hyperplaneSignature(col(vecCol), dims, planes).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("cvec")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Exact near-duplicate pairs by cosine threshold within blocking keys —
+    * O(Σ block²) instead of O(n²); mirror the blocking in any oracle.
+    */
+  def blockedNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val x = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val y = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    x.join(y, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines (SURVEY.md
+  * §2.11): tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is composed from codegen'd built-ins operating row-local —
+  * no shuffle, no UDFs — so these scale linearly with the scan and run
+  * inside WholeStageCodegen. At 100 TB these are pure map-side work.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. The fixtures are single-space separated; `split` on
+    * a literal space mirrors DuckDB's string_split exactly (including empty
+    * tokens), which the oracle comparisons rely on.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** A 60-bit deterministic hash derived from md5 — reproducible in any
+    * engine with an md5 function (the DuckDB oracle uses
+    * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), unlike xxhash64 whose
+    * seed/algorithm is Spark-specific. 15 hex chars = 60 bits, always
+    * non-negative, so cross-engine sign semantics never matter.
+    * For throughput-critical paths that need no oracle, prefer
+    * [[org.apache.spark.sql.functions.xxhash64]].
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Collapsing runs of whitespace + trim + lower makes the fingerprint
+    * robust to formatting-only edits; md5 keeps it 128-bit
+    * collision-resistant for exact-dedup at corpus scale.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Word n-gram shingles (distinct), the unit set for Jaccard similarity /
+    * MinHash. Empty when the document has fewer than n tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(ws) - n), i =>
+          concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Jaccard similarity of two string sets (int/int division — exact
+    * and order-free in IEEE double on every engine).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Quality-score feature block: char/token counts, mean token length,
+    * stopword ratio, punctuation ratio. Ratios are int/int divisions —
+    * deterministic across engines.
+    */
+  def qualityFeatures(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
+    val ws = tokens(text)
+    val nTok = size(ws)
+    val nChars = length(text)
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_tokens" -> nTok.cast("long"),
+      "n_distinct_tokens" -> size(array_distinct(ws)).cast("long"),
+      // single-space-joined text: chars minus separators, over token count
+      "mean_token_len" -> ((nChars - (nTok - lit(1))).cast("double") / nTok),
+      "stopword_ratio" ->
+        (size(filter(ws, w => w.isin(stopwords.map(x => x: Any): _*))).cast("double") / nTok),
+      "punct_ratio" ->
+        (size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("double") / nChars))
+  }
+
+  val defaultStopwords: Seq[String] = Seq("the", "a", "to", "of")
+
+  /** Language-ID heuristic: count marker-token hits per language, take the
+    * argmax with a fixed precedence order (deterministic ties), "und" when
+    * nothing matches. Marker lists are tiny and inlined into codegen —
+    * this is the classic n-gram/stopword LID shape at map-side cost.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val ws = tokens(text)
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(ws, w => w.isin(markers.map(x => x: Any): _*))).cast("long")
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // fixed precedence: first language in declaration order wins ties
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && score > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,10 +1,316 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.GQuery
+import graft.sources.Tables
+import graft.functions.{MinHash, SimHash, Similarity, TextFunctions => TF}
+import graft.multimodal.Multimodal
 
-/** North-star pipeline operators (SURVEY.md §2.11): dedup family, similarity
-  * search, text analysis, multimodal columns. Filled in milestone M5.
+/** North-star training-data pipeline operators (SURVEY.md §2.11): the
+  * dedup family (exact, fingerprint, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding cosine), similarity search (exact brute-force + LSH ANN),
+  * text analysis (tokens, quality, language-ID), and multimodal binary
+  * plumbing with a stubbed codec.
+  *
+  * Oracle policy: hash-dependent ops use the md5-derived 60-bit hash
+  * (TextFunctions.md5Hash60) that DuckDB reproduces via
+  * CAST('0x'||substr(md5(x),1,15) AS BIGINT), so even MinHash/SimHash
+  * results are oracle-checked, not just rows-counted. The one genuinely
+  * estimator-specific query (LSH ANN) has no oracle and is recall-tested
+  * in ScalaTest against the exact top-k.
   */
 object NorthStarQueries {
-  val all: Seq[GQuery] = Seq()
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q34: exact dedup — deterministic keep-min-id per text group (the
+    // deterministic form of dropDuplicates; one shuffle on the hash of the
+    // full text; at 100 TB dedup on md5(text) instead to shrink shuffle keys).
+    GQuery(
+      "q34_dedup_exact",
+      (s, d) => {
+        Tables.documents(s, d)
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select(col("doc_id"), col("n_copies"), md5(col("text")).as("text_hash"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, md5(text) AS text_hash
+             |FROM documents GROUP BY text ORDER BY doc_id ASC""".stripMargin),
+      "exact dedup: keep min doc_id per identical text"),
+
+    // ------------------------------------------------------------------
+    // q35: fingerprint dedup — md5 over normalized text (lower, collapse
+    // whitespace, trim) catches formatting-only duplicates.
+    GQuery(
+      "q35_dedup_fingerprint",
+      (s, d) => {
+        Tables.documents(s, d)
+          .groupBy(TF.fingerprint(col("text")).as("fingerprint"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select(col("doc_id"), col("fingerprint"), col("n_copies"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT MIN(doc_id) AS doc_id,
+             |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+             |       COUNT(*) AS n_copies
+             |FROM documents
+             |GROUP BY 2 ORDER BY doc_id ASC""".stripMargin),
+      "fingerprint dedup: md5 of normalized text"),
+
+    // ------------------------------------------------------------------
+    // q36: MinHash + banded LSH near-dup pairs, exact-Jaccard-verified.
+    // The oracle computes exact all-pairs Jaccard ≥ 0.5: with b=16,r=4 the
+    // miss probability at the fixtures' j≥0.9 near-dups is ≤ 3.5e-6 per
+    // pair, and verification removes all false positives, so LSH output ==
+    // exact output on this corpus (checked at sf0.01, the driver's gate SF).
+    GQuery(
+      "q36_dedup_minhash",
+      (s, d) => {
+        MinHash.nearDuplicatePairs(Tables.documents(s, d), "doc_id", "text",
+            shingleSize = 3, threshold = 0.5)
+          .orderBy(col("id_a").asc, col("id_b").asc)
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct(list_transform(range(1, len(ws)-1),
+             |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sset
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+             |       len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+             |      len(list_distinct(list_concat(a.sset, b.sset))) >= 0.5
+             |ORDER BY id_a ASC, id_b ASC""".stripMargin),
+      "MinHash+LSH near-dup pairs == exact 3-gram Jaccard pairs (verified)"),
+
+    // ------------------------------------------------------------------
+    // q37: SimHash signatures (60-bit, md5-derived token hashes) — the
+    // map-side sketch; banded pair extraction shares MinHash.bands' shape.
+    GQuery(
+      "q37_dedup_simhash",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"), SimHash.simhash(TF.tokens(col("text"))).as("simhash"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+             |h AS (SELECT doc_id, CAST(('0x'||substr(md5(word),1,15)) AS BIGINT) AS hv FROM w),
+             |bits AS (SELECT doc_id, j,
+             |                SUM(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |         FROM h, range(60) r(j) GROUP BY 1, 2),
+             |sig AS (SELECT doc_id,
+             |               CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+             |                        ELSE 0 END) AS BIGINT) AS simhash
+             |        FROM bits GROUP BY 1)
+             |SELECT doc_id, simhash FROM sig ORDER BY doc_id ASC""".stripMargin),
+      "SimHash 60-bit signatures, oracle recomputes bit-exactly"),
+
+    // ------------------------------------------------------------------
+    // q38: exact n-gram Jaccard within (source, lang) blocks — the blocked
+    // O(Σ block²) form of pairwise similarity; blocking is mirrored in the
+    // oracle so results align exactly.
+    GQuery(
+      "q38_ngram_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = docs.select(col("source"), col("lang"), col("doc_id"),
+          TF.wordShingles(col("text"), 3).as("sset"))
+        val a = sh.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("sset").as("sa"))
+        val b = sh.select(col("source"), col("lang"), col("doc_id").as("id_b"), col("sset").as("sb"))
+        a.join(b, Seq("source", "lang"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), TF.jaccard(col("sa"), col("sb")).as("jaccard"))
+          .orderBy(col("id_a").asc, col("id_b").asc)
+      },
+      Some("""WITH sh AS (
+             |  SELECT source, lang, doc_id,
+             |         list_distinct(list_transform(range(1, len(ws)-1),
+             |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sset
+             |  FROM (SELECT source, lang, doc_id, string_split(text, ' ') AS ws FROM documents))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+             |       len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+             |FROM sh a JOIN sh b
+             |  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+             |ORDER BY id_a ASC, id_b ASC""".stripMargin),
+      "blocked exact n-gram Jaccard pairs"),
+
+    // ------------------------------------------------------------------
+    // q39: exact cosine top-k via the custom Catalyst expression
+    // (graft.expressions.CosineSimilarity, codegen'd double accumulation) —
+    // bit-identical to DuckDB's list_cosine_similarity over DOUBLE[].
+    GQuery(
+      "q39_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5)
+          .orderBy(col("query_id").asc, col("rank").asc)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+             |sims AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |         list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+             |                                CAST(e.embedding AS DOUBLE[])) AS sim,
+             |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+             |                            ORDER BY list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+             |                                     CAST(e.embedding AS DOUBLE[])) DESC,
+             |                                     e.vec_id ASC) AS rank
+             |  FROM embeddings e CROSS JOIN q
+             |  WHERE e.vec_id <> q.query_id)
+             |SELECT query_id, rank, neighbor_id, sim FROM sims
+             |WHERE rank <= 5 ORDER BY query_id ASC, rank ASC""".stripMargin),
+      "exact cosine top-5 per query vector (custom codegen expression)"),
+
+    // ------------------------------------------------------------------
+    // q40: approximate ANN via random-hyperplane LSH — the scale path.
+    // No SQL oracle (estimator-specific bucketing); rows-only gate here,
+    // recall vs exact top-k asserted in SimilaritySpec.
+    GQuery(
+      "q40_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", dims = 64, k = 5, planes = 8)
+          .orderBy(col("query_id").asc, col("rank").asc)
+      },
+      None,
+      "LSH-bucketed approximate nearest neighbors"),
+
+    // ------------------------------------------------------------------
+    // q41: embedding near-dup pairs, cosine ≥ 0.3, blocked by label.
+    GQuery(
+      "q41_embed_neardup",
+      (s, d) => {
+        Similarity.blockedNearDupPairs(Tables.embeddings(s, d),
+            "vec_id", "embedding", "label", threshold = 0.3)
+          .orderBy(col("id_a").asc, col("id_b").asc)
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                              CAST(b.embedding AS DOUBLE[])) AS sim
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+             |ORDER BY id_a ASC, id_b ASC""".stripMargin),
+      "blocked embedding near-dup pairs by cosine threshold"),
+
+    // ------------------------------------------------------------------
+    // q42–q44: text analysis.
+    GQuery(
+      "q42_text_tokens",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+            TF.distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+            length(col("text")).cast("long").as("n_chars_obs"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |       CAST(length(text) AS BIGINT) AS n_chars_obs
+             |FROM documents ORDER BY doc_id ASC""".stripMargin),
+      "token counting (whitespace tokenizer)"),
+
+    GQuery(
+      "q43_text_quality",
+      (s, d) => {
+        val feats = TF.qualityFeatures(col("text"), TF.defaultStopwords)
+          .map { case (n, c) => c.as(n) }
+        Tables.documents(s, d)
+          .select(col("doc_id") +: feats: _*)
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT doc_id,
+             |       CAST(length(text) AS BIGINT) AS n_chars,
+             |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |       CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct_tokens,
+             |       CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+             |         / len(string_split(text,' ')) AS mean_token_len,
+             |       CAST(len(list_filter(string_split(text,' '),
+             |                w -> w IN ('the','a','to','of'))) AS DOUBLE)
+             |         / len(string_split(text,' ')) AS stopword_ratio,
+             |       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+             |         / length(text) AS punct_ratio
+             |FROM documents ORDER BY doc_id ASC""".stripMargin),
+      "quality scoring: length/stopword/punctuation features"),
+
+    GQuery(
+      "q44_text_langid",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"), TF.langId(col("text")).as("pred_lang"), col("lang"),
+            (TF.langId(col("text")) === col("lang")).as("agree"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH ws AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+             |sc AS (SELECT doc_id, lang,
+             |         len(list_filter(w, x -> x IN ('the','a','of','and'))) AS c_en,
+             |         len(list_filter(w, x -> x IN ('der','die','das','und'))) AS c_de,
+             |         len(list_filter(w, x -> x IN ('el','la','de','y'))) AS c_es,
+             |         len(list_filter(w, x -> x IN ('le','la','et','les'))) AS c_fr,
+             |         len(list_filter(w, x -> x IN ('的','是','了','在'))) AS c_zh
+             |       FROM ws),
+             |p AS (SELECT doc_id, lang,
+             |        CASE WHEN c_en >= greatest(c_en,c_de,c_es,c_fr,c_zh) AND c_en > 0 THEN 'en'
+             |             WHEN c_de >= greatest(c_en,c_de,c_es,c_fr,c_zh) AND c_de > 0 THEN 'de'
+             |             WHEN c_es >= greatest(c_en,c_de,c_es,c_fr,c_zh) AND c_es > 0 THEN 'es'
+             |             WHEN c_fr >= greatest(c_en,c_de,c_es,c_fr,c_zh) AND c_fr > 0 THEN 'fr'
+             |             WHEN c_zh >= greatest(c_en,c_de,c_es,c_fr,c_zh) AND c_zh > 0 THEN 'zh'
+             |             ELSE 'und' END AS pred_lang
+             |      FROM sc)
+             |SELECT doc_id, pred_lang, lang, pred_lang = lang AS agree
+             |FROM p ORDER BY doc_id ASC""".stripMargin),
+      "language-ID heuristic (marker tokens, fixed tie precedence)"),
+
+    // ------------------------------------------------------------------
+    // q45: multimodal metadata extraction — text bytes stand in for media
+    // payloads; real mapPartitions plumbing + stubbed codec (FakeCodec).
+    GQuery(
+      "q45_multimodal_meta",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            col("text").cast("binary").as("payload"),
+            lit("text/plain").as("media_type"))
+          .as[Multimodal.MediaRow]
+        Multimodal.decodeMeta(media).toDF()
+          .orderBy(col("media_id").asc)
+      },
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(length(text) AS BIGINT) AS n_bytes,
+             |       md5(text) AS content_hash,
+             |       CAST(64 + CAST(('0x'||substr(md5(text),1,7)) AS BIGINT) % 1856 AS INT) AS width,
+             |       CAST(64 + CAST(('0x'||substr(md5(text),8,7)) AS BIGINT) % 1856 AS INT) AS height,
+             |       CAST(length(text) // 64 + 1 AS INT) AS n_frames
+             |FROM documents ORDER BY media_id ASC""".stripMargin),
+      "multimodal: binary payload + typed metadata via mapPartitions codec stub"),
+
+    // ------------------------------------------------------------------
+    // q46: frame sampling fan-out (video-pipeline shape): one media row →
+    // every 4th frame index.
+    GQuery(
+      "q46_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            col("text").cast("binary").as("payload"),
+            lit("video/fake").as("media_type"))
+          .as[Multimodal.MediaRow]
+        Multimodal.sampleFrames(Multimodal.decodeMeta(media).toDF(), stride = 4)
+          .orderBy(col("media_id").asc, col("frame_idx").asc)
+      },
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(length(text) // 64 + 1 AS INT) AS n_frames,
+             |       CAST(unnest(range(0, length(text) // 64 + 1, 4)) AS INT) AS frame_idx
+             |FROM documents ORDER BY media_id ASC, frame_idx ASC""".stripMargin),
+      "multimodal: deterministic frame sampling fan-out"),
+  )
 }

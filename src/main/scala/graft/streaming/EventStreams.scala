@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2.10).
+  *
+  * The same aggregations as StreamQueries run here as actual streams:
+  * `readStream` → event-time window/session_window + watermark →
+  * `writeStream`. Batch/stream parity means the DuckDB-oracled batch
+  * queries validate these semantics; StreamingSpec drives this module with
+  * a memory sink and compares against the batch result.
+  *
+  * Scale notes: watermark state is per-key-and-window in the state store;
+  * at 100 TB of events the partition key must be the shuffle key
+  * (user_id / window start), watermark delay bounds state size, and
+  * `dropDuplicatesWithinWatermark` is the streaming dedup primitive whose
+  * state also expires with the watermark.
+  */
+object EventStreams {
+
+  /** The streaming-side schema: ts arrives as raw nanos (the parquet
+    * physical type) and is converted exactly like the batch loader.
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType, nullable = true),
+    StructField("ts", LongType, nullable = true),
+    StructField("user_id", LongType, nullable = true),
+    StructField("event_type", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("props", StringType, nullable = true)))
+
+  /** File-source stream over a directory of events parquet. Watermarks
+    * require TIMESTAMP (not NTZ), so ts stays an instant here; under the
+    * UTC session timezone it is value-identical to the batch loader's NTZ.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling event-time counts with a watermark (late data beyond the
+    * delay is dropped; state for closed windows is evicted).
+    */
+  def tumblingCounts(events: DataFrame, width: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user with a gap timeout. */
+  def userSessions(events: DataFrame, gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+
+  /** Streaming dedup on event_id bounded by the watermark. */
+  def dedupedEvents(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run a streaming query over a bounded directory to completion using the
+    * memory sink; returns the materialized result. Test/driver utility —
+    * production sinks are writeStream.parquet/kafka with checkpoints.
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Classic-mode Column ↔ Catalyst Expression bridge.
+  *
+  * Spark 4 made the converters `private[sql]` (Column wraps a ColumnNode for
+  * Connect compatibility); custom-Expression libraries conventionally expose
+  * them from inside the sql package. This is the only file outside `graft.*`.
+  */
+package object graftbridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

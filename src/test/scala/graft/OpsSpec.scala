@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+import graft.functions.{MinHash, SimHash, Similarity, TextFunctions => TF}
+
+class OpsSpec extends SparkTestBase {
+
+  test("as-of join: backward match, tie-break, and no-match null") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, 10.0, 1L), (1L, 100L, 20.0, 2L), (1L, 100L, 30.0, 3L),
+        (1L, 240L, 40.0, 4L), (2L, 60L, 50.0, 5L))
+      .toDF("k", "t", "v", "rid")
+    val out = AsOfJoin.backward(left, right, "k", "k", "t", "t", Seq("v"), "rid")
+      .orderBy(col("tag"))
+      .select(col("tag"), col("asof_v"))
+      .collect()
+    // p1@100: right has 90,100,100 → inclusive, max rid at t=100 wins → 30.0
+    assert(out(0).getDouble(1) == 30.0)
+    // p2@250: latest ≤250 is 240 → 40.0
+    assert(out(1).getDouble(1) == 40.0)
+    // p3@50 on key 2: only right event is at 60 > 50 → null
+    assert(out(2).isNullAt(1))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips distinct docs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 59) "CHANGED" else s"w$i").mkString(" ")
+    val other = (1 to 60).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = MinHash.nearDuplicatePairs(docs, "doc_id", "text", 3, 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    // 58 shingles each; the changed word hits shingles 57,58 → 56 shared,
+    // union 60 → j = 56/60
+    assert(math.abs(pairs.head.getDouble(2) - 56.0 / 60.0) < 1e-12)
+  }
+
+  test("simhash: identical docs agree, near-dups close, disjoint docs far") {
+    import spark.implicits._
+    val a = (1 to 50).map(i => s"w$i").mkString(" ")
+    val b = (1 to 50).map(i => if (i % 10 == 0) s"y$i" else s"w$i").mkString(" ")
+    val c = (1 to 50).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("id", "text")
+      .select(col("id"), SimHash.simhash(TF.tokens(col("text"))).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sigs(1L), sigs(2L)) == 0)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("cosine expression matches scala double computation and self-sim is 1") {
+    import spark.implicits._
+    val v1 = Array(1.0f, 2.0f, 3.0f)
+    val v2 = Array(-1.0f, 0.5f, 2.0f)
+    val df = Seq((v1, v2)).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("s"),
+        Similarity.cosine(col("a"), col("a")).as("self"))
+    val row = df.collect().head
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- x.indices) { d += x(i).toDouble * y(i); na += x(i).toDouble * x(i); nb += y(i).toDouble * y(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(row.getDouble(0) == cos(v1, v2))
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-15)
+  }
+
+  test("cosine expression rejects non-float-array inputs at analysis time") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(1.0f))).toDF("d", "f")
+    intercept[Exception] {
+      df.select(Similarity.cosine(col("d"), col("f"))).collect()
+    }
+  }
+
+  test("LSH ANN recall vs exact top-k on sf0.001 embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 64, 5, planes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 2 planes → 4 buckets over ~50 vectors; recall is approximate by design
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall")
+    // every approx neighbor's sim must equal the exact cosine (no sim drift)
+    assert(approx.subsetOf(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet))
+  }
+
+  test("approx_count_distinct within configured error of exact") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_orderkey"))).collect().head.getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_orderkey"), 0.02)).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Drives the REAL Structured Streaming path (readStream → watermark →
+  * window agg → memory sink) over the bounded fixture directory and checks
+  * batch/stream parity against the oracled batch computation.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def eventsDir = {
+    // file-source streams read directories; stage the single fixture file
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling window == batch tumbling window (parity)") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    val agg = EventStreams.tumblingCounts(stream, "10 minutes", "1 hour")
+    val got = EventStreams.runToMemory(agg, "t_tumbling", "append")
+      .select(col("bucket_start").cast("timestamp").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("timestamp").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // append mode emits only watermark-closed windows; bounded input closes
+    // all but the trailing window(s)
+    assert(got.nonEmpty)
+    assert(got.subsetOf(batch))
+    assert(got.size >= batch.size - 10)
+  }
+
+  test("streaming session windows produce rows under watermark") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    val sess = EventStreams.userSessions(stream, "30 minutes", "1 hour")
+    val got = EventStreams.runToMemory(sess, "t_sessions", "append").collect()
+    assert(got.nonEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
+    val dir = eventsDir
+    // duplicate the file → every event appears twice
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir, "events2.parquet"))
+    val stream = EventStreams.readEvents(spark, dir)
+    val dedup = EventStreams.dedupedEvents(stream, "1 hour")
+      .groupBy(col("event_id")).count()
+    val got = EventStreams.runToMemory(dedup, "t_dedup", "complete")
+    assert(got.filter(col("count") > 1).count() == 0)
+  }
+}

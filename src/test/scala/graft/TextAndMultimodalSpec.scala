@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.multimodal.Multimodal
+
+class TextAndMultimodalSpec extends SparkTestBase {
+
+  test("fingerprint is invariant to case and whitespace formatting") {
+    import spark.implicits._
+    val df = Seq(("Hello  World ", 1), ("hello world", 2)).toDF("text", "id")
+      .select(TF.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("langId picks marker-majority language with fixed tie precedence") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat of the house and a dog", "en"),
+      ("der hund und die katze und das haus", "de"),
+      ("el gato y la casa de madrid", "es"),
+      ("xyzzy plugh quux", "und")).toDF("text", "expected")
+      .withColumn("pred", TF.langId(col("text")))
+    df.collect().foreach(r => assert(r.getString(2) == r.getString(1), r.toString))
+  }
+
+  test("quality features on a known string") {
+    import spark.implicits._
+    val df = Seq("the cat sat").toDF("text")
+      .select(TF.qualityFeatures(col("text"), TF.defaultStopwords).map { case (n, c) => c.as(n) }: _*)
+    val r = df.collect().head
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("n_distinct_tokens") == 3L)
+    assert(r.getAs[Double]("mean_token_len") == 3.0)  // (11-2)/3
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 1.0 / 3) < 1e-15)
+  }
+
+  test("word shingles: counts, distinctness, and short-doc guard") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(size(TF.wordShingles(col("text"), 3)).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(2, 0))
+  }
+
+  test("multimodal decode plumbing is deterministic and partition-shaped") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "hello".getBytes("UTF-8"), "text/plain"),
+      Multimodal.MediaRow(2L, Array.fill[Byte](200)(7), "video/fake")).toDS()
+    val meta = Multimodal.decodeMeta(media.repartition(3)).collect().sortBy(_.media_id)
+    assert(meta(0).n_bytes == 5L && meta(0).n_frames == 1)
+    assert(meta(1).n_bytes == 200L && meta(1).n_frames == 4)
+    assert(meta(0).content_hash == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(meta(0).width >= 64 && meta(0).width < 1920 && meta(0).height >= 64)
+    // determinism across runs
+    val again = Multimodal.decodeMeta(media).collect().sortBy(_.media_id)
+    assert(meta.map(_.content_hash).toSeq == again.map(_.content_hash).toSeq)
+  }
+
+  test("frame sampling fans out every stride-th frame") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, Array.fill[Byte](300)(1), "video/fake")).toDS()
+    val frames = Multimodal.sampleFrames(Multimodal.decodeMeta(media).toDF(), stride = 2)
+      .select(col("frame_idx")).collect().map(_.getInt(0)).toSeq
+    assert(frames == Seq(0, 2, 4)) // 300/64+1 = 5 frames → 0,2,4
+  }
+}
