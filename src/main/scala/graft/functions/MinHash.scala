@@ -47,8 +47,8 @@ object MinHash {
   }
 
   /** MinHash signature (array<long> of length k) over a shingle-set column.
-    * The k permutations are unrolled at plan time (k is a compile-time
-    * constant), keeping every hash inside one codegen stage.
+    * Column form for small/in-line use; the pipeline uses [[signatures]],
+    * whose explode→aggregate shape guarantees each shingle is hashed once.
     */
   def signature(shingles: Column): Column = {
     val base = transform(shingles, s => pmod(TextFunctions.md5Hash60(s), lit(Prime)))
@@ -56,6 +56,24 @@ object MinHash {
       array_min(transform(base, h =>
         pmod(lit(seedsA(j)) * h + lit(seedsB(j)), lit(Prime))))
     }: _*)
+  }
+
+  /** Scalable signature computation: explode shingles through a generator
+    * (the md5 base hash is computed INSIDE the generator, so no optimizer
+    * rewrite can re-inline it per-permutation), then take the k per-seed
+    * minima with partial aggregation — map-side combine reduces each
+    * partition to one 64-min row per doc before the single doc_id shuffle.
+    */
+  def signatures(docsWithShingles: DataFrame, idCol: String, shingleCol: String): DataFrame = {
+    val hashed = docsWithShingles.select(col(idCol),
+      explode(transform(col(shingleCol), s =>
+        pmod(TextFunctions.md5Hash60(s), lit(Prime)))).as("h"))
+    val mins = (0 until NumHashes).map { j =>
+      min(pmod(lit(seedsA(j)) * col("h") + lit(seedsB(j)), lit(Prime))).as(s"m$j")
+    }
+    hashed.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
 
   /** (doc_id, band_id, band_key) rows for LSH bucketing. */
@@ -76,9 +94,14 @@ object MinHash {
       textCol: String,
       shingleSize: Int,
       threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
+    // Small inputs can arrive as one file = one partition; fan out before the
+    // CPU-heavy shingling so it parallelizes. No-op (skipped) when the source
+    // is already well-partitioned, as a 100 TB multi-file scan would be.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol)) else docs
+    val sh = spread.select(col(idCol).as("doc_id"),
       TextFunctions.wordShingles(col(textCol), shingleSize).as("sset"))
-    val sig = sh.select(col("doc_id"), signature(col("sset")).as("sig"))
+    val sig = signatures(sh, "doc_id", "sset")
     val bd = bands(sig, "doc_id", "sig")
 
     val candidates = bd.as("x")
@@ -89,11 +112,17 @@ object MinHash {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
 
+    // Verify only the candidates: join the (few) candidate ids back to the
+    // raw docs and compute shingle sets post-join — O(candidates) shingle
+    // work instead of re-shingling the whole corpus on both join sides.
+    val texts = spread.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     candidates
-      .join(sh.select(col("doc_id").as("id_a"), col("sset").as("set_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sset").as("set_b")), "id_b")
+      .join(texts.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(texts.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        TextFunctions.jaccard(col("set_a"), col("set_b")).as("jaccard"))
+        TextFunctions.jaccard(
+          TextFunctions.wordShingles(col("text_a"), shingleSize),
+          TextFunctions.wordShingles(col("text_b"), shingleSize)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

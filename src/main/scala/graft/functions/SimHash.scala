@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SimHash document sketching (SURVEY.md §2.11): a 60-bit signature whose
@@ -41,4 +41,23 @@ object SimHash {
 
   /** Hamming distance between two signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Scalable signature computation (same shape as MinHash.signatures):
+    * explode tokens through a generator computing the md5 hash once, then
+    * 60 conditional-sum aggregates with map-side combine — per-partition
+    * work reduces to one 60-counter row per doc before the doc shuffle.
+    */
+  def signatures(docs: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    val hashed = docs.select(col(idCol),
+      explode(transform(tokensCol, w => TextFunctions.md5Hash60(w))).as("h"))
+    val bitSums = (0 until Bits).map { j =>
+      sum(when((shiftright(col("h"), j).bitwiseAND(lit(1L))) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    hashed.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until Bits).map { j =>
+          when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
 }

@@ -91,8 +91,7 @@ object NorthStarQueries {
     GQuery(
       "q37_dedup_simhash",
       (s, d) => {
-        Tables.documents(s, d)
-          .select(col("doc_id"), SimHash.simhash(TF.tokens(col("text"))).as("simhash"))
+        SimHash.signatures(Tables.documents(s, d), "doc_id", TF.tokens(col("text")))
           .orderBy(col("doc_id").asc)
       },
       Some("""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
