@@ -24,7 +24,8 @@ object QueryRegistry {
     graft.queries.RelationalQueries.all ++
       graft.queries.ScalarQueries.all ++
       graft.queries.StreamQueries.all ++
-      graft.queries.NorthStarQueries.all
+      graft.queries.NorthStarQueries.all ++
+      graft.queries.ExtraQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

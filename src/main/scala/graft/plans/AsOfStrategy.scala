@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Planner strategy mapping the logical as-of join to its sort-merge
+  * physical operator. Registered per-session via
+  * `spark.experimental.extraStrategies` (the public injection point;
+  * `SparkSessionExtensions.injectPlannerStrategy` is the builder-time
+  * equivalent for sessions we construct ourselves).
+  */
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(p.leftKey, p.rightKey, p.leftTime, p.rightTime,
+        p.rightValues, p.rightTiebreak, p.output,
+        planLater(p.left), planLater(p.right)) :: Nil
+    case _ => Nil
+  }
+
+  /** Idempotently register on a session. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfStrategy
+}
+
+/** DataFrame-level API over the custom operator. */
+object AsOfJoinCustom {
+
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      rightTiebreak: String): DataFrame = {
+    val spark = left.sparkSession
+    AsOfStrategy.register(spark)
+    // Re-alias every right column: left and right often derive from the same
+    // relation (self-as-of), and shared attribute exprIds would be ambiguous
+    // inside a custom binary node (the analyzer's DeduplicateRelations does
+    // this for built-in joins). Aliases mint fresh exprIds.
+    import org.apache.spark.sql.functions.col
+    val rightFresh = right.select(right.columns.toSeq.map(c => col(c).as(s"__r_$c")): _*)
+    val lPlan = org.apache.spark.sql.graftbridge.analyzedPlan(left)
+    val rPlan = org.apache.spark.sql.graftbridge.analyzedPlan(rightFresh)
+    def attr(plan: LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw graft.types.AttributeMissing(name))
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, s"__r_$rightKey"),
+      attr(lPlan, leftTime), attr(rPlan, s"__r_$rightTime"),
+      rightValues.map(v => attr(rPlan, s"__r_$v")), attr(rPlan, s"__r_$rightTiebreak"))
+    val out = org.apache.spark.sql.graftbridge.ofRows(spark, plan)
+    // restore public names: asof___r_<v> → asof_<v>
+    val restored = left.columns.toSeq.map(col) ++
+      rightValues.map(v => col(s"asof___r_$v").as(s"asof_$v")) :+ col("asof_time")
+    out.select(restored: _*)
+  }
+}

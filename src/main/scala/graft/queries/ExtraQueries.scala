@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.GQuery
+import graft.sources.Tables
+import graft.plans.AsOfJoinCustom
+
+/** Second-wave coverage: the custom physical as-of operator, file
+  * source/sink round-trips (CSV/JSON), pivot, and exact percentiles.
+  */
+object ExtraQueries {
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q47: the SAME as-of semantics as q17, but through the custom
+    // LogicalPlan → SparkStrategy → sort-merge AsOfJoinExec stack — both
+    // implementations are gated against the same DuckDB oracle.
+    GQuery(
+      "q47_asof_custom",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+        AsOfJoinCustom.backward(purchases, clicks,
+            leftKey = "user_id", rightKey = "user_id",
+            leftTime = "ts", rightTime = "ts",
+            rightValues = Seq("value"), rightTiebreak = "event_id")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_value"), col("asof_time"))
+          .orderBy(col("event_id").asc)
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'),
+             |j AS (SELECT p.event_id pe, c.value cv, c.ts cts,
+             |             ROW_NUMBER() OVER (PARTITION BY p.event_id
+             |                                ORDER BY c.ts DESC, c.event_id DESC) rn
+             |      FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+             |SELECT p.event_id, p.user_id, p.ts, j.cv AS asof_value, j.cts AS asof_time
+             |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.pe = p.event_id
+             |ORDER BY p.event_id ASC""".stripMargin),
+      "as-of join via custom LogicalPlan+Strategy+sort-merge exec"),
+
+    // ------------------------------------------------------------------
+    // q48/q49: file sink+source round-trips. The query WRITES a projection
+    // of the fixture to a scratch dir in the target format, reads it back
+    // with an explicit schema, and aggregates — the oracle aggregates the
+    // original table, so the gate proves the round-trip is lossless.
+    GQuery(
+      "q48_csv_roundtrip",
+      (s, d) => {
+        val tmp = s"/tmp/graft_csv_${d.replaceAll("[^0-9.]", "")}"
+        val src = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag"))
+        src.write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read
+          .schema("l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING")
+          .option("header", "true").csv(tmp)
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_orderkey")).as("sum_keys"))
+          .orderBy(col("flag").asc)
+      },
+      Some("""SELECT l_returnflag AS flag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+             |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+             |FROM lineitem GROUP BY 1 ORDER BY flag ASC""".stripMargin),
+      "CSV sink + schema-explicit CSV source round-trip"),
+
+    GQuery(
+      "q49_json_roundtrip",
+      (s, d) => {
+        val tmp = s"/tmp/graft_json_${d.replaceAll("[^0-9.]", "")}"
+        val src = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        src.write.mode("overwrite").json(tmp)
+        s.read
+          .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING")
+          .json(tmp)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+          .orderBy(col("status").asc)
+      },
+      Some("""SELECT o_orderstatus AS status, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+             |FROM orders GROUP BY 1 ORDER BY status ASC""".stripMargin),
+      "JSON sink + schema-explicit JSON source round-trip"),
+
+    // ------------------------------------------------------------------
+    // q50: pivot — wide conditional aggregation; the oracle spells out the
+    // equivalent FILTERed aggregates (dialect-portable form of PIVOT).
+    GQuery(
+      "q50_pivot",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("flag"))
+          .pivot(col("l_linestatus"), Seq("F", "O"))
+          .agg(sum(col("l_quantity")))
+          .select(col("flag"), col("F").as("qty_f"), col("O").as("qty_o"))
+          .orderBy(col("flag").asc)
+      },
+      Some("""SELECT l_returnflag AS flag,
+             |       SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f,
+             |       SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_o
+             |FROM lineitem GROUP BY 1 ORDER BY flag ASC""".stripMargin),
+      "pivot to wide conditional aggregates"),
+
+    // ------------------------------------------------------------------
+    // q51: exact percentiles (interpolated). l_quantity is integral-valued,
+    // so the linear interpolation arithmetic is exact on both engines.
+    GQuery(
+      "q51_percentiles",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("g_li_pct")
+        s.sql("""SELECT l_returnflag AS flag,
+                |       percentile(l_quantity, 0.5) AS p50,
+                |       percentile(l_quantity, 0.9) AS p90,
+                |       min(l_quantity) AS qmin, max(l_quantity) AS qmax
+                |FROM g_li_pct GROUP BY 1 ORDER BY flag ASC""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS flag,
+             |       quantile_cont(l_quantity, 0.5) AS p50,
+             |       quantile_cont(l_quantity, 0.9) AS p90,
+             |       min(l_quantity) AS qmin, max(l_quantity) AS qmax
+             |FROM lineitem GROUP BY 1 ORDER BY flag ASC""".stripMargin),
+      "exact interpolated percentiles"),
+  )
+}

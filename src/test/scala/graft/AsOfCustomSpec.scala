@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+import graft.plans.AsOfJoinCustom
+
+class AsOfCustomSpec extends SparkTestBase {
+
+  test("custom sort-merge as-of == union+window as-of on events (sf0.001)") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("asof_value"), col("asof_time"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.get(2).toString))).toSet
+
+    val viaWindow = canon(AsOfJoin.backward(purchases, clicks,
+      "user_id", "user_id", "ts", "ts", Seq("value"), "event_id"))
+    val viaCustom = canon(AsOfJoinCustom.backward(purchases, clicks,
+      "user_id", "user_id", "ts", "ts", Seq("value"), "event_id"))
+    assert(viaCustom == viaWindow)
+    assert(viaCustom.nonEmpty)
+  }
+
+  test("custom as-of handles ties, no-match, and stale-key state") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 50L, "p3"), (3L, 10L, "p4"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, 10.0, 1L), (1L, 100L, 20.0, 2L), (1L, 100L, 30.0, 3L),
+        (1L, 240L, 40.0, 4L), (2L, 60L, 50.0, 5L))
+      .toDF("k", "t", "v", "rid")
+    val out = AsOfJoinCustom.backward(left, right, "k", "k", "t", "t", Seq("v"), "rid")
+      .orderBy(col("tag")).select(col("tag"), col("asof_v")).collect()
+    assert(out(0).getDouble(1) == 30.0) // tie at t=100 → max rid
+    assert(out(1).getDouble(1) == 40.0)
+    assert(out(2).isNullAt(1)) // right event after left time
+    assert(out(3).isNullAt(1)) // key never seen on right (stale-state check)
+  }
+
+  test("custom as-of plans as AsOfJoinExec with co-partitioned sorted children") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 90L, 1.0, 1L)).toDF("k", "t", "v", "rid")
+    val df = AsOfJoinCustom.backward(left, right, "k", "k", "t", "t", Seq("v"), "rid")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfJoin"), physical)
+    assert(physical.contains("Sort [k#"), physical) // sorted children injected
+  }
+}
