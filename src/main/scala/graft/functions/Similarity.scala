@@ -82,6 +82,47 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate search — the other classic ANN scale
+    * path next to [[lshTopK]]:
+    *
+    *   1. a coarse quantizer: centroids of a partition column (here any
+    *      blocking key; with k-means labels it is textbook IVF), computed
+    *      with the mergeable [[Aggregators.vectorCentroid]] UDAF,
+    *   2. each query probes the `nprobe` nearest centroids (broadcast —
+    *      centroid count is tiny),
+    *   3. exact cosine only within the probed cells.
+    *
+    * Pairwise work drops from Q×N to Q×(N·nprobe/cells); the corpus is
+    * scanned once, shuffled only by its cell key.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cellCol: String,
+      dims: Int, k: Int, nprobe: Int): DataFrame = {
+    val cells = corpus.groupBy(col(cellCol).as("cell"))
+      .agg(Aggregators.vectorCentroid(col(vecCol), dims).as("centroid"))
+      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(cells))
+      .select(col("query_id"), col("qvec"), col("cell"),
+        cosine(col("qvec"), col("centroid")).as("csim"))
+      .withColumn("cr", row_number().over(wProbe))
+      .filter(col("cr") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("cvec")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Exact near-duplicate pairs by cosine threshold within blocking keys —
     * O(Σ block²) instead of O(n²); mirror the blocking in any oracle.
     */

@@ -125,5 +125,65 @@ object ExtraQueries {
              |       min(l_quantity) AS qmin, max(l_quantity) AS qmax
              |FROM lineitem GROUP BY 1 ORDER BY flag ASC""".stripMargin),
       "exact interpolated percentiles"),
+
+    // ------------------------------------------------------------------
+    // q52: null-handling scalar surface (3VL): NULLIF manufactures nulls,
+    // COALESCE/CASE consume them.
+    GQuery(
+      "q52_null_funcs",
+      (s, d) => {
+        Tables.customer(s, d)
+          .select(
+            col("c_custkey").as("custkey"),
+            nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+            coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(hidden)")).as("seg_filled"),
+            when(col("c_acctbal") < 0, lit(null).cast("double"))
+              .otherwise(col("c_acctbal")).as("bal_nonneg"),
+            (nullif(col("c_mktsegment"), lit("BUILDING")).isNull).as("is_building"))
+          .orderBy(col("custkey").asc)
+      },
+      Some("""SELECT c_custkey AS custkey,
+             |       NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+             |       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(hidden)') AS seg_filled,
+             |       CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
+             |       NULLIF(c_mktsegment, 'BUILDING') IS NULL AS is_building
+             |FROM customer ORDER BY custkey ASC""".stripMargin),
+      "null functions: nullif/coalesce/case/is-null (3VL)"),
+
+    // ------------------------------------------------------------------
+    // q53: ordered collect — collect_list is unordered by contract, so the
+    // deterministic form sorts the collected array; DuckDB's ordered
+    // string_agg is the oracle.
+    GQuery(
+      "q53_collect_sorted",
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(array_sort(collect_set(col("o_orderstatus"))).as("statuses0"),
+            count(lit(1)).as("n"))
+          .select(col("priority"), array_join(col("statuses0"), ",").as("statuses"), col("n"))
+          .orderBy(col("priority").asc)
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+             |       COUNT(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY priority ASC""".stripMargin),
+      "deterministic collect: sorted distinct aggregation to csv"),
+
+    // ------------------------------------------------------------------
+    // q54: IVF approximate nearest neighbors (coarse-quantizer centroids via
+    // the VectorCentroid Aggregator + probed-cell exact search). Estimator-
+    // specific → rows-only gate; recall vs brute force asserted in
+    // SimilaritySpec.
+    GQuery(
+      "q54_ivf_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.functions.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", "label", dims = 64, k = 5, nprobe = 3)
+          .orderBy(col("query_id").asc, col("rank").asc)
+      },
+      None,
+      "IVF ANN: centroid quantizer (UDAF) + probed-cell exact search"),
   )
 }
