@@ -185,5 +185,73 @@ object ExtraQueries {
       },
       None,
       "IVF ANN: centroid quantizer (UDAF) + probed-cell exact search"),
+
+    // ------------------------------------------------------------------
+    // q55: right outer join (orders ⟖ customer) — completes the outer-join
+    // family (left: q11, full: q16).
+    GQuery(
+      "q55_join_right",
+      (s, d) => {
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        Tables.customer(s, d)
+          .join(o, col("c_custkey") === col("o_custkey"), "right")
+          .select(col("o_orderkey").as("okey"),
+            coalesce(col("c_name"), lit("(none)")).as("cust"))
+          .orderBy(col("okey").asc)
+      },
+      Some("""SELECT o_orderkey AS okey, COALESCE(c_name, '(none)') AS cust
+             |FROM customer RIGHT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+             |  ON c_custkey = o_custkey
+             |ORDER BY okey ASC""".stripMargin),
+      "right outer join"),
+
+    // ------------------------------------------------------------------
+    // q56: range/interval join against an inline band dimension (the
+    // BETWEEN-style non-equi join; tiny dim → BroadcastNestedLoopJoin. At
+    // scale, band the fact side to an equi key instead).
+    GQuery(
+      "q56_join_range",
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq((0.0, 10.0, "low"), (10.0, 25.0, "mid"),
+          (25.0, 40.0, "high"), (40.0, 100.0, "top")).toDF("lo", "hi", "band")
+        Tables.lineitem(s, d)
+          .join(broadcast(bands),
+            col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+          .groupBy(col("band")).agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("band").asc)
+      },
+      Some("""SELECT band, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+             |FROM lineitem JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'),
+             |                           (25.0, 40.0, 'high'), (40.0, 100.0, 'top')) b(lo, hi, band)
+             |  ON l_quantity >= lo AND l_quantity < hi
+             |GROUP BY 1 ORDER BY band ASC""".stripMargin),
+      "range (interval) join against a band dimension"),
+
+    // ------------------------------------------------------------------
+    // q57: map functions — parse events.props into a typed map and operate
+    // on keys/values (SURVEY.md §2.8 map_* family).
+    GQuery(
+      "q57_map_funcs",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_id"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.LongType)).as("m"))
+          .select(col("event_id"),
+            size(col("m")).as("n_keys"),
+            array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+            element_at(col("m"), "k").as("k_val"))
+          .orderBy(col("event_id").asc)
+      },
+      Some("""SELECT event_id,
+             |       CAST(len(json_keys(props)) AS INT) AS n_keys,
+             |       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+             |FROM events ORDER BY event_id ASC""".stripMargin),
+      "map functions over parsed JSON props"),
   )
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+
+/** Locks in the plan shapes the 100 TB design depends on: predicate
+  * pushdown, column pruning, broadcast joins, TakeOrderedAndProject, and
+  * salted-join equivalence.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  // formatted explain includes full FileScan metadata (PushedFilters,
+  // ReadSchema); plain toString truncates it and AQE hides it pre-execution
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02 filter pushes every predicate into the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters:"), p)
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity,24.0)",
+        "In(l_returnflag").foreach(f => assert(p.contains(f), s"missing $f"))
+  }
+
+  test("q02 prunes the read schema to referenced columns only") {
+    val p = plan("q02_filter")
+    val read = p.substring(p.indexOf("ReadSchema:"))
+    assert(!read.take(400).contains("l_partkey"), read.take(400))
+    assert(!read.take(400).contains("l_tax"), read.take(400))
+  }
+
+  test("q10 star join broadcasts the dimension side") {
+    assert(plan("q10_join_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("q21 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q21_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("salted join equals plain join and spreads the hot key") {
+    import spark.implicits._
+    // a pathological fact table: 90% of rows share key 1
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1L else (i % 50).toLong, i.toLong))
+      .toDF("k", "row_id")
+    val dim = (0 to 49).map(i => (i.toLong, s"name_$i")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).agg(count(lit(1)), sum(col("row_id")))
+      .collect().head
+    val salted = Skew.saltedEquiJoin(fact, dim, "k", "row_id", salts = 8)
+      .agg(count(lit(1)), sum(col("row_id"))).collect().head
+    assert(plain == salted)
+  }
+}
