@@ -60,20 +60,18 @@ object MinHash {
 
   /** Scalable signature computation: explode shingles through a generator
     * (the md5 base hash is computed INSIDE the generator, so no optimizer
-    * rewrite can re-inline it per-permutation), then take the k per-seed
-    * minima with partial aggregation — map-side combine reduces each
-    * partition to one 64-min row per doc before the single doc_id shuffle.
+    * rewrite can re-inline it per-permutation), then fold all k per-seed
+    * minima in ONE TypedImperativeAggregate — map-side combine reduces each
+    * partition to one k-long buffer per doc before the single doc_id
+    * shuffle, and the generated aggregate code stays O(1) in k (64 separate
+    * `min(...)` expressions compile a pathologically large codegen stage).
     */
   def signatures(docsWithShingles: DataFrame, idCol: String, shingleCol: String): DataFrame = {
     val hashed = docsWithShingles.select(col(idCol),
       explode(transform(col(shingleCol), s =>
         pmod(TextFunctions.md5Hash60(s), lit(Prime)))).as("h"))
-    val mins = (0 until NumHashes).map { j =>
-      min(pmod(lit(seedsA(j)) * col("h") + lit(seedsB(j)), lit(Prime))).as(s"m$j")
-    }
     hashed.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sig"))
+      .agg(graft.expressions.MinHashAggregate(col("h"), seedsA, seedsB, Prime).as("sig"))
   }
 
   /** (doc_id, band_id, band_key) rows for LSH bucketing. */
