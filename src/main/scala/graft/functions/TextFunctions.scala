@@ -53,6 +53,17 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Word n-grams WITH duplicates (multiset form, for frequency counting —
+    * [[wordShingles]] is the distinct/set form for similarity).
+    */
+  def wordShinglesAll(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Exact Jaccard similarity of two string sets (int/int division — exact
     * and order-free in IEEE double on every engine).
     */

@@ -253,5 +253,74 @@ object ExtraQueries {
              |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
              |FROM events ORDER BY event_id ASC""".stripMargin),
       "map functions over parsed JSON props"),
+
+    // ------------------------------------------------------------------
+    // q58: ORC sink + source round-trip (third columnar format).
+    GQuery(
+      "q58_orc_roundtrip",
+      (s, d) => {
+        val tmp = s"/tmp/graft_orc_${d.replaceAll("[^0-9.]", "")}"
+        Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
+        s.read.schema("s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+          .orc(tmp)
+          .groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("s_acctbal").cast(DecimalType(18, 2))).as("sum_bal"))
+          .orderBy(col("nk").asc)
+      },
+      Some("""SELECT s_nationkey AS nk, COUNT(*) AS n,
+             |       SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS sum_bal
+             |FROM supplier GROUP BY 1 ORDER BY nk ASC""".stripMargin),
+      "ORC sink + source round-trip"),
+
+    // ------------------------------------------------------------------
+    // q59: hive-style partitioned parquet + partition pruning — at 100 TB
+    // partition layout is the first-order scan optimization; the filtered
+    // re-read must only touch the 'A' directory (PartitionFilters asserted
+    // in PlanShapeSpec).
+    GQuery(
+      "q59_partitioned_parquet",
+      (s, d) => {
+        val tmp = s"/tmp/graft_part_${d.replaceAll("[^0-9.]", "")}"
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+          .write.mode("overwrite")
+          .option("compression", "zstd")
+          .partitionBy("l_returnflag")
+          .parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("l_returnflag") === "A")
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("flag").asc)
+      },
+      Some("""SELECT l_returnflag AS flag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+             |FROM lineitem WHERE l_returnflag = 'A'
+             |GROUP BY 1 ORDER BY flag ASC""".stripMargin),
+      "partitioned (hive-layout) zstd parquet write + pruned re-read"),
+
+    // ------------------------------------------------------------------
+    // q60: distribution window functions.
+    GQuery(
+      "q60_window_dist",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        Tables.lineitem(s, d).filter(col("l_suppkey") <= 3)
+          .select(col("l_returnflag").as("flag"),
+            col("l_orderkey").as("okey"), col("l_linenumber").as("line_no"),
+            percent_rank().over(w).as("prk"),
+            cume_dist().over(w).as("cd"))
+          .orderBy(col("flag").asc, col("okey").asc, col("line_no").asc)
+      },
+      Some("""SELECT l_returnflag AS flag, l_orderkey AS okey, l_linenumber AS line_no,
+             |       PERCENT_RANK() OVER w AS prk,
+             |       CUME_DIST() OVER w AS cd
+             |FROM lineitem WHERE l_suppkey <= 3
+             |WINDOW w AS (PARTITION BY l_returnflag
+             |             ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC)
+             |ORDER BY flag ASC, okey ASC, line_no ASC""".stripMargin),
+      "distribution windows: percent_rank / cume_dist"),
   )
 }

@@ -311,5 +311,55 @@ object NorthStarQueries {
              |       CAST(unnest(range(0, length(text) // 64 + 1, 4)) AS INT) AS frame_idx
              |FROM documents ORDER BY media_id ASC, frame_idx ASC""".stripMargin),
       "multimodal: deterministic frame sampling fan-out"),
+
+    // ------------------------------------------------------------------
+    // q61–q63: corpus statistics — the map/reduce backbone of tokenizer and
+    // data-mix work: vocabulary, document frequency, n-gram counts. All
+    // explode → partial-aggregate shapes (shuffle carries one row per
+    // distinct term per partition, never per token).
+    GQuery(
+      "q61_vocab_topk",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(explode(TF.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word").asc)
+          .limit(20)
+      },
+      Some("""SELECT word, COUNT(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin),
+      "corpus vocabulary: global token counts, top-k"),
+
+    GQuery(
+      "q62_term_docfreq",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text")))).as("word"))
+          .groupBy(col("word"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("word").asc)
+      },
+      Some("""SELECT word, COUNT(DISTINCT doc_id) AS df
+             |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+             |      FROM documents)
+             |GROUP BY word ORDER BY word ASC""".stripMargin),
+      "document frequency per term (IDF numerator)"),
+
+    GQuery(
+      "q63_bigram_counts",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(explode(TF.wordShinglesAll(col("text"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram").asc)
+          .limit(25)
+      },
+      Some("""SELECT bigram, COUNT(*) AS n
+             |FROM (SELECT unnest(list_transform(range(1, len(ws)),
+             |                    i -> ws[i]||' '||ws[i+1])) AS bigram
+             |      FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+             |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 25""".stripMargin),
+      "corpus bigram counts (with duplicates), top-k"),
   )
 }

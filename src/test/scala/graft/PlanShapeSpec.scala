@@ -38,6 +38,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q59 partitioned re-read prunes to the filtered partition") {
+    // run once so the partitioned directory exists, then inspect the plan
+    val df = SparkEntry.queries("q59_partitioned_parquet")(spark, sf)
+    df.collect()
+    val p = plan("q59_partitioned_parquet")
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"), p)
+    assert(p.contains("(l_returnflag") && p.contains("= A)"), p)
+  }
+
   test("salted join equals plain join and spreads the hot key") {
     import spark.implicits._
     // a pathological fact table: 90% of rows share key 1
