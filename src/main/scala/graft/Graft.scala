@@ -20,6 +20,7 @@ import graft.plans.AsOfStrategy
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushLeftFilterThroughAsOf)
     e.injectFunction(Graft.cosineSimDescriptor)
   }
 }
@@ -38,6 +39,9 @@ object Graft {
   /** Idempotently install on a live session. */
   def install(spark: SparkSession): Unit = {
     AsOfStrategy.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushLeftFilterThroughAsOf))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushLeftFilterThroughAsOf
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => cosineSimDescriptor._3(exprs),

@@ -20,11 +20,17 @@ object AsOfStrategy extends SparkStrategy {
     case _ => Nil
   }
 
-  /** Idempotently register on a session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register on a session (strategy + companion optimizer
+    * rule — pushdown through the operator must come with the operator).
+    */
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushLeftFilterThroughAsOf))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushLeftFilterThroughAsOf
+  }
 }
 
 /** DataFrame-level API over the custom operator. */

@@ -67,6 +67,33 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Custom arbitrary state (SURVEY.md §2.10 mapGroupsWithState tier): a
+    * per-user running profile maintained across micro-batches. State lives
+    * in the state store keyed by user; event-time timeout would evict idle
+    * users in production (left at NoTimeout here for the bounded fixture).
+    */
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserProfile(user_id: Long, n_events: Long, n_purchases: Long, total_value: Double)
+
+  def userProfiles(events: DataFrame): org.apache.spark.sql.Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("event_type"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserProfile, UserProfile](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(UserProfile(uid, 0L, 0L, 0.0))
+          val next = evs.foldLeft(prev) { (p, e) =>
+            UserProfile(uid, p.n_events + 1,
+              p.n_purchases + (if (e.event_type == "purchase") 1 else 0),
+              p.total_value + e.value)
+          }
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
   /** Run a streaming query over a bounded directory to completion using the
     * memory sink; returns the materialized result. Test/driver utility —
     * production sinks are writeStream.parquet/kafka with checkpoints.

@@ -42,6 +42,29 @@ class AsOfCustomSpec extends SparkTestBase {
     assert(out(3).isNullAt(1)) // key never seen on right (stale-state check)
   }
 
+  test("left-only filters push through the custom as-of into the scan") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val joined = AsOfJoinCustom.backward(purchases, clicks,
+        "user_id", "user_id", "ts", "ts", Seq("value"), "event_id")
+      .filter(col("event_id") < 500) // left-side-only predicate
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    // the filter must sit BELOW the AsOfJoin node (on its left child), not above
+    val asofIdx = optimized.indexOf("AsOfJoin")
+    assert(asofIdx >= 0, optimized)
+    assert(optimized.indexOf("event_id#", asofIdx) >= 0)
+    val filterIdx = optimized.indexOf("Filter")
+    assert(filterIdx > asofIdx, s"filter not pushed below as-of:\n$optimized")
+    // and correctness is unchanged vs filtering the input
+    val a = joined.count()
+    val b = AsOfJoinCustom.backward(purchases.filter(col("event_id") < 500), clicks,
+      "user_id", "user_id", "ts", "ts", Seq("value"), "event_id").count()
+    assert(a == b)
+  }
+
   test("custom as-of plans as AsOfJoinExec with co-partitioned sorted children") {
     import spark.implicits._
     val left = Seq((1L, 100L)).toDF("k", "t")

@@ -45,6 +45,27 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("flatMapGroupsWithState accumulates per-user profiles across batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    val profiles = EventStreams.userProfiles(stream)
+    val q = profiles.writeStream.format("memory").queryName("t_profiles")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update mode emits one row per key per batch; the LAST row per user is
+    // the final state — compare against the batch ground truth
+    val got = spark.table("t_profiles")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("n_purchases")).as("n_purchases"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
     val dir = eventsDir
     // duplicate the file → every event appears twice
