@@ -322,5 +322,51 @@ object ExtraQueries {
              |             ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC)
              |ORDER BY flag ASC, okey ASC, line_no ASC""".stripMargin),
       "distribution windows: percent_rank / cume_dist"),
+
+    // ------------------------------------------------------------------
+    // q64: resample + forward-fill (gap-fill) — the time-series companion
+    // to the as-of join: densify each user's event stream to an hourly
+    // grid and carry the last observed hourly sum forward across gaps.
+    // Scale shape: grid generation is sequence+explode per user (no driver
+    // loop), the fill is one window per user — shuffle on user only.
+    GQuery(
+      "q64_resample_ffill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, d)
+          .filter(col("user_id") < 10)
+          .groupBy(col("user_id"),
+            (floor(epochSec(col("ts")) / 3600) * 3600).cast("long").as("bucket"))
+          .agg(sum(col("value").cast(DecimalType(18, 6))).as("v"))
+        val bounds = hourly.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        val grid = hourly.select(col("user_id")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"), lit(3600L))).as("bucket"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "bucket"), "left")
+          .select(col("user_id"), col("bucket"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_ffill"),
+            col("v").isNotNull.as("observed"))
+          .orderBy(col("user_id").asc, col("bucket").asc)
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+             |         SUM(CAST(value AS DECIMAL(18,6))) AS v
+             |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+             |bounds AS (SELECT min(bucket) lo, max(bucket) hi FROM hourly),
+             |grid AS (
+             |  SELECT u.user_id, CAST(unnest(range(b.lo, b.hi + 3600, 3600)) AS BIGINT) AS bucket
+             |  FROM (SELECT DISTINCT user_id FROM hourly) u CROSS JOIN bounds b)
+             |SELECT g.user_id, g.bucket,
+             |       LAST_VALUE(h.v IGNORE NULLS) OVER
+             |         (PARTITION BY g.user_id ORDER BY g.bucket
+             |          ROWS UNBOUNDED PRECEDING) AS v_ffill,
+             |       h.v IS NOT NULL AS observed
+             |FROM grid g LEFT JOIN hourly h
+             |  ON h.user_id = g.user_id AND h.bucket = g.bucket
+             |ORDER BY g.user_id ASC, g.bucket ASC""".stripMargin),
+      "resample to hourly grid + forward-fill across gaps"),
   )
 }
