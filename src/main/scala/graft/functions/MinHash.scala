@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MinHash + banded LSH near-duplicate detection (SURVEY.md §2.11).
+  * Scheme: min-wise independent permutations (Broder, "On the resemblance
+  * and containment of documents", 1997) with the standard banding analysis
+  * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets, ch. 3).
   *
   * Pipeline (all relational, no driver-side loops):
   *   1. shingle: distinct word n-grams per doc               (map-side)
@@ -92,11 +95,7 @@ object MinHash {
       textCol: String,
       shingleSize: Int,
       threshold: Double): DataFrame = {
-    // Small inputs can arrive as one file = one partition; fan out before the
-    // CPU-heavy shingling so it parallelizes. No-op (skipped) when the source
-    // is already well-partitioned, as a 100 TB multi-file scan would be.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol)) else docs
+    val spread = graft.sources.Tables.spread(docs, col(idCol))
     val sh = spread.select(col(idCol).as("doc_id"),
       TextFunctions.wordShingles(col(textCol), shingleSize).as("sset"))
     val sig = signatures(sh, "doc_id", "sset")

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** SimHash document sketching (SURVEY.md §2.11): a 60-bit signature whose
   * Hamming distance approximates weighted token-set difference.
   *
-  * Construction (Charikar's scheme): each token hashes to 60 bits; bit j of
+  * Construction (Charikar, "Similarity estimation techniques from
+  * rounding algorithms", STOC 2002): each token hashes to 60 bits; bit j of
   * the signature is the sign of Σ_tokens (±1 by bit j of the token hash).
   * Entirely map-side (one pass over each doc's token array inside codegen);
   * pair extraction at scale uses band-blocking on signature chunks (same LSH

@@ -82,8 +82,10 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** IVF (inverted-file) approximate search — the other classic ANN scale
-    * path next to [[lshTopK]]:
+  /** IVF (inverted-file) approximate search (coarse quantization as in
+    * Jegou/Douze/Schmid, "Product quantization for nearest neighbor
+    * search", TPAMI 2011 — without the PQ refinement) — the other classic
+    * ANN scale path next to [[lshTopK]]:
     *
     *   1. a coarse quantizer: centroids of a partition column (here any
     *      blocking key; with k-means labels it is textbook IVF), computed

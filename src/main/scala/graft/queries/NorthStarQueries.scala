@@ -91,7 +91,8 @@ object NorthStarQueries {
     GQuery(
       "q37_dedup_simhash",
       (s, d) => {
-        SimHash.signatures(Tables.documents(s, d), "doc_id", TF.tokens(col("text")))
+        SimHash.signatures(Tables.spread(Tables.documents(s, d), col("doc_id")),
+            "doc_id", TF.tokens(col("text")))
           .orderBy(col("doc_id").asc)
       },
       Some("""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
@@ -320,7 +321,7 @@ object NorthStarQueries {
     GQuery(
       "q61_vocab_topk",
       (s, d) => {
-        Tables.documents(s, d)
+        Tables.spread(Tables.documents(s, d), col("doc_id"))
           .select(explode(TF.tokens(col("text"))).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("word").asc)
@@ -334,7 +335,7 @@ object NorthStarQueries {
     GQuery(
       "q62_term_docfreq",
       (s, d) => {
-        Tables.documents(s, d)
+        Tables.spread(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text")))).as("word"))
           .groupBy(col("word"))
           .agg(countDistinct(col("doc_id")).as("df"))
@@ -349,7 +350,7 @@ object NorthStarQueries {
     GQuery(
       "q63_bigram_counts",
       (s, d) => {
-        Tables.documents(s, d)
+        Tables.spread(Tables.documents(s, d), col("doc_id"))
           .select(explode(TF.wordShinglesAll(col("text"), 2)).as("bigram"))
           .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram").asc)

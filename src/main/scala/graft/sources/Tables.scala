@@ -116,6 +116,17 @@ object Tables {
     df
   }
 
+  /** Fan a narrow input out to full parallelism before CPU-heavy per-row
+    * work (tokenizing, hashing, exploding): a small table often arrives as
+    * ONE file = ONE partition, serializing everything downstream until the
+    * first shuffle. No-op when the source is already well-partitioned (the
+    * 100 TB multi-file case).
+    */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par, key) else df
+  }
+
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
