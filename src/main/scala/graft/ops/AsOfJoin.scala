@@ -28,6 +28,58 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Forward as-of: for each left row, the EARLIEST right row with the same
+    * key and right.time >= left.time. Implemented by time reversal over the
+    * backward machinery (negate epoch times), so both directions share one
+    * audited core. Tie-break flips accordingly: among equal right times the
+    * SMALLEST tiebreak wins (mirror of backward's largest-wins).
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      rightTiebreak: String): DataFrame = {
+    def negTime(df: DataFrame, t: String): DataFrame =
+      df.withColumn("__negt", -col(t).cast("timestamp").cast("double"))
+        .withColumn("__negtie", lit(0L))
+    val l2 = negTime(left, leftTime)
+    val r2 = negTime(right, rightTime)
+      .withColumn("__negtie", -col(rightTiebreak).cast("long"))
+    backward(l2, r2, leftKey, rightKey, "__negt", "__negt",
+        rightValues :+ rightTime, "__negtie")
+      .withColumnRenamed(s"asof_$rightTime", "asof_time_fwd")
+      .drop("__negt", "__negtie", "asof_time")
+      .withColumnRenamed("asof_time_fwd", "asof_time")
+  }
+
+  /** Backward as-of with a maximum staleness bound: matches older than
+    * `toleranceSeconds` before the left time are nulled out (state still
+    * O(1); the bound is a post-filter on the matched time).
+    */
+  def backwardWithTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      rightTiebreak: String,
+      toleranceSeconds: Long): DataFrame = {
+    val joined = backward(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightValues, rightTiebreak)
+    val fresh = col("asof_time").cast("timestamp").cast("double") >=
+      (col(leftTime).cast("timestamp").cast("double") - toleranceSeconds)
+    val nulled = (Seq("asof_time") ++ rightValues.map(v => s"asof_$v")).foldLeft(joined) {
+      (df, c) => df.withColumn(c, when(fresh, col(c)))
+    }
+    nulled
+  }
+
   def backward(
       left: DataFrame,
       right: DataFrame,

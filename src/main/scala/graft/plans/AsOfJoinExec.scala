@@ -73,21 +73,24 @@ case class AsOfJoinExec(
       lIter.map { l =>
         val lk = lKey.eval(l)
         val lt = lTime.eval(l)
-        if (lk != null) {
+        // null key or null time matches nothing (SQL 3VL); guarding here also
+        // keeps the interpreted orderings away from nulls
+        if (lk != null && lt != null) {
           var advance = true
           while (advance) {
             if (rHead == null && rIter.hasNext) rHead = rIter.next()
             if (rHead == null) advance = false
             else {
               val rk = rKey.eval(rHead)
-              if (rk == null) { rHead = null } // null keys never match
+              val rt = rTime.eval(rHead)
+              if (rk == null || rt == null) { rHead = null } // nulls never match
               else {
                 val c = keyOrd.compare(rk, lk)
                 if (c < 0) {
                   // left is sorted ascending on key: no future left row can
                   // have this smaller key — discard
                   rHead = null
-                } else if (c == 0 && timeOrd.lteq(rTime.eval(rHead), lt)) {
+                } else if (c == 0 && timeOrd.lteq(rt, lt)) {
                   lastMatch = rHead.copy()
                   lastMatchKey = rk
                   rHead = null
@@ -98,7 +101,7 @@ case class AsOfJoinExec(
             }
           }
         }
-        val matched = lk != null && lastMatch != null &&
+        val matched = lk != null && lt != null && lastMatch != null &&
           keyOrd.compare(lastMatchKey, lk) == 0
         joiner(joined(l, if (matched) lastMatch else nullRight))
       }

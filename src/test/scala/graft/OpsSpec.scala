@@ -25,6 +25,34 @@ class OpsSpec extends SparkTestBase {
     assert(out(2).isNullAt(1))
   }
 
+  test("as-of forward: earliest right at-or-after left time, min-tiebreak") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 70L, "p3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 20.0, 2L), (1L, 100L, 30.0, 3L), (1L, 240L, 40.0, 4L),
+        (2L, 60L, 50.0, 5L))
+      .toDF("k", "t", "v", "rid")
+    val out = AsOfJoin.forward(left, right, "k", "k", "t", "t", Seq("v"), "rid")
+      .orderBy(col("tag")).select(col("tag"), col("asof_v")).collect()
+    // p1@100: rights at 100 (rid 2,3) qualify; min rid wins → 20.0
+    assert(out(0).getDouble(1) == 20.0)
+    // p2@250: no right at/after 250 → null
+    assert(out(1).isNullAt(1))
+    // p3@70 key 2: right at 60 is before → null
+    assert(out(2).isNullAt(1))
+  }
+
+  test("as-of backward with tolerance nulls out stale matches") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 500L, "p2")).toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, 10.0, 1L)).toDF("k", "t", "v", "rid")
+    val out = AsOfJoin.backwardWithTolerance(left, right, "k", "k", "t", "t",
+        Seq("v"), "rid", toleranceSeconds = 60)
+      .orderBy(col("tag")).select(col("tag"), col("asof_v")).collect()
+    assert(out(0).getDouble(1) == 10.0) // 10s stale, within 60
+    assert(out(1).isNullAt(1)) // 410s stale → nulled
+  }
+
   test("minhash LSH finds planted near-duplicates and skips distinct docs") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
