@@ -32,7 +32,9 @@ object AsOfJoin {
     * key and right.time >= left.time. Implemented by time reversal over the
     * backward machinery (negate epoch times), so both directions share one
     * audited core. Tie-break flips accordingly: among equal right times the
-    * SMALLEST tiebreak wins (mirror of backward's largest-wins).
+    * SMALLEST tiebreak wins (mirror of backward's largest-wins). The matched
+    * right time is returned as `asof_time`; listing the time column itself
+    * in `rightValues` is unnecessary (and is de-duplicated).
     */
   def forward(
       left: DataFrame,
@@ -43,17 +45,22 @@ object AsOfJoin {
       rightTime: String,
       rightValues: Seq[String],
       rightTiebreak: String): DataFrame = {
-    def negTime(df: DataFrame, t: String): DataFrame =
-      df.withColumn("__negt", -col(t).cast("timestamp").cast("double"))
-        .withColumn("__negtie", lit(0L))
-    val l2 = negTime(left, leftTime)
-    val r2 = negTime(right, rightTime)
+    // Reserved internal names keep the rename/drop chain collision-free even
+    // when user columns are called "time"/"asof_time" etc.
+    val l2 = left.withColumn("__negt", -col(leftTime).cast("timestamp").cast("double"))
+    val r2 = right
+      .withColumn("__negt", -col(rightTime).cast("timestamp").cast("double"))
       .withColumn("__negtie", -col(rightTiebreak).cast("long"))
-    backward(l2, r2, leftKey, rightKey, "__negt", "__negt",
-        rightValues :+ rightTime, "__negtie")
-      .withColumnRenamed(s"asof_$rightTime", "asof_time_fwd")
-      .drop("__negt", "__negtie", "asof_time")
-      .withColumnRenamed("asof_time_fwd", "asof_time")
+      .withColumn("__rt_orig", col(rightTime))
+    val rv = rightValues.filterNot(_ == rightTime)
+    val out = backward(l2, r2, leftKey, rightKey, "__negt", "__negt",
+        rv :+ "__rt_orig", "__negtie")
+      .drop("__negt")        // internal left-side column
+      .drop("asof_time")     // backward's matched time = negated double, internal
+      .withColumnRenamed("asof___rt_orig", "asof_time")
+    if (rightValues.contains(rightTime))
+      out.withColumn(s"asof_$rightTime", col("asof_time"))
+    else out
   }
 
   /** Backward as-of with a maximum staleness bound: matches older than
@@ -72,12 +79,16 @@ object AsOfJoin {
       toleranceSeconds: Long): DataFrame = {
     val joined = backward(left, right, leftKey, rightKey, leftTime, rightTime,
       rightValues, rightTiebreak)
+    // one projection; every branch evaluates freshness against the ORIGINAL
+    // asof_time (a withColumn chain would overwrite it before later columns
+    // read it and only work by accidental null propagation)
     val fresh = col("asof_time").cast("timestamp").cast("double") >=
       (col(leftTime).cast("timestamp").cast("double") - toleranceSeconds)
-    val nulled = (Seq("asof_time") ++ rightValues.map(v => s"asof_$v")).foldLeft(joined) {
-      (df, c) => df.withColumn(c, when(fresh, col(c)))
-    }
-    nulled
+    val masked = Seq("asof_time") ++ rightValues.map(v => s"asof_$v")
+    joined.select(joined.columns.toSeq.map {
+      case c if masked.contains(c) => when(fresh, col(c)).as(c)
+      case c => col(c)
+    }: _*)
   }
 
   def backward(
@@ -89,6 +100,11 @@ object AsOfJoin {
       rightTime: String,
       rightValues: Seq[String],
       rightTiebreak: String): DataFrame = {
+
+    // Null keys/times never match (SQL 3VL), mirroring the custom
+    // AsOfJoinExec: drop such right rows up front — a null right time would
+    // otherwise sort NULLS FIRST and leak into every left row's window.
+    val right0 = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
 
     val leftCols = left.columns.toSeq
     // Pack every left column into one struct so the union schema stays fixed
@@ -104,7 +120,7 @@ object AsOfJoin {
           rightValues.map(c => right.schema(c).copy(nullable = true))))
         .as("_rvals"))
 
-    val taggedRight = right.select(
+    val taggedRight = right0.select(
       col(rightKey).as("_k"),
       col(rightTime).as("_t"),
       lit(0).as("_side"),

@@ -53,6 +53,31 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).isNullAt(1)) // 410s stale → nulled
   }
 
+  test("as-of: null-time right rows never match (window impl == custom exec)") {
+    import spark.implicits._
+    val left = Seq((1L, 250L, "p1")).toDF("k", "t", "tag")
+    val right = Seq((1L, Some(90L), 10.0, 1L), (1L, None, 99.0, 2L))
+      .toDF("k", "t", "v", "rid")
+    val viaWindow = AsOfJoin.backward(left, right, "k", "k", "t", "t", Seq("v"), "rid")
+      .select(col("asof_v")).collect()
+    assert(viaWindow.head.getDouble(0) == 10.0) // the null-time 99.0 row is ignored
+    val viaCustom = graft.plans.AsOfJoinCustom.backward(
+        left, right, "k", "k", "t", "t", Seq("v"), "rid")
+      .select(col("asof_v")).collect()
+    assert(viaCustom.head.getDouble(0) == 10.0)
+  }
+
+  test("as-of forward survives a right time column literally named 'time'") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1")).toDF("k", "time", "tag")
+    val right = Seq((1L, 150L, 7.0, 1L)).toDF("k", "time", "v", "rid")
+    val out = AsOfJoin.forward(left, right, "k", "k", "time", "time", Seq("v"), "rid")
+    assert(out.columns.count(_ == "asof_time") == 1, out.columns.toSeq)
+    val r = out.select(col("asof_v"), col("asof_time").cast("double")).collect().head
+    assert(r.getDouble(0) == 7.0)
+    assert(r.getDouble(1) == 150.0)
+  }
+
   test("minhash LSH finds planted near-duplicates and skips distinct docs") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
