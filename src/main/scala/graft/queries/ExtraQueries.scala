@@ -368,5 +368,78 @@ object ExtraQueries {
              |  ON h.user_id = g.user_id AND h.bucket = g.bucket
              |ORDER BY g.user_id ASC, g.bucket ASC""".stripMargin),
       "resample to hourly grid + forward-fill across gaps"),
+
+    // ------------------------------------------------------------------
+    // q65–q67: TPC-H-shaped composite analytics (adapted to the fixture
+    // columns) — multi-operator pipelines the way users actually write them.
+    //
+    // q65 ~ TPC-H Q4: priority counts of orders with at least one line
+    // shipped after the order date (semi-join + agg).
+    GQuery(
+      "q65_order_priority",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        o.join(li, col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("priority").asc)
+      },
+      Some("""SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+             |FROM orders WHERE EXISTS (
+             |  SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY 1 ORDER BY priority ASC""".stripMargin),
+      "TPC-H Q4 shape: correlated-EXISTS semi-join + priority counts"),
+
+    // q66 ~ TPC-H Q13: distribution of customers by order count
+    // (left join + two-level aggregation).
+    GQuery(
+      "q66_custdist",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY 1)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      "TPC-H Q13 shape: two-level aggregation over an outer join"),
+
+    // q67 ~ TPC-H Q18: large-quantity orders — HAVING subquery feeding a
+    // three-way join + top-k.
+    GQuery(
+      "q67_large_orders",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 300)
+        big.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name").as("cust"), col("o_orderkey").as("okey"),
+            col("o_orderdate").as("odate"), col("o_totalprice").as("total"),
+            col("total_qty"))
+          .orderBy(col("total").desc, col("okey").asc)
+          .limit(50)
+      },
+      Some("""SELECT c_name AS cust, o_orderkey AS okey, o_orderdate AS odate,
+             |       o_totalprice AS total, total_qty
+             |FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+             |      FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300) big
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY total DESC, okey ASC LIMIT 50""".stripMargin),
+      "TPC-H Q18 shape: HAVING aggregate subquery + joins + top-k"),
   )
 }

@@ -66,6 +66,40 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("checkpoint recovery: restart processes only new files, no dup/loss") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("events_ckpt_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("events_ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("events_ckpt_out")
+
+    def runOnce(): Unit = {
+      val stream = EventStreams.readEvents(spark, src.toString)
+        .select(col("event_id"), col("user_id"))
+      val q = stream.writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // first incarnation sees file A only
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      src.resolve("a.parquet"))
+    runOnce()
+    val afterA = spark.read.parquet(outDir.toString).count()
+
+    // second incarnation (same checkpoint) sees A again plus new file B (a
+    // second copy) — exactly-once means A is NOT reprocessed: the total
+    // doubles rather than tripling, and every id appears exactly twice
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      src.resolve("b.parquet"))
+    runOnce()
+    val afterB = spark.read.parquet(outDir.toString)
+    assert(afterB.count() == 2 * afterA)
+    assert(afterB.groupBy(col("event_id")).count().filter(col("count") =!= 2).count() == 0)
+  }
+
   test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
     val dir = eventsDir
     // duplicate the file → every event appears twice
