@@ -38,10 +38,7 @@ object Graft {
 
   /** Idempotently install on a live session. */
   def install(spark: SparkSession): Unit = {
-    AsOfStrategy.register(spark)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushLeftFilterThroughAsOf))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.PushLeftFilterThroughAsOf
+    AsOfStrategy.register(spark) // registers the strategy AND its optimizer rule
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => cosineSimDescriptor._3(exprs),

@@ -26,6 +26,12 @@ object Skew {
       factUniqueCol: String,
       salts: Int,
       joinType: String = "inner"): DataFrame = {
+    // dim rows are replicated once per salt: join types that preserve
+    // unmatched DIM rows would emit `salts` copies of each — reject them
+    val safe = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(safe.contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports fact-preserving join types only, got $joinType")
     val salted = fact.withColumn("_salt",
       pmod(xxhash64(col(factUniqueCol)), lit(salts)).cast("int"))
     val replicated = dim.withColumn("_salt",

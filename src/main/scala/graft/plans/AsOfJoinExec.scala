@@ -37,8 +37,12 @@ case class AsOfJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    // tiebreak NULLS LAST so a null-tiebreak row among equal times is
+    // processed last and wins — matching the window implementation's
+    // `asc_nulls_last` + last() semantics exactly
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
-      SortOrder(rightTiebreak, Ascending)))
+      SortOrder(rightTiebreak, Ascending,
+        org.apache.spark.sql.catalyst.expressions.NullsLast, Seq.empty)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
@@ -92,7 +96,11 @@ case class AsOfJoinExec(
                   rHead = null
                 } else if (c == 0 && timeOrd.lteq(rt, lt)) {
                   lastMatch = rHead.copy()
-                  lastMatchKey = rk
+                  // re-evaluate the key from the COPIED row: for buffer-backed
+                  // types (UTF8String/Binary/Decimal) `rk` points into the
+                  // iterator's reused buffer and would be silently rewritten
+                  // by the next rIter.next()
+                  lastMatchKey = rKey.eval(lastMatch)
                   rHead = null
                 } else {
                   advance = false

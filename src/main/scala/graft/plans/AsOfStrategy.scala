@@ -58,9 +58,15 @@ object AsOfJoinCustom {
     def attr(plan: LogicalPlan, name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw graft.types.AttributeMissing(name))
-    val plan = AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, s"__r_$rightKey"),
-      attr(lPlan, leftTime), attr(rPlan, s"__r_$rightTime"),
+    // bind-time type checks (the engine's GraftError contract): the merge
+    // compares keys/times with orderings built from the LEFT types
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, s"__r_$rightKey"))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, s"__r_$rightTime"))
+    if (lk.dataType != rk.dataType)
+      throw graft.types.AttributeTypeMismatch(rightKey, lk.dataType, rk.dataType)
+    if (lt.dataType != rt.dataType)
+      throw graft.types.AttributeTypeMismatch(rightTime, lt.dataType, rt.dataType)
+    val plan = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt,
       rightValues.map(v => attr(rPlan, s"__r_$v")), attr(rPlan, s"__r_$rightTiebreak"))
     val out = org.apache.spark.sql.graftbridge.ofRows(spark, plan)
     // restore public names: asof___r_<v> → asof_<v>

@@ -284,11 +284,11 @@ object NorthStarQueries {
           .orderBy(col("media_id").asc)
       },
       Some("""SELECT doc_id AS media_id,
-             |       CAST(length(text) AS BIGINT) AS n_bytes,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |       md5(text) AS content_hash,
              |       CAST(64 + CAST(('0x'||substr(md5(text),1,7)) AS BIGINT) % 1856 AS INT) AS width,
              |       CAST(64 + CAST(('0x'||substr(md5(text),8,7)) AS BIGINT) % 1856 AS INT) AS height,
-             |       CAST(length(text) // 64 + 1 AS INT) AS n_frames
+             |       CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS n_frames
              |FROM documents ORDER BY media_id ASC""".stripMargin),
       "multimodal: binary payload + typed metadata via mapPartitions codec stub"),
 
@@ -308,8 +308,8 @@ object NorthStarQueries {
           .orderBy(col("media_id").asc, col("frame_idx").asc)
       },
       Some("""SELECT doc_id AS media_id,
-             |       CAST(length(text) // 64 + 1 AS INT) AS n_frames,
-             |       CAST(unnest(range(0, length(text) // 64 + 1, 4)) AS INT) AS frame_idx
+             |       CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS n_frames,
+             |       CAST(unnest(range(0, octet_length(encode(text)) // 64 + 1, 4)) AS INT) AS frame_idx
              |FROM documents ORDER BY media_id ASC, frame_idx ASC""".stripMargin),
       "multimodal: deterministic frame sampling fan-out"),
 

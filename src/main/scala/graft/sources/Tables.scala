@@ -92,6 +92,11 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val expected = graftSchemas.getOrElse(table, throw AttributeMissing(s"table $table"))
     // events.ts is TIMESTAMP(NANOS), which Spark's parquet reader rejects;
+    // NOTE: nanosAsLong is a session-wide conf with no per-read form — after
+    // this loader runs, other TIMESTAMP(NANOS) parquet in the same session
+    // also surfaces as LongType nanos instead of erroring (documented,
+    // deliberate: the alternative set/restore dance races with lazy plan
+    // execution).
     // read it as raw nanos (legacy long mode) and truncate to microsecond NTZ
     // — the same ns→µs truncation DuckDB applies, so both engines see
     // identical values. `DIV` keeps the arithmetic in 64-bit integers

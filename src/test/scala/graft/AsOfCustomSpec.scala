@@ -65,6 +65,48 @@ class AsOfCustomSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("custom as-of with STRING keys: buffer-backed key survives iterator reuse") {
+    import spark.implicits._
+    // many interleaved string keys in one partition exercise the
+    // lastMatchKey-must-be-copied path
+    val left = (0 until 200).map(i => (s"k${i % 5}", 100L + i, i)).toDF("k", "t", "lid")
+    val right = (0 until 50).map(i => (s"k${i % 5}", 90L + i, i.toDouble, i.toLong))
+      .toDF("k", "t", "v", "rid")
+    val viaCustom = AsOfJoinCustom.backward(left, right, "k", "k", "t", "t", Seq("v"), "rid")
+      .select(col("lid"), col("asof_v")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    val viaWindow = graft.ops.AsOfJoin.backward(left, right, "k", "k", "t", "t", Seq("v"), "rid")
+      .select(col("lid"), col("asof_v")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(viaCustom.size == 200)
+    (0 until 200).foreach { i =>
+      val (a, b) = (viaCustom(i), viaWindow(i))
+      assert(a == b || (a.isNaN && b.isNaN), s"lid=$i custom=$a window=$b")
+    }
+  }
+
+  test("custom as-of rejects mismatched key/time types at bind time") {
+    import spark.implicits._
+    val left = Seq((1, 100L)).toDF("k", "t") // int key
+    val right = Seq((1L, 90L, 1.0, 1L)).toDF("k", "t", "v", "rid") // long key
+    intercept[graft.types.AttributeTypeMismatch] {
+      AsOfJoinCustom.backward(left, right, "k", "k", "t", "t", Seq("v"), "rid")
+    }
+  }
+
+  test("null tiebreak rule agrees between window and custom implementations") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1")).toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 20.0, Some(2L)), (1L, 100L, 99.0, Option.empty[Long]))
+      .toDF("k", "t", "v", "rid")
+    val w = graft.ops.AsOfJoin.backward(left, right, "k", "k", "t", "t", Seq("v"), "rid")
+      .select(col("asof_v")).collect().head.getDouble(0)
+    val c = AsOfJoinCustom.backward(left, right, "k", "k", "t", "t", Seq("v"), "rid")
+      .select(col("asof_v")).collect().head.getDouble(0)
+    assert(w == c, s"window=$w custom=$c")
+    assert(w == 99.0) // null tiebreak sorts last → wins, both implementations
+  }
+
   test("custom as-of plans as AsOfJoinExec with co-partitioned sorted children") {
     import spark.implicits._
     val left = Seq((1L, 100L)).toDF("k", "t")

@@ -59,4 +59,16 @@ class PlanShapeSpec extends SparkTestBase {
       .agg(count(lit(1)), sum(col("row_id"))).collect().head
     assert(plain == salted)
   }
+
+  test("salted join rejects dim-preserving join types (they would duplicate dim rows)") {
+    import spark.implicits._
+    val fact = Seq((1L, 1L)).toDF("k", "row_id")
+    val dim = Seq((1L, "x")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(fact, dim, "k", "row_id", salts = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(fact, dim, "k", "row_id", salts = 4, joinType = "full")
+    }
+  }
 }
