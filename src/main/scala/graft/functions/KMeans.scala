@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.expressions.CosineSimilarity
+
+/** Lloyd's k-means over an embedding column, expressed purely relationally
+  * (no MLlib dependency, no driver-side vectors beyond the k centroids):
+  * each iteration is assign (broadcast the k centroids, pick argmax cosine
+  * inside codegen) + recompute (the mergeable VectorCentroid aggregate) —
+  * i.e. one broadcast + one partial-aggregated shuffle of k rows per
+  * iteration, independent of corpus size. This turns [[Similarity.ivfTopK]]
+  * into a true learned-quantizer IVF instead of relying on a label column.
+  *
+  * Determinism: initial centroids are the k lowest-id vectors (no RNG), and
+  * the argmax tie-break is the lowest cluster id — iterations are exactly
+  * reproducible.
+  */
+object KMeans {
+
+  /** Returns (assignments df: idCol, cluster; centroids df: cluster,
+    * centroid array<float>).
+    */
+  def fit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dims: Int,
+      iterations: Int): (DataFrame, DataFrame) = {
+    var centroids = df.orderBy(col(idCol).asc).limit(k)
+      .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col(idCol).asc)) - 1)
+          .as("cluster"),
+        col(vecCol).as("centroid"))
+      .cache()
+
+    var assigned: DataFrame = null
+    for (_ <- 0 until iterations) {
+      assigned = assign(df, idCol, vecCol, centroids)
+      val next = assigned
+        .join(df.select(col(idCol), col(vecCol)), idCol)
+        .groupBy(col("cluster"))
+        .agg(Aggregators.vectorCentroid(col(vecCol), dims).as("c"))
+        .select(col("cluster"), col("c").cast("array<float>").as("centroid"))
+        .cache()
+      next.count() // materialize before unpersisting the previous generation
+      centroids.unpersist()
+      centroids = next
+    }
+    (assign(df, idCol, vecCol, centroids), centroids)
+  }
+
+  /** Nearest-centroid assignment: broadcast join + per-row argmax. */
+  def assign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("cluster").asc)
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col("cluster"),
+        CosineSimilarity(col(vecCol), col("centroid")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cluster"))
+  }
+}

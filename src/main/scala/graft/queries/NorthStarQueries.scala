@@ -362,5 +362,25 @@ object NorthStarQueries {
              |      FROM (SELECT string_split(text, ' ') AS ws FROM documents))
              |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 25""".stripMargin),
       "corpus bigram counts (with duplicates), top-k"),
+
+    // ------------------------------------------------------------------
+    // q68: IVF over a LEARNED quantizer — deterministic relational k-means
+    // (lowest-id init, cosine argmax, mergeable centroid aggregate) trains
+    // the cells, then probed-cell exact search. Fully deterministic but the
+    // trainer is not SQL-expressible → rows-only gate; exactness of returned
+    // sims and determinism asserted in KMeansSpec.
+    GQuery(
+      "q68_ivf_kmeans",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val (assigned, _) = graft.functions.KMeans.fit(
+          emb, "vec_id", "embedding", k = 8, dims = 64, iterations = 3)
+        val cells = emb.join(assigned, "vec_id")
+        graft.functions.Similarity.ivfTopK(cells, cells.filter(col("vec_id") < 10),
+            "vec_id", "embedding", "cluster", dims = 64, k = 5, nprobe = 3)
+          .orderBy(col("query_id").asc, col("rank").asc)
+      },
+      None,
+      "IVF ANN over k-means-learned cells (relational Lloyd's iterations)"),
   )
 }

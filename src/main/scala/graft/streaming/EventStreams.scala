@@ -94,6 +94,46 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each purchase is enriched with clicks of
+    * the same user in the preceding `windowSeconds`. Both sides carry
+    * watermarks and the join condition bounds event time on BOTH ends, so
+    * the state store can evict rows once the watermark passes — the
+    * canonical bounded-state stream-stream join shape.
+    */
+  def purchaseClickJoin(events: DataFrame, windowSeconds: Long, watermarkDelay: String): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"), col("value").as("c_value"))
+      .withWatermark("c_ts", watermarkDelay)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
+  /** foreachBatch sink: the escape hatch for arbitrary batch-writer logic
+    * per micro-batch (upserts, multi-sink fanout). Here each batch appends
+    * to a parquet dir with its batch id — exactly-once via the checkpoint's
+    * batch-id replay contract.
+    */
+  def runForeachBatch(df: DataFrame, outDir: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming query over a bounded directory to completion using the
     * memory sink; returns the materialized result. Test/driver utility —
     * production sinks are writeStream.parquet/kafka with checkpoints.

@@ -66,6 +66,40 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    val joined = EventStreams.purchaseClickJoin(stream, windowSeconds = 600,
+      watermarkDelay = "1 hour")
+    val got = EventStreams.runToMemory(joined, "t_ssj", "append")
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = graft.sources.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val want = p.join(c, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 600 SECONDS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bounded input: watermark closes all but the trailing region
+    assert(got.nonEmpty && got.subsetOf(want))
+    assert(got.size >= want.size / 2)
+  }
+
+  test("foreachBatch sink writes each micro-batch exactly once") {
+    val out = java.nio.file.Files.createTempDirectory("fb_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("fb_ckpt")
+    val stream = EventStreams.readEvents(spark, eventsDir)
+      .select(col("event_id"), col("user_id"))
+    EventStreams.runForeachBatch(stream, out.toString, ckpt.toString)
+    val written = spark.read.parquet(out.toString)
+    assert(written.count() == graft.sources.Tables.events(spark, sf).count())
+    assert(written.groupBy(col("event_id")).count().filter(col("count") > 1).count() == 0)
+  }
+
   test("checkpoint recovery: restart processes only new files, no dup/loss") {
     import org.apache.spark.sql.streaming.Trigger
     val src = java.nio.file.Files.createTempDirectory("events_ckpt_src")
