@@ -32,15 +32,7 @@ object ExtraQueries {
             col("asof_value"), col("asof_time"))
           .orderBy(col("event_id").asc)
       },
-      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-             |c AS (SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'),
-             |j AS (SELECT p.event_id pe, c.value cv, c.ts cts,
-             |             ROW_NUMBER() OVER (PARTITION BY p.event_id
-             |                                ORDER BY c.ts DESC, c.event_id DESC) rn
-             |      FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
-             |SELECT p.event_id, p.user_id, p.ts, j.cv AS asof_value, j.cts AS asof_time
-             |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.pe = p.event_id
-             |ORDER BY p.event_id ASC""".stripMargin),
+      Some(asofEventsOracleSql),
       "as-of join via custom LogicalPlan+Strategy+sort-merge exec"),
 
     // ------------------------------------------------------------------
@@ -51,7 +43,7 @@ object ExtraQueries {
     GQuery(
       "q48_csv_roundtrip",
       (s, d) => {
-        val tmp = s"/tmp/graft_csv_${d.replaceAll("[^0-9.]", "")}"
+        val tmp = s"/tmp/graft_csv_${d.replaceAll("[^0-9.]", "")}_${ProcessHandle.current.pid}"
         val src = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             col("l_returnflag"))
@@ -72,7 +64,7 @@ object ExtraQueries {
     GQuery(
       "q49_json_roundtrip",
       (s, d) => {
-        val tmp = s"/tmp/graft_json_${d.replaceAll("[^0-9.]", "")}"
+        val tmp = s"/tmp/graft_json_${d.replaceAll("[^0-9.]", "")}_${ProcessHandle.current.pid}"
         val src = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
         src.write.mode("overwrite").json(tmp)
@@ -259,7 +251,7 @@ object ExtraQueries {
     GQuery(
       "q58_orc_roundtrip",
       (s, d) => {
-        val tmp = s"/tmp/graft_orc_${d.replaceAll("[^0-9.]", "")}"
+        val tmp = s"/tmp/graft_orc_${d.replaceAll("[^0-9.]", "")}_${ProcessHandle.current.pid}"
         Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
         s.read.schema("s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
           .orc(tmp)
@@ -281,7 +273,7 @@ object ExtraQueries {
     GQuery(
       "q59_partitioned_parquet",
       (s, d) => {
-        val tmp = s"/tmp/graft_part_${d.replaceAll("[^0-9.]", "")}"
+        val tmp = s"/tmp/graft_part_${d.replaceAll("[^0-9.]", "")}_${ProcessHandle.current.pid}"
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
           .write.mode("overwrite")

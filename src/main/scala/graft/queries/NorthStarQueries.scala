@@ -60,10 +60,14 @@ object NorthStarQueries {
 
     // ------------------------------------------------------------------
     // q36: MinHash + banded LSH near-dup pairs, exact-Jaccard-verified.
-    // The oracle computes exact all-pairs Jaccard ≥ 0.5: with b=16,r=4 the
-    // miss probability at the fixtures' j≥0.9 near-dups is ≤ 3.5e-6 per
-    // pair, and verification removes all false positives, so LSH output ==
-    // exact output on this corpus (checked at sf0.01, the driver's gate SF).
+    // The oracle computes exact all-pairs Jaccard ≥ 0.5. Measured corpus
+    // margin (not just theory): pairs are bimodal — near-dups at j≥0.8
+    // (the lowest real pair, j=0.800 at sf0.1, collides in 7 of 16 bands;
+    // per-pair miss probability at j=0.8 is ~2.2e-4 with b=16,r=4) and
+    // background at j<0.07. Verification removes all false positives, and
+    // the equality LSH==exact was CHECKED at both sf0.01 and sf0.1 on the
+    // fixed seed-42 corpus; a regenerated corpus with mid-band pairs
+    // (j≈0.5-0.7) would need more bands to keep the equality gate.
     GQuery(
       "q36_dedup_minhash",
       (s, d) => {
@@ -75,7 +79,8 @@ object NorthStarQueries {
              |  SELECT doc_id,
              |         list_distinct(list_transform(range(1, len(ws)-1),
              |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sset
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+             |  WHERE len(ws) >= 3)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |       CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
              |       len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
@@ -115,8 +120,11 @@ object NorthStarQueries {
       "q38_ngram_jaccard",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // docs with <3 tokens have empty shingle sets → 0/0 jaccard; drop
+        // them on both engines (oracle filters len(ws) >= 3)
         val sh = docs.select(col("source"), col("lang"), col("doc_id"),
           TF.wordShingles(col("text"), 3).as("sset"))
+          .filter(size(col("sset")) > 0)
         val a = sh.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("sset").as("sa"))
         val b = sh.select(col("source"), col("lang"), col("doc_id").as("id_b"), col("sset").as("sb"))
         a.join(b, Seq("source", "lang"))
@@ -128,7 +136,8 @@ object NorthStarQueries {
              |  SELECT source, lang, doc_id,
              |         list_distinct(list_transform(range(1, len(ws)-1),
              |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sset
-             |  FROM (SELECT source, lang, doc_id, string_split(text, ' ') AS ws FROM documents))
+             |  FROM (SELECT source, lang, doc_id, string_split(text, ' ') AS ws FROM documents)
+             |  WHERE len(ws) >= 3)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |       CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
              |       len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard

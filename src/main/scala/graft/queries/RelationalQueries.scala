@@ -386,15 +386,7 @@ object RelationalQueries {
             col("asof_value"), col("asof_time"))
           .orderBy(col("event_id").asc)
       },
-      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-             |c AS (SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'),
-             |j AS (SELECT p.event_id pe, c.value cv, c.ts cts,
-             |             ROW_NUMBER() OVER (PARTITION BY p.event_id
-             |                                ORDER BY c.ts DESC, c.event_id DESC) rn
-             |      FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
-             |SELECT p.event_id, p.user_id, p.ts, j.cv AS asof_value, j.cts AS asof_time
-             |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.pe = p.event_id
-             |ORDER BY p.event_id ASC""".stripMargin),
+      Some(asofEventsOracleSql),
       "as-of join via union+window (single shuffle, no explosion)"),
 
     // ------------------------------------------------------------------
