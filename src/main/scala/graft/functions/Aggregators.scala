@@ -23,8 +23,11 @@ object Aggregators {
       extends Aggregator[Seq[Float], CentroidBuf, Seq[Double]] {
     override def zero: CentroidBuf = CentroidBuf(Array.fill(dims)(0.0), 0L)
     override def reduce(b: CentroidBuf, v: Seq[Float]): CentroidBuf = {
+      // null or wrong-arity vectors are skipped entirely (counting them
+      // would silently drag missing dimensions toward 0)
+      if (v == null || v.length != dims) return b
       var i = 0
-      while (i < dims && i < v.length) { b.sums(i) += v(i); i += 1 }
+      while (i < dims) { b.sums(i) += v(i); i += 1 }
       CentroidBuf(b.sums, b.n + 1)
     }
     override def merge(x: CentroidBuf, y: CentroidBuf): CentroidBuf = {

@@ -35,14 +35,18 @@ object KMeans {
         col(vecCol).as("centroid"))
       .cache()
 
-    var assigned: DataFrame = null
     for (_ <- 0 until iterations) {
-      assigned = assign(df, idCol, vecCol, centroids)
-      val next = assigned
-        .join(df.select(col(idCol), col(vecCol)), idCol)
+      // carry the vector THROUGH assignment: re-joining the corpus by id to
+      // recover it would add an extra N-row shuffle join per iteration
+      val recomputed = assignInternal(df, idCol, vecCol, centroids, keepVec = true)
         .groupBy(col("cluster"))
         .agg(Aggregators.vectorCentroid(col(vecCol), dims).as("c"))
         .select(col("cluster"), col("c").cast("array<float>").as("centroid"))
+      // clusters that captured no rows keep their previous centroid —
+      // otherwise k silently shrinks across iterations
+      val next = centroids.select(col("cluster"), col("centroid").as("_prev"))
+        .join(recomputed.withColumnRenamed("centroid", "_new"), Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("_new"), col("_prev")).as("centroid"))
         .cache()
       next.count() // materialize before unpersisting the previous generation
       centroids.unpersist()
@@ -52,16 +56,22 @@ object KMeans {
   }
 
   /** Nearest-centroid assignment: broadcast join + per-row argmax. */
-  def assign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+  def assign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+    assignInternal(df, idCol, vecCol, centroids, keepVec = false)
+
+  private def assignInternal(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, keepVec: Boolean): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("sim").desc, col("cluster").asc)
-    df.select(col(idCol), col(vecCol))
+    val out = df.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
-      .select(col(idCol), col("cluster"),
+      .select(col(idCol), col(vecCol), col("cluster"),
         CosineSimilarity(col(vecCol), col("centroid")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col(idCol), col("cluster"))
+    if (keepVec) out.select(col(idCol), col(vecCol), col("cluster"))
+    else out.select(col(idCol), col("cluster"))
   }
 }

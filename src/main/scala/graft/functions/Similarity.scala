@@ -22,6 +22,31 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
 
+  /** Per-query top-k without a per-query straggler: a naive
+    * Window.partitionBy(query_id) funnels ALL corpus similarities for one
+    * query into one task. Instead prune to a local top-k per (query, input
+    * partition) first — Q×P groups spread across the cluster — then take
+    * the global top-k over the surviving Q×P×k rows. Any local superset of
+    * the global top-k preserves the result exactly, so output is unchanged.
+    * Input: (query_id, neighbor_id, sim). Output adds rank.
+    */
+  private[functions] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    // spark_partition_id is nondeterministic → materialize it as a column
+    // first (allowed in Project), then window over plain columns
+    val local = Window
+      .partitionBy(col("query_id"), col("_pid"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(local))
+      .filter(col("_lrn") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Exact top-k neighbors for each query vector (self-pairs excluded).
     * Output: (query_id, rank, neighbor_id, sim).
     */
@@ -30,14 +55,11 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    c.crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("cvec")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    topKPerQuery(
+      c.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("cvec")).as("sim")),
+      k)
   }
 
   val DefaultPlanes = 12
@@ -72,14 +94,11 @@ object Similarity {
       hyperplaneSignature(col(vecCol), dims, planes).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       hyperplaneSignature(col(vecCol), dims, planes).as("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("cvec")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    topKPerQuery(
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("cvec")).as("sim")),
+      k)
   }
 
   /** IVF (inverted-file) approximate search (coarse quantization as in
@@ -115,14 +134,11 @@ object Similarity {
       .select(col("query_id"), col("qvec"), col("cell"))
     val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"),
       col(vecCol).as("cvec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    c.join(broadcast(probed), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("cvec")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    topKPerQuery(
+      c.join(broadcast(probed), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("cvec")).as("sim")),
+      k)
   }
 
   /** Exact near-duplicate pairs by cosine threshold within blocking keys —

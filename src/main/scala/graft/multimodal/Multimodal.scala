@@ -59,8 +59,9 @@ object Multimodal {
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codecs would init native contexts here, once per partition
-      rows.map { r =>
+      // real codecs would init native contexts here, once per partition;
+      // null payloads (nullable binary columns) are skipped, not decoded
+      rows.filter(_.payload != null).map { r =>
         val (hex, w, h, frames) = FakeCodec.decode(r.payload)
         MediaMeta(r.media_id, r.payload.length.toLong, hex, w, h, frames)
       }
@@ -72,6 +73,10 @@ object Multimodal {
     * to fan one row out to frame rows before a decode step.
     */
   def sampleFrames(meta: DataFrame, stride: Int): DataFrame =
-    meta.select(col("media_id"), col("n_frames"),
+    meta
+      // a real codec reports 0 frames for corrupt/empty media; emit no frame
+      // rows rather than letting sequence(0, -1) abort the whole job
+      .filter(col("n_frames") > 0)
+      .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 }

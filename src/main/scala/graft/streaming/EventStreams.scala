@@ -116,9 +116,11 @@ object EventStreams {
   }
 
   /** foreachBatch sink: the escape hatch for arbitrary batch-writer logic
-    * per micro-batch (upserts, multi-sink fanout). Here each batch appends
-    * to a parquet dir with its batch id — exactly-once via the checkpoint's
-    * batch-id replay contract.
+    * per micro-batch (upserts, multi-sink fanout). foreachBatch itself is
+    * AT-LEAST-ONCE (a batch can replay after a failure between the data
+    * write and the checkpoint commit), so the writer must be idempotent:
+    * each batch dynamically OVERWRITES its own batch_id partition — a
+    * replayed batch rewrites the same partition instead of appending dups.
     */
   def runForeachBatch(df: DataFrame, outDir: String, checkpoint: String): Unit = {
     val q = df.writeStream
@@ -126,7 +128,10 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -122,6 +122,26 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(1) - 1.0) < 1e-15)
   }
 
+  test("cosine: zero vectors and null elements yield null, never NaN") {
+    import spark.implicits._
+    val zero = Array(0.0f, 0.0f)
+    val unit = Array(1.0f, 0.0f)
+    val withNull = Seq(Seq[java.lang.Float](1.0f, null)).toDF("a")
+      .select(col("a").cast("array<float>").as("a"))
+    val df = Seq((zero, unit)).toDF("z", "u")
+      .select(Similarity.cosine(col("z"), col("u")).as("zu"),
+        Similarity.cosine(col("z"), col("z")).as("zz"))
+    val r = df.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1)) // NaN would hijack every ORDER BY sim DESC
+    val rn = withNull.select(Similarity.cosine(col("a"), col("a"))).collect().head
+    assert(rn.isNullAt(0))
+    // and a zero vector in a corpus never becomes anyone's top neighbor
+    val corpus = Seq((0L, zero), (1L, unit), (2L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 1), "vec_id", "embedding", 1)
+      .collect().head
+    assert(top.getLong(2) == 2L)
+  }
+
   test("cosine expression rejects non-float-array inputs at analysis time") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0), Array(1.0f))).toDF("d", "f")
