@@ -121,10 +121,13 @@ object NorthStarQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         // docs with <3 tokens have empty shingle sets → 0/0 jaccard; drop
-        // them on both engines (oracle filters len(ws) >= 3)
-        val sh = docs.select(col("source"), col("lang"), col("doc_id"),
-          TF.wordShingles(col("text"), 3).as("sset"))
-          .filter(size(col("sset")) > 0)
+        // them on both engines (oracle filters len(ws) >= 3). Filter on the
+        // cheap token count BEFORE projecting shingles — a filter on the
+        // shingle column itself would recompute the shingling per row.
+        val sh = docs
+          .filter(size(TF.tokens(col("text"))) >= 3)
+          .select(col("source"), col("lang"), col("doc_id"),
+            TF.wordShingles(col("text"), 3).as("sset"))
         val a = sh.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("sset").as("sa"))
         val b = sh.select(col("source"), col("lang"), col("doc_id").as("id_b"), col("sset").as("sb"))
         a.join(b, Seq("source", "lang"))
