@@ -433,5 +433,23 @@ object ExtraQueries {
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY total DESC, okey ASC LIMIT 50""".stripMargin),
       "TPC-H Q18 shape: HAVING aggregate subquery + joins + top-k"),
+
+    // ------------------------------------------------------------------
+    // q69: approximate quantiles (Greenwald-Khanna sketch) — the mergeable
+    // quantile sketch next to HLL (q06); like all estimator-specific ops it
+    // is rows-only gated, with accuracy-vs-exact bounds in ScalaTest.
+    GQuery(
+      "q69_approx_quantiles",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+            percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"),
+            count(lit(1)).as("n"))
+          .orderBy(col("flag").asc)
+      },
+      None,
+      "approximate quantiles (GK sketch, mergeable)"),
   )
 }

@@ -166,6 +166,17 @@ class OpsSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet))
   }
 
+  test("approx quantiles land within rank-error bounds of exact percentiles") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val approx = li.select(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))).collect().head.getDouble(0)
+    val exactBounds = li.select(
+      expr("percentile(l_extendedprice, 0.45)"),
+      expr("percentile(l_extendedprice, 0.55)")).collect().head
+    assert(approx >= exactBounds.getDouble(0) && approx <= exactBounds.getDouble(1),
+      s"p50 approx $approx outside [${exactBounds.getDouble(0)}, ${exactBounds.getDouble(1)}]")
+  }
+
   test("approx_count_distinct within configured error of exact") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_orderkey"))).collect().head.getLong(0)
