@@ -260,8 +260,9 @@ object ExtraQueries {
             sum(col("s_acctbal").cast(DecimalType(18, 2))).as("sum_bal"))
           .orderBy(col("nk").asc)
       },
+      // Spark sum(DECIMAL(18,2)) -> DECIMAL(28,2); DuckDB -> DECIMAL(38,2).
       Some("""SELECT s_nationkey AS nk, COUNT(*) AS n,
-             |       SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS sum_bal
+             |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal
              |FROM supplier GROUP BY 1 ORDER BY nk ASC""".stripMargin),
       "ORC sink + source round-trip"),
 
@@ -343,9 +344,11 @@ object ExtraQueries {
             col("v").isNotNull.as("observed"))
           .orderBy(col("user_id").asc, col("bucket").asc)
       },
+      // hourly v cast to DECIMAL(28,6) = Spark's sum-of-(18,6) output type,
+      // so LAST_VALUE carries the same physical type through v_ffill.
       Some("""WITH hourly AS (
              |  SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
-             |         SUM(CAST(value AS DECIMAL(18,6))) AS v
+             |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS v
              |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
              |bounds AS (SELECT min(bucket) lo, max(bucket) hi FROM hourly),
              |grid AS (

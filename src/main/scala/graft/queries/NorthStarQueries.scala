@@ -172,7 +172,7 @@ object NorthStarQueries {
              |                                     e.vec_id ASC) AS rank
              |  FROM embeddings e CROSS JOIN q
              |  WHERE e.vec_id <> q.query_id)
-             |SELECT query_id, rank, neighbor_id, sim FROM sims
+             |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim FROM sims
              |WHERE rank <= 5 ORDER BY query_id ASC, rank ASC""".stripMargin),
       "exact cosine top-5 per query vector (custom codegen expression)"),
 

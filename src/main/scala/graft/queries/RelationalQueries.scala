@@ -113,9 +113,10 @@ object RelationalQueries {
             max(col("l_shipdate")).as("max_ship"))
           .orderBy(col("flag").asc, col("status").asc)
       },
+      // sum_price cast to Spark's sum-of-(18,2) output type DECIMAL(28,2).
       Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
              |       SUM(l_quantity) AS sum_qty,
-             |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
              |       COUNT(*) AS n,
              |       SUM(l_quantity) / COUNT(*) AS avg_qty,
              |       MIN(l_shipdate) AS min_ship,
@@ -241,9 +242,11 @@ object RelationalQueries {
           .agg(sum(revenue).as("revenue"), count(lit(1)).as("n_items"))
           .orderBy(col("nation").asc)
       },
+      // Spark sums DECIMAL(24,4) products as DECIMAL(34,4); DuckDB SUM yields
+      // DECIMAL(38,4) — cast down (lossless, values fit) to match physically.
       Some("""SELECT n_name AS nation,
-             |       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(34,4)) AS revenue,
              |       COUNT(*) AS n_items
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
@@ -265,8 +268,9 @@ object RelationalQueries {
             coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(DecimalType(18, 2))).as("total"))
           .orderBy(col("custkey").asc)
       },
+      // Spark sum(DECIMAL(18,2)) -> DECIMAL(28,2); DuckDB -> DECIMAL(38,2).
       Some("""SELECT c_custkey AS custkey, COUNT(o_orderkey) AS n_orders,
-             |       COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS total
+             |       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1 ORDER BY custkey ASC""".stripMargin),
       "left outer join + null-aware aggregation"),
@@ -410,14 +414,15 @@ object RelationalQueries {
             ntile(4).over(wUnique).as("quartile"))
           .orderBy(col("flag").asc, col("rn").asc)
       },
+      // Spark ranking windows return int32; DuckDB returns int64 — cast.
       Some("""SELECT l_returnflag AS flag, l_orderkey AS okey, l_linenumber AS line_no,
              |       l_quantity AS qty,
-             |       ROW_NUMBER() OVER (PARTITION BY l_returnflag
-             |         ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC) AS rn,
-             |       RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rk,
-             |       DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drk,
-             |       NTILE(4) OVER (PARTITION BY l_returnflag
-             |         ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC) AS quartile
+             |       CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |         ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC) AS INTEGER) AS rn,
+             |       CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS INTEGER) AS rk,
+             |       CAST(DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS INTEGER) AS drk,
+             |       CAST(NTILE(4) OVER (PARTITION BY l_returnflag
+             |         ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC) AS INTEGER) AS quartile
              |FROM lineitem WHERE l_quantity >= 45
              |ORDER BY flag ASC, rn ASC""".stripMargin),
       "ranking windows: row_number/rank/dense_rank/ntile"),

@@ -32,7 +32,7 @@ object ScalarQueries {
              |       UPPER(c_name) AS uname, LOWER(c_mktsegment) AS lseg,
              |       SUBSTRING(c_name, 1, 8) AS name8,
              |       CONCAT_WS('-', c_mktsegment, c_name) AS seg_name,
-             |       LENGTH(c_name) AS name_len,
+             |       CAST(LENGTH(c_name) AS INTEGER) AS name_len,
              |       REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
              |       LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
              |       TRIM('  x  ') AS trimmed
@@ -83,15 +83,19 @@ object ScalarQueries {
             least(col("p_size"), lit(25)).as("lmin"))
           .orderBy(col("pk").asc)
       },
+      // Output-type alignment (driver hash is physical-type-strict):
+      // Spark floor/ceil(double) -> BIGINT while DuckDB returns DOUBLE, and
+      // DuckDB GREATEST/LEAST(int32,int32) widens to int64 while Spark stays
+      // int32 — cast the oracle to Spark's output types (values identical).
       Some("""SELECT p_partkey AS pk,
              |       ABS(p_retailprice - 1000.0) AS abs_delta,
-             |       FLOOR(p_retailprice) AS fl,
-             |       CEIL(p_retailprice) AS ce,
+             |       CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
+             |       CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
              |       SQRT(p_retailprice) AS sq,
              |       POW(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
              |       p_partkey % 7 AS pk_mod7,
-             |       GREATEST(p_size, 25) AS gmax,
-             |       LEAST(p_size, 25) AS lmin
+             |       CAST(GREATEST(p_size, 25) AS INTEGER) AS gmax,
+             |       CAST(LEAST(p_size, 25) AS INTEGER) AS lmin
              |FROM part ORDER BY pk ASC""".stripMargin),
       "math functions: abs/floor/ceil/sqrt/pow/mod/greatest/least"),
 

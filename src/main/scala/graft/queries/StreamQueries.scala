@@ -31,9 +31,11 @@ object StreamQueries {
             col("event_type"), col("n"), col("sum_value"))
           .orderBy(col("bucket_start").asc, col("event_type").asc)
       },
+      // Spark sum(DECIMAL(18,6)) -> DECIMAL(28,6); DuckDB -> DECIMAL(38,6):
+      // cast down losslessly so the driver's type-strict hash matches.
       Some("""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_start,
              |       event_type, COUNT(*) AS n,
-             |       SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+             |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
              |FROM events GROUP BY 1, 2
              |ORDER BY bucket_start ASC, event_type ASC""".stripMargin),
       "tumbling event-time window (10 min), batch/stream parity"),
@@ -56,7 +58,7 @@ object StreamQueries {
              |  UNION ALL
              |  SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT) AS bucket_start, value FROM events)
              |SELECT bucket_start, COUNT(*) AS n,
-             |       SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+             |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
              |FROM b GROUP BY 1 ORDER BY bucket_start ASC""".stripMargin),
       "sliding event-time window (10 min / 5 min slide)"),
 
@@ -88,7 +90,7 @@ object StreamQueries {
              |  FROM g)
              |SELECT user_id,
              |       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
-             |       COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+             |       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id ASC, session_start ASC""".stripMargin),
       "session windows (30 min gap) vs gaps-and-islands oracle"),

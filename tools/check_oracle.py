@@ -3,31 +3,61 @@
 run each oracle SQL in DuckDB against the fixture parquet, load the
 Spark-written result parquet, sort columns by name, and compare.
 
+Strictness contract (round-2 hardening, VERDICT.md r1 item 3): the driver's
+hash compare is *physical-type* strict — 900 (int64) != 900.0 (double) and
+DECIMAL(28,2) != DECIMAL(38,2) even when every value is numerically equal.
+This gate therefore:
+  1. compares the arrow schema types column-by-column (both sides are read
+     through DuckDB -> arrow, so representations are uniform);
+  2. compares values as (type-tag, canonical-form) pairs, never bare Python
+     values (Python == coerces across int/float/bool/Decimal);
+  3. allows the multiset (order-insensitive) fallback ONLY for oracle SQL
+     without a top-level ORDER BY — an ordered query whose ordering drifts
+     is a FAIL, not a WARN.
+
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
-import sys, os, json, math
+import sys, os, json, math, re
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def canon(v):
+    """Type-tagged canonical form: equal only when type class AND value agree."""
+    import decimal, datetime
     if v is None:
         return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    # decimals, timestamps, bytes → stable string forms
-    import decimal, datetime
+        return ("float", "NaN" if math.isnan(v) else repr(v))
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize()) if v == v.to_integral_value() else str(v)
+        return ("dec", str(v))  # str keeps scale: 900.00 stays distinct from 900.0
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return str(v)
+        return ("ts", str(v))
     if isinstance(v, (bytes, bytearray)):
-        return v.hex()
+        return ("bytes", v.hex())
     if isinstance(v, list):
-        return tuple(canon(x) for x in v)
-    return v
+        return ("list", tuple(canon(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, canon(x)) for k, x in v.items())))
+    return ("str", v) if isinstance(v, str) else (type(v).__name__, str(v))
+
+def has_toplevel_order_by(sql):
+    """True if ORDER BY appears at paren depth 0 (outside subqueries/OVER())."""
+    depth = 0
+    s = sql.lower()
+    for m in re.finditer(r"[()]|order\s+by", s):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -55,6 +85,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ oracle={wcols} spark={gcols}")
             n_fail += 1
             continue
+        # physical (arrow) type check per column — the driver hash is type-strict
+        wtypes = {f.name: str(f.type) for f in want.schema}
+        gtypes = {f.name: str(f.type) for f in got.schema}
+        type_diffs = [(c, wtypes[c], gtypes[c]) for c in wcols if wtypes[c] != gtypes[c]]
+        if type_diffs:
+            print(f"FAIL {name}: arrow types differ:")
+            for c, wt, gt in type_diffs:
+                print(f"  {c}: oracle={wt} spark={gt}")
+            n_fail += 1
+            continue
         wrows = [tuple(canon(r[c]) for c in wcols) for r in want.to_pylist()]
         grows = [tuple(canon(r[c]) for c in gcols) for r in got.to_pylist()]
         if len(wrows) != len(grows):
@@ -64,12 +104,12 @@ def main(sf_dir, out_dir):
         if wrows == grows:
             print(f"PASS {name} ({len(wrows)} rows, ordered)")
             n_pass += 1
-        elif sorted(map(repr, wrows)) == sorted(map(repr, grows)):
-            print(f"WARN {name}: rows match only as a multiset (ordering differs)")
+        elif not has_toplevel_order_by(sql) and sorted(map(repr, wrows)) == sorted(map(repr, grows)):
+            print(f"WARN {name}: unordered oracle; rows match as a multiset")
             n_pass += 1
         else:
             diffs = [(i, w, g) for i, (w, g) in enumerate(zip(wrows, grows)) if w != g][:3]
-            print(f"FAIL {name}: value mismatch; first diffs:")
+            print(f"FAIL {name}: value/order mismatch; first diffs:")
             for i, w, g in diffs:
                 print(f"  row {i}:\n    oracle={w}\n    spark ={g}")
             n_fail += 1
