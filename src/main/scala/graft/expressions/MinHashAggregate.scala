@@ -35,7 +35,7 @@ case class MinHashAggregate(
   // overflow bound: update computes seedsA(j)*h with h < prime; both factors
   // must stay below 2^31 so the product fits in a Long (a 61-bit prime — the
   // other common MinHash modulus — would wrap negative and poison the minima)
-  require(prime <= (1L << 31), s"prime must be < 2^31 (got $prime)")
+  require(prime < (1L << 31), s"prime must be < 2^31 (got $prime)")
   require(seedsA.forall(a => a > 0 && a < prime) && seedsB.forall(b => b >= 0 && b < prime),
     "seeds must lie in (0, prime)")
 

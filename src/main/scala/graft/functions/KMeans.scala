@@ -28,12 +28,19 @@ object KMeans {
       k: Int,
       dims: Int,
       iterations: Int): (DataFrame, DataFrame) = {
+    // localCheckpoint (eager) on each k-row centroid generation: cache()
+    // truncates execution but NOT lineage, so the logical plan would nest
+    // one broadcast-join level per iteration and analysis/codegen cost
+    // would grow linearly with iteration count. Checkpointing keeps the
+    // plan a constant-depth scan of k rows regardless of iterations
+    // (KMeansSpec asserts this). On a real cluster prefer reliable
+    // checkpoint() for fault tolerance; local[N] has no executor loss.
     var centroids = df.orderBy(col(idCol).asc).limit(k)
       .select((row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col(idCol).asc)) - 1)
           .as("cluster"),
         col(vecCol).as("centroid"))
-      .cache()
+      .localCheckpoint()
 
     for (_ <- 0 until iterations) {
       // carry the vector THROUGH assignment: re-joining the corpus by id to
@@ -44,13 +51,10 @@ object KMeans {
         .select(col("cluster"), col("c").cast("array<float>").as("centroid"))
       // clusters that captured no rows keep their previous centroid —
       // otherwise k silently shrinks across iterations
-      val next = centroids.select(col("cluster"), col("centroid").as("_prev"))
+      centroids = centroids.select(col("cluster"), col("centroid").as("_prev"))
         .join(recomputed.withColumnRenamed("centroid", "_new"), Seq("cluster"), "left")
         .select(col("cluster"), coalesce(col("_new"), col("_prev")).as("centroid"))
-        .cache()
-      next.count() // materialize before unpersisting the previous generation
-      centroids.unpersist()
-      centroids = next
+        .localCheckpoint()
     }
     (assign(df, idCol, vecCol, centroids), centroids)
   }

@@ -86,20 +86,40 @@ object MinHash {
         .as(Seq("band_id", "band_key")))
   }
 
+  /** Default cap on docs per band bucket (see [[nearDuplicatePairs]]). */
+  val DefaultMaxBucket = 1000
+
   /** Full pipeline: docs(id, text) → verified near-dup pairs
     * (id_a < id_b, jaccard ≥ threshold).
+    *
+    * `maxBucket` bounds the quadratic hot-bucket risk: a band key shared by
+    * m docs produces m(m-1)/2 candidate pairs, so one boilerplate-heavy key
+    * (identical headers/footers dominating every shingle) can turn the
+    * bucket self-join quadratic. Band keys with more than `maxBucket`
+    * members are dropped BEFORE the self-join via a map-side-combined
+    * count (tiny: one row per hot key) broadcast back as an anti-join —
+    * no extra shuffle of the bands table, which is the shape that holds at
+    * 100 TB. Docs dropped this way are overwhelmingly exact-boilerplate
+    * duplicates, which the exact/fingerprint dedup passes already catch.
     */
   def nearDuplicatePairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spread = graft.sources.Tables.spread(docs, col(idCol))
     val sh = spread.select(col(idCol).as("doc_id"),
       TextFunctions.wordShingles(col(textCol), shingleSize).as("sset"))
     val sig = signatures(sh, "doc_id", "sset")
-    val bd = bands(sig, "doc_id", "sig")
+    val bdAll = bands(sig, "doc_id", "sig")
+
+    val hotKeys = bdAll.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > maxBucket)
+      .select(col("band_id"), col("band_key"))
+    val bd = bdAll.join(broadcast(hotKeys), Seq("band_id", "band_key"), "left_anti")
 
     val candidates = bd.as("x")
       .join(bd.as("y"),

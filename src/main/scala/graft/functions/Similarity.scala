@@ -65,14 +65,16 @@ object Similarity {
   val DefaultPlanes = 12
 
   /** Sign-bit signature: bit p = sign(v · plane_p), planes are ±1 vectors
-    * with plane_p[d] = bit0(md5("p:d")). Map-side only.
+    * with plane_p[d] = bit0(md5("t:p:d")) where t is the table seed (each
+    * LSH table draws independent planes). Map-side only.
     */
-  def hyperplaneSignature(vec: Column, dims: Int, planes: Int = DefaultPlanes): Column = {
+  def hyperplaneSignature(vec: Column, dims: Int, planes: Int = DefaultPlanes,
+      table: Int = 0): Column = {
     val sig = (0 until planes).map { p =>
       // ±1 plane as a literal array — resolved at plan time, codegen constant
       val plane = array((0 until dims).map { d =>
         val bit = (java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$p:$d".getBytes("UTF-8"))(0) & 1)
+          .digest(s"$table:$p:$d".getBytes("UTF-8"))(0) & 1)
         lit(if (bit == 1) 1.0 else -1.0)
       }: _*)
       val dot = aggregate(
@@ -83,22 +85,63 @@ object Similarity {
     sig.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates limited to the query's LSH bucket.
-    * Recall is tunable via plane count (fewer planes → bigger buckets).
+  /** Approximate top-k over LSH buckets, with two recall amplifiers that
+    * keep the plan scale-correct:
+    *
+    *  - band-OR across `tables` independent hyperplane tables (the classic
+    *    LSH amplification: a pair is a candidate if it collides in ANY
+    *    table) — the corpus is scanned once and emits one (table, bucket)
+    *    entry per table via a generator; no corpus shuffle, the query side
+    *    stays broadcast;
+    *  - multiprobe within each table (Lv et al., "Multi-probe LSH", VLDB
+    *    2007, adapted to sign bits): each query also probes every bucket at
+    *    Hamming distance ≤ probeRadius, exploding only the (tiny,
+    *    broadcast) query side ×(planes+1).
+    *
+    * A pair can now collide in several tables, so candidates are
+    * deduplicated by (query, neighbor) with a max-agg on the (identical)
+    * sims — shuffling only scored doubles, never vectors. Determinism:
+    * planes derive from md5(table:plane:dim), probe sets are pure functions
+    * of the signature. P[candidate] = 1-(1-P[Ham≤r])^L — e.g. per-bit
+    * disagreement 0.4, planes=4, radius=1, tables=8 → 0.994, versus 0.13
+    * for one 8-plane table. Recall/cost is tuned by (planes, tables,
+    * probeRadius): more planes per table → smaller buckets (the 100 TB
+    * lever), more tables → higher recall at linear candidate cost.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, dims: Int, k: Int,
-      planes: Int = DefaultPlanes): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      hyperplaneSignature(col(vecCol), dims, planes).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      hyperplaneSignature(col(vecCol), dims, planes).as("bucket"))
-    topKPerQuery(
-      c.join(broadcast(q), Seq("bucket"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("cvec")).as("sim")),
-      k)
+      planes: Int = DefaultPlanes, tables: Int = 1, probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1, "probeRadius must be 0 or 1")
+    require(tables >= 1, "tables must be >= 1")
+    def entries(df: DataFrame, id: String, keepVec: Boolean): DataFrame = {
+      val pairs = (0 until tables).map { t =>
+        struct(lit(t).as("table_id"),
+          hyperplaneSignature(col(vecCol), dims, planes, t).as("bucket"))
+      }
+      val base = df.select((col(idCol).as(id) +:
+        (if (keepVec) Seq(col(vecCol).as(s"${id}_vec")) else Nil)) :+
+        explode(array(pairs: _*)).as("e"): _*)
+      base.select(base.columns.filter(_ != "e").map(col) :+
+        col("e.table_id").as("table_id") :+ col("e.bucket").as("bucket"): _*)
+    }
+    val c = entries(corpus, "neighbor_id", keepVec = true)
+    val q0 = entries(queries, "query_id", keepVec = true)
+    val probes: Seq[Column] =
+      col("bucket") +: (if (probeRadius == 0) Seq.empty
+                        else (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))))
+    val q = q0.select(col("query_id"), col("query_id_vec"), col("table_id"),
+      explode(array(probes: _*)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("table_id", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("query_id_vec"), col("neighbor_id_vec")).as("sim"))
+      // dedup pairs that collided in several tables/probes; sims are equal
+      // across duplicates so max() is deterministic and the shuffle carries
+      // one double per surviving pair
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) approximate search (coarse quantization as in

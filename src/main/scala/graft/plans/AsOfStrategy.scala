@@ -47,6 +47,13 @@ object AsOfJoinCustom {
       rightTiebreak: String): DataFrame = {
     val spark = left.sparkSession
     AsOfStrategy.register(spark)
+    // The operator appends asof_time / asof_<v> output columns and prefixes
+    // right columns with __r_; a left column already in that namespace would
+    // make the restoring select ambiguous at analysis. Enforce the reserved
+    // namespace at bind time with the typed GraftError contract instead.
+    left.columns.filter(c => c == "asof_time" || c.startsWith("asof_") || c.startsWith("__r_"))
+      .foreach(c => throw graft.types.DuplicateAttribute(
+        s"$c (asof_*/__r_* names are reserved by the as-of join)"))
     // Re-alias every right column: left and right often derive from the same
     // relation (self-as-of), and shared attribute exprIds would be ambiguous
     // inside a custom binary node (the analyzer's DeduplicateRelations does

@@ -178,18 +178,20 @@ object NorthStarQueries {
 
     // ------------------------------------------------------------------
     // q40: approximate ANN via random-hyperplane LSH — the scale path.
-    // No SQL oracle (estimator-specific bucketing); rows-only gate here,
-    // recall vs exact top-k asserted in SimilaritySpec.
+    // Band-OR over 8 independent 4-plane tables + 1-bit multiprobe lifts
+    // recall ≥0.9 vs brute force (OpsSpec) while candidates stay bucketed.
+    // No SQL oracle (estimator-specific bucketing); rows-only gate here.
     GQuery(
       "q40_ann_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-            "vec_id", "embedding", dims = 64, k = 5, planes = 8)
+            "vec_id", "embedding", dims = 64, k = 5,
+            planes = 4, tables = 8, probeRadius = 1)
           .orderBy(col("query_id").asc, col("rank").asc)
       },
       None,
-      "LSH-bucketed approximate nearest neighbors"),
+      "LSH-bucketed approximate nearest neighbors (band-OR + multiprobe)"),
 
     // ------------------------------------------------------------------
     // q41: embedding near-dup pairs, cosine ≥ 0.3, blocked by label.

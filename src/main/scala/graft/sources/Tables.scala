@@ -129,7 +129,11 @@ object Tables {
     */
   def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par, key) else df
+    // inputFiles is metadata-only — df.rdd here would fully plan a second
+    // RDD lineage just to read a partition count. One large parquet file can
+    // still split into several scan tasks, but the inputs that need this
+    // fan-out are precisely the few-small-files ones, where files ≈ tasks.
+    if (df.inputFiles.length < par) df.repartition(par, key) else df
   }
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")

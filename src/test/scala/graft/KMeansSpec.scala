@@ -35,6 +35,20 @@ class KMeansSpec extends SparkTestBase {
     assert(run() == run())
   }
 
+  test("k-means plan depth is constant in iteration count (lineage truncated)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    def depth(df: org.apache.spark.sql.DataFrame): Int = {
+      def d(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int =
+        if (p.children.isEmpty) 1
+        else 1 + p.children.map(c => d(c.asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNode[_]])).max
+      d(df.queryExecution.analyzed)
+    }
+    val d2 = depth(KMeans.fit(emb, "vec_id", "embedding", k = 4, dims = 64, iterations = 2)._2)
+    val d8 = depth(KMeans.fit(emb, "vec_id", "embedding", k = 4, dims = 64, iterations = 8)._2)
+    assert(d2 == d8, s"centroid plan depth grew with iterations: $d2 -> $d8")
+    assert(d8 <= 3, s"centroid plan not truncated (depth $d8)")
+  }
+
   test("IVF over learned k-means cells returns true cosines") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val (assigned, _) = KMeans.fit(emb, "vec_id", "embedding", k = 4, dims = 64, iterations = 2)

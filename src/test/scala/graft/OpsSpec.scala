@@ -155,15 +155,38 @@ class OpsSpec extends SparkTestBase {
     val queries = emb.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 64, 5, planes = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    // 2 planes → 4 buckets over ~50 vectors; recall is approximate by design
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.2, s"recall $recall")
+    def run(tables: Int, radius: Int) =
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", 64, 5,
+          planes = 4, tables = tables, probeRadius = radius)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(s: Set[(Long, Long)]) = (exact & s).size.toDouble / exact.size
+    val single = recall(run(tables = 1, radius = 0))
+    val amplified = recall(run(tables = 8, radius = 1))
+    // band-OR + multiprobe must never lose candidates vs single-bucket LSH,
+    // and the q40 configuration must keep recall high on the fixture
+    assert(amplified >= single, s"amplified $amplified < single $single")
+    assert(amplified >= 0.9, s"amplified recall $amplified")
     // every approx neighbor's sim must equal the exact cosine (no sim drift)
-    assert(approx.subsetOf(
+    assert(run(tables = 8, radius = 1).subsetOf(
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", Int.MaxValue)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet))
+  }
+
+  test("minhash LSH hot-bucket cap drops boilerplate pairs, keeps real near-dups") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 59) "CHANGED" else s"w$i").mkString(" ")
+    val boiler = (1 to 60).map(i => s"b$i").mkString(" ")
+    // 12 byte-identical boilerplate docs: every band bucket they hash into
+    // has 12 members, i.e. C(12,2)=66 candidate pairs from one hot key
+    val docs = (Seq((1L, base), (2L, nearDup)) ++ (10L to 21L).map(i => (i, boiler)))
+      .toDF("doc_id", "text")
+    val capped = MinHash.nearDuplicatePairs(docs, "doc_id", "text", 3, 0.5, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"capped run returned $capped")
+    val uncapped = MinHash.nearDuplicatePairs(docs, "doc_id", "text", 3, 0.5, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 66 + 1, s"uncapped run returned ${uncapped.size} pairs")
   }
 
   test("approx quantiles land within rank-error bounds of exact percentiles") {
