@@ -25,7 +25,9 @@ object QueryRegistry {
       graft.queries.ScalarQueries.all ++
       graft.queries.StreamQueries.all ++
       graft.queries.NorthStarQueries.all ++
-      graft.queries.ExtraQueries.all
+      graft.queries.ExtraQueries.all ++
+      graft.queries.InvariantQueries.all ++
+      graft.queries.ScaleQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

@@ -115,14 +115,22 @@ object MinHash {
     val sig = signatures(sh, "doc_id", "sset")
     val bdAll = bands(sig, "doc_id", "sig")
 
-    val hotKeys = bdAll.groupBy(col("band_id"), col("band_key"))
-      .agg(count(lit(1)).as("_bsz"))
-      .filter(col("_bsz") > maxBucket)
-      .select(col("band_id"), col("band_key"))
-    val bd = bdAll.join(broadcast(hotKeys), Seq("band_id", "band_key"), "left_anti")
+    // Cap enforcement: a pair only forms when BOTH sides carry the band
+    // key, so filtering ONE self-join side suppresses every pair from a hot
+    // bucket. The bucket size comes from a window count over exactly the
+    // (band_id, band_key) partitioning the self-join shuffles on anyway —
+    // one extra in-partition sort, no second aggregation pass, no broadcast
+    // round-trip, and the bands pipeline still runs just twice (x, y) as in
+    // the uncapped shape.
+    val x = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_id"), col("band_key"))
+      bdAll.withColumn("_bsz", count(lit(1)).over(w))
+        .filter(col("_bsz") <= maxBucket).drop("_bsz")
+    }
 
-    val candidates = bd.as("x")
-      .join(bd.as("y"),
+    val candidates = x.as("x")
+      .join(bdAll.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -305,7 +305,11 @@ object ExtraQueries {
             col("l_orderkey").as("okey"), col("l_linenumber").as("line_no"),
             percent_rank().over(w).as("prk"),
             cume_dist().over(w).as("cd"))
-          .orderBy(col("flag").asc, col("okey").asc, col("line_no").asc)
+          // (okey, line_no) is NOT unique in the fixture (duplicate line
+          // rows exist) and duplicates can differ in l_quantity, hence in
+          // prk/cd — append the measures to make the output order total.
+          .orderBy(col("flag").asc, col("okey").asc, col("line_no").asc,
+            col("prk").asc, col("cd").asc)
       },
       Some("""SELECT l_returnflag AS flag, l_orderkey AS okey, l_linenumber AS line_no,
              |       PERCENT_RANK() OVER w AS prk,
@@ -313,7 +317,7 @@ object ExtraQueries {
              |FROM lineitem WHERE l_suppkey <= 3
              |WINDOW w AS (PARTITION BY l_returnflag
              |             ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC)
-             |ORDER BY flag ASC, okey ASC, line_no ASC""".stripMargin),
+             |ORDER BY flag ASC, okey ASC, line_no ASC, prk ASC, cd ASC""".stripMargin),
       "distribution windows: percent_rank / cume_dist"),
 
     // ------------------------------------------------------------------

@@ -36,11 +36,16 @@ object RelationalQueries {
           Projector.byNameAs("l_quantity", "qty"),
           Projector.byNameAs("l_returnflag", "flag1"),
           Projector.byNameAs("l_returnflag", "flag2"))
-        li.proj(p).orderBy(col("okey").asc, col("line_no").asc)
+        // (okey, line_no) is NOT unique in the fixture (duplicate line rows
+        // with differing attributes) — extend the ORDER BY until total, or
+        // cross-engine sort stability decides row order. Same fix in
+        // q02/q03/q19/q20/q60.
+        li.proj(p).orderBy(col("okey").asc, col("line_no").asc,
+          col("qty").asc, col("flag1").asc)
       },
       Some("""SELECT l_orderkey AS okey, l_linenumber AS line_no, l_quantity AS qty,
              |       l_returnflag AS flag1, l_returnflag AS flag2
-             |FROM lineitem ORDER BY okey ASC, line_no ASC""".stripMargin),
+             |FROM lineitem ORDER BY okey ASC, line_no ASC, qty ASC, flag1 ASC""".stripMargin),
       "projection: reorder/rename/duplicate columns, by name and by position"),
 
     // ------------------------------------------------------------------
@@ -57,7 +62,8 @@ object RelationalQueries {
               col("l_returnflag").isin("A", "N"))
           .select(col("l_orderkey").as("okey"), col("l_linenumber").as("line_no"),
             col("l_extendedprice").as("price"), col("l_returnflag").as("flag"))
-          .orderBy(col("okey").asc, col("line_no").asc)
+          .orderBy(col("okey").asc, col("line_no").asc,
+            col("price").asc, col("flag").asc)
       },
       Some("""SELECT l_orderkey AS okey, l_linenumber AS line_no,
              |       l_extendedprice AS price, l_returnflag AS flag
@@ -67,7 +73,7 @@ object RelationalQueries {
              |  AND l_discount BETWEEN 0.05 AND 0.07
              |  AND l_quantity < 24
              |  AND l_returnflag IN ('A','N')
-             |ORDER BY okey ASC, line_no ASC""".stripMargin),
+             |ORDER BY okey ASC, line_no ASC, price ASC, flag ASC""".stripMargin),
       "filter: timestamp range + between + comparison + IN, pushed to the scan"),
 
     // ------------------------------------------------------------------
@@ -84,14 +90,15 @@ object RelationalQueries {
             col("l_linenumber").cast("string").as("lineno_str"),
             col("l_quantity").cast("long").as("qty_int"),
             (col("l_discount") > 0.05).cast("string").as("bigdisc_str"))
-          .orderBy(col("okey").asc, col("line_no").asc)
+          .orderBy(col("okey").asc, col("line_no").asc,
+            col("qty_int").asc, col("bigdisc_str").asc)
       },
       Some("""SELECT l_orderkey AS okey, l_linenumber AS line_no,
              |       CAST(l_orderkey AS VARCHAR) AS okey_str,
              |       CAST(l_linenumber AS VARCHAR) AS lineno_str,
              |       CAST(trunc(l_quantity) AS BIGINT) AS qty_int,
              |       CAST(l_discount > 0.05 AS VARCHAR) AS bigdisc_str
-             |FROM lineitem ORDER BY okey ASC, line_no ASC""".stripMargin),
+             |FROM lineitem ORDER BY okey ASC, line_no ASC, qty_int ASC, bigdisc_str ASC""".stripMargin),
       "casts: int→string, double→long (truncating), bool→string"),
 
     // ------------------------------------------------------------------
@@ -444,7 +451,8 @@ object RelationalQueries {
             lead(col("l_quantity"), 1).over(w).as("next_qty"),
             first(col("l_quantity")).over(wRun).as("first_qty"),
             sum(col("l_quantity")).over(wRun).as("running_qty"))
-          .orderBy(col("suppkey").asc, col("okey").asc, col("line_no").asc)
+          .orderBy(col("suppkey").asc, col("okey").asc, col("line_no").asc,
+            col("running_qty").asc)
       },
       Some("""SELECT l_suppkey AS suppkey, l_orderkey AS okey, l_linenumber AS line_no,
              |       l_quantity AS qty,
@@ -457,7 +465,7 @@ object RelationalQueries {
              |FROM lineitem WHERE l_suppkey <= 10
              |WINDOW w AS (PARTITION BY l_suppkey
              |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)
-             |ORDER BY suppkey ASC, okey ASC, line_no ASC""".stripMargin),
+             |ORDER BY suppkey ASC, okey ASC, line_no ASC, running_qty ASC""".stripMargin),
       "analytic windows: lag/lead/first + running sum over row frame"),
 
     // ------------------------------------------------------------------
@@ -474,7 +482,8 @@ object RelationalQueries {
             col("l_quantity").as("qty"),
             sum(col("l_quantity")).over(w).as("range_sum"),
             count(lit(1)).over(w).as("range_n"))
-          .orderBy(col("suppkey").asc, col("okey").asc, col("line_no").asc)
+          .orderBy(col("suppkey").asc, col("okey").asc, col("line_no").asc,
+            col("qty").asc)
       },
       Some("""SELECT l_suppkey AS suppkey, l_orderkey AS okey, l_linenumber AS line_no,
              |       l_quantity AS qty,
@@ -483,7 +492,7 @@ object RelationalQueries {
              |FROM lineitem WHERE l_suppkey <= 5
              |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity ASC
              |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
-             |ORDER BY suppkey ASC, okey ASC, line_no ASC""".stripMargin),
+             |ORDER BY suppkey ASC, okey ASC, line_no ASC, qty ASC""".stripMargin),
       "value-range window frame"),
 
     // ------------------------------------------------------------------

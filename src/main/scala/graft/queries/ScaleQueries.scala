@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.GQuery
+import graft.sources.Tables
+
+/** Scale-shape gates: the salted skew join promoted from test-only to a
+  * gated query (VERDICT r1 item 8), and TPC-H-shaped composite pipelines
+  * (Q7/Q12/Q19 adapted to the fixture columns) that densify the macro-bench
+  * signal (item 10). All oracle-gated.
+  */
+object ScaleQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q75: salted equi-join on a deliberately hot key. l_returnflag has 3
+    // values over 60k rows — the canonical single-hot-key shape AQE's
+    // partition splitting cannot always fix when the key itself is hot.
+    // Salting spreads each key across 8 reducers; the oracle is the plain
+    // unsalted join, so the gate IS the salted==unsalted equality proof.
+    // PlanShapeSpec asserts the shuffle actually includes the salt column.
+    GQuery(
+      "q75_skew_salted_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val fact = li.select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity"))
+          .withColumn("_uid",
+            concat_ws("#", col("l_orderkey"), col("l_linenumber")))
+        // shuffle_hash hint: Spark would otherwise broadcast the tiny dim,
+        // and a broadcast join has no skew to mitigate — the gate exists to
+        // prove the salted SHUFFLE shape (the 100 TB case where the dim
+        // outgrows the broadcast threshold and the hot key melts a reducer).
+        val dim = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_linestatus")).as("n_status"))
+          .hint("shuffle_hash")
+        graft.ops.Skew.saltedEquiJoin(fact, dim, "l_returnflag", "_uid", salts = 8)
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+            max(col("n_status")).as("n_status"))
+          .orderBy(col("flag").asc)
+      },
+      Some("""WITH dim AS (
+             |  SELECT l_returnflag, CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_status
+             |  FROM lineitem GROUP BY 1)
+             |SELECT f.l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+             |       SUM(f.l_quantity) AS sum_qty, MAX(d.n_status) AS n_status
+             |FROM lineitem f JOIN dim d ON f.l_returnflag = d.l_returnflag
+             |GROUP BY 1 ORDER BY flag ASC""".stripMargin),
+      "salted hot-key join == unsalted join (oracle-proven equality)"),
+
+    // ------------------------------------------------------------------
+    // q76 ~ TPC-H Q12: late-shipment priority counts. Fact-fact shuffle
+    // join + conditional aggregation; the priority CASE folds into the
+    // single aggregation pass (no second scan).
+    GQuery(
+      "q76_late_priority",
+      (s, d) => {
+        val hi = Seq("1-URGENT", "2-HIGH")
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate"))
+          .groupBy(col("l_linestatus").as("status"))
+          .agg(
+            sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L)).as("high_count"),
+            sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L)).as("low_count"))
+          .orderBy(col("status").asc)
+      },
+      Some("""SELECT l_linestatus AS status,
+             |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+             |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate > o_orderdate
+             |GROUP BY 1 ORDER BY status ASC""".stripMargin),
+      "TPC-H Q12 shape: fact-fact join + conditional agg"),
+
+    // ------------------------------------------------------------------
+    // q77 ~ TPC-H Q19: discounted revenue under an OR-of-ANDs predicate.
+    // The disjunction references BOTH sides, so it cannot become a join
+    // key — the planner broadcasts the dim and evaluates the residual
+    // post-join; per-side conjuncts (p_size lower bounds, quantity ranges)
+    // still push into the scans.
+    GQuery(
+      "q77_disjunct_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        val m = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#13" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#15" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30)))
+        m.agg(
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast(DecimalType(34, 4)).as("revenue"),
+          count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(34,4)) AS revenue,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+      "TPC-H Q19 shape: broadcast join + OR-of-ANDs residual predicate"),
+
+    // ------------------------------------------------------------------
+    // q78 ~ TPC-H Q7: bilateral shipping volume between two nations by
+    // year. Two fact shuffle joins (lineitem⋈orders⋈customer) + three
+    // broadcast dims (supplier, nation ×2); the nation-pair filter prunes
+    // before aggregation.
+    GQuery(
+      "q78_nation_volume",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val sup = Tables.supplier(s, d)
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter(
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(dec(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast(DecimalType(34, 4)).as("volume"))
+          .orderBy(col("supp_nation").asc, col("cust_nation").asc, col("l_year").asc)
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(34,4)) AS volume
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+             |GROUP BY 1, 2, 3 ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin),
+      "TPC-H Q7 shape: two shuffle joins + three broadcast dims + pair filter"),
+  )
+}

@@ -1,0 +1,24 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Dev tool: repeated timing of selected gated queries. */
+object ProfileQ {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q36_dedup_minhash", "q68_ivf_kmeans")
+    val reps = sys.env.getOrElse("REPS", "3").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, d).count()
+        println(f"[profq] $n run$i ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

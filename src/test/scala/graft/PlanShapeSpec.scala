@@ -60,6 +60,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plain == salted)
   }
 
+  test("q75 salted join shuffles on (key, salt), not the bare hot key") {
+    val p = plan("q75_skew_salted_join")
+    assert(p.contains("_salt"), p.take(2000))
+    val exchangeWithSalt = p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("_salt"))
+    assert(exchangeWithSalt, "no exchange partitioned by the salt column")
+  }
+
   test("salted join rejects dim-preserving join types (they would duplicate dim rows)") {
     import spark.implicits._
     val fact = Seq((1L, 1L)).toDF("k", "row_id")
