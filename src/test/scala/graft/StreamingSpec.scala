@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import graft.streaming.EventStreams
 
 /** Drives the REAL Structured Streaming path (readStream → watermark →
@@ -132,6 +133,44 @@ class StreamingSpec extends SparkTestBase {
     val afterB = spark.read.parquet(outDir.toString)
     assert(afterB.count() == 2 * afterA)
     assert(afterB.groupBy(col("event_id")).count().filter(col("count") =!= 2).count() == 0)
+  }
+
+  test("stateful agg under the RocksDB state store provider (parity + metrics)") {
+    // At production state sizes (billions of keys across sessions/dedup
+    // state) the default HDFS-backed in-memory provider OOMs; RocksDB spills
+    // state to local disk and incrementally checkpoints. Same query, same
+    // results — provider choice must be invisible to semantics.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.streaming.Trigger
+      val stream = EventStreams.readEvents(spark, eventsDir)
+      val agg = EventStreams.tumblingCounts(stream, "10 minutes", "1 hour")
+      val q = agg.writeStream.format("memory").queryName("t_rocksdb")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(progress.nonEmpty, "no stateful progress recorded")
+      // the provider actually in use surfaces through its custom metrics
+      val metrics = progress.last.stateOperators.head.customMetrics
+      assert(metrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb metrics: ${metrics.keySet}")
+      val got = spark.table("t_rocksdb")
+        .select(col("bucket_start").cast("timestamp").cast("long"), col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.sources.Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("timestamp").cast("long"), col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got.nonEmpty && got.subsetOf(batch))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
