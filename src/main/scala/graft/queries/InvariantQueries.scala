@@ -92,8 +92,10 @@ object InvariantQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val queries = emb.filter(col("vec_id") < 10)
+        // ≤ 50 rows, consumed twice (sim check + recall join): materialize
+        // once instead of re-running the whole LSH pipeline per consumer
         val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
-          dims = 64, k = 5, planes = 4, tables = 8, probeRadius = 1)
+          dims = 64, k = 5, planes = 4, tables = 8, probeRadius = 1).localCheckpoint()
         val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
         val vecs = emb.select(col("vec_id"), col("embedding"))
         val checked = lsh

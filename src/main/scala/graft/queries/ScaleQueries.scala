@@ -158,5 +158,44 @@ object ScaleQueries {
              |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
              |GROUP BY 1, 2, 3 ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin),
       "TPC-H Q7 shape: two shuffle joins + three broadcast dims + pair filter"),
+
+    // ------------------------------------------------------------------
+    // q79: bucketed co-located join. Both sides are written bucketed (and
+    // sorted) on the join key, so the sort-merge join consumes the bucket
+    // layout directly — NO shuffle exchange on either join side
+    // (PlanShapeSpec asserts it). At 100 TB this is the first-order join
+    // optimization for repeated fact-fact joins: pay the shuffle once at
+    // write time, never at query time. The merge hint pins SMJ (Spark
+    // would broadcast the small fixture dim, hiding the bucketing story).
+    GQuery(
+      "q79_bucketed_join",
+      (s, d) => {
+        // pid-suffixed EXTERNAL tables under /tmp (same scratch pattern as
+        // q58/q59): a fresh JVM's in-memory catalog forgets managed tables
+        // but their warehouse directories survive, and re-creating a
+        // managed table over an existing location is LOCATION_ALREADY_EXISTS
+        val tag = d.replaceAll("[^0-9]", "") + "_" + ProcessHandle.current.pid
+        val base = s"/tmp/graft_bkt_$tag"
+        val ot = s"g_orders_bkt_$tag"
+        val ct = s"g_cust_bkt_$tag"
+        Tables.orders(s, d).write.mode("overwrite")
+          .option("path", s"$base/orders")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .format("parquet").saveAsTable(ot)
+        Tables.customer(s, d).write.mode("overwrite")
+          .option("path", s"$base/customer")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .format("parquet").saveAsTable(ct)
+        s.table(ot).hint("merge")
+          .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+          .orderBy(col("segment").asc)
+      },
+      Some("""SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY segment ASC""".stripMargin),
+      "bucketed co-located sort-merge join: zero join-side exchanges"),
   )
 }

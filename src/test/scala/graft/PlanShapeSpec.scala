@@ -68,6 +68,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchangeWithSalt, "no exchange partitioned by the salt column")
   }
 
+  test("q79 bucketed join has no exchange on either join side") {
+    // run once so the bucketed tables exist, then inspect the plan
+    SparkEntry.queries("q79_bucketed_join")(spark, sf).collect()
+    val p = plan("q79_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("hashpartitioning(o_custkey"), "orders side shuffled")
+    assert(!p.contains("hashpartitioning(c_custkey"), "customer side shuffled")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p.take(1500))
+  }
+
   test("salted join rejects dim-preserving join types (they would duplicate dim rows)") {
     import spark.implicits._
     val fact = Seq((1L, 1L)).toDF("k", "row_id")
