@@ -9,9 +9,11 @@ import scala.collection.immutable.ListMap
   * rows-only check and are covered by ScalaTest instead.
   *
   * Determinism contract: every gated query's output is fully ordered by an
-  * explicit ORDER BY over a unique key, with `ASC NULLS FIRST` on both sides
-  * (Spark's default ascending null ordering; DuckDB defaults to NULLS LAST,
-  * so oracles always spell it out).
+  * explicit ORDER BY forming a TOTAL order over the output (beware: fixture
+  * lineitem is not unique on (l_orderkey, l_linenumber) — extend the key
+  * until total). Whenever a sort key can be null, the oracle must spell
+  * `ASC NULLS FIRST` (Spark's ascending default; DuckDB defaults to NULLS
+  * LAST); keys that are provably non-null may use bare ASC.
   */
 final case class GQuery(
     name: String,

@@ -95,12 +95,14 @@ object MinHash {
     * `maxBucket` bounds the quadratic hot-bucket risk: a band key shared by
     * m docs produces m(m-1)/2 candidate pairs, so one boilerplate-heavy key
     * (identical headers/footers dominating every shingle) can turn the
-    * bucket self-join quadratic. Band keys with more than `maxBucket`
-    * members are dropped BEFORE the self-join via a map-side-combined
-    * count (tiny: one row per hot key) broadcast back as an anti-join —
-    * no extra shuffle of the bands table, which is the shape that holds at
-    * 100 TB. Docs dropped this way are overwhelmingly exact-boilerplate
-    * duplicates, which the exact/fingerprint dedup passes already catch.
+    * bucket self-join quadratic. Enforcement is a window count over the
+    * SAME (band_id, band_key) partitioning the self-join shuffles on,
+    * filtering one join side (see the inline comment) — one extra
+    * in-partition sort and nothing else. (An earlier broadcast-anti-join
+    * variant consumed the bands pipeline a third time and regressed q36
+    * from ~3 s to ~58 s warm at sf0.1 — do not reintroduce it.) Docs
+    * dropped this way are overwhelmingly exact-boilerplate duplicates,
+    * which the exact/fingerprint dedup passes already catch.
     */
   def nearDuplicatePairs(
       docs: DataFrame,

@@ -51,7 +51,7 @@ object AsOfJoinCustom {
     // right columns with __r_; a left column already in that namespace would
     // make the restoring select ambiguous at analysis. Enforce the reserved
     // namespace at bind time with the typed GraftError contract instead.
-    left.columns.filter(c => c == "asof_time" || c.startsWith("asof_") || c.startsWith("__r_"))
+    left.columns.filter(c => c.startsWith("asof_") || c.startsWith("__r_"))
       .foreach(c => throw graft.types.DuplicateAttribute(
         s"$c (asof_*/__r_* names are reserved by the as-of join)"))
     // Re-alias every right column: left and right often derive from the same

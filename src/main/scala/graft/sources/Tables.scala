@@ -130,10 +130,28 @@ object Tables {
   def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     // inputFiles is metadata-only — df.rdd here would fully plan a second
-    // RDD lineage just to read a partition count. One large parquet file can
-    // still split into several scan tasks, but the inputs that need this
-    // fan-out are precisely the few-small-files ones, where files ≈ tasks.
-    if (df.inputFiles.length < par) df.repartition(par, key) else df
+    // RDD lineage just to read a partition count. File COUNT alone
+    // undercounts parallelism for one large splittable parquet file, so
+    // estimate scan tasks as Σ ceil(size / maxPartitionBytes) (stat is
+    // cheap: this branch only matters when there are few files).
+    val files = df.inputFiles
+    if (files.length >= par) df
+    else {
+      val maxPart = try {
+        math.max(1L, org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")))
+      } catch { case _: Exception => 134217728L }
+      val estTasks = files.map { f =>
+        val size = try {
+          val uri = new java.net.URI(f)
+          if (uri.getScheme == null || uri.getScheme == "file")
+            new java.io.File(uri.getPath).length()
+          else 0L // non-local FS: treat as unknown → count as one task
+        } catch { case _: Exception => 0L }
+        math.max(1L, (size + maxPart - 1) / maxPart)
+      }.sum
+      if (estTasks < par) df.repartition(par, key) else df
+    }
   }
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")

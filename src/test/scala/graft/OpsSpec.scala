@@ -161,13 +161,14 @@ class OpsSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     def recall(s: Set[(Long, Long)]) = (exact & s).size.toDouble / exact.size
     val single = recall(run(tables = 1, radius = 0))
-    val amplified = recall(run(tables = 8, radius = 1))
+    val amplifiedSet = run(tables = 8, radius = 1)
+    val amplified = recall(amplifiedSet)
     // band-OR + multiprobe must never lose candidates vs single-bucket LSH,
     // and the q40 configuration must keep recall high on the fixture
     assert(amplified >= single, s"amplified $amplified < single $single")
     assert(amplified >= 0.9, s"amplified recall $amplified")
     // every approx neighbor's sim must equal the exact cosine (no sim drift)
-    assert(run(tables = 8, radius = 1).subsetOf(
+    assert(amplifiedSet.subsetOf(
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", Int.MaxValue)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet))
   }

@@ -46,9 +46,11 @@ def canon(v):
     return ("str", v) if isinstance(v, str) else (type(v).__name__, str(v))
 
 def has_toplevel_order_by(sql):
-    """True if ORDER BY appears at paren depth 0 (outside subqueries/OVER())."""
+    """True if ORDER BY appears at paren depth 0 (outside subqueries/OVER()).
+    String literals are blanked first so parens/keywords inside them (e.g.
+    replace(c, '(', '')) cannot corrupt the depth tracking."""
     depth = 0
-    s = sql.lower()
+    s = re.sub(r"'(?:[^']|'')*'", "''", sql.lower())
     for m in re.finditer(r"[()]|order\s+by", s):
         tok = m.group(0)
         if tok == "(":
