@@ -202,5 +202,67 @@ object ScaleQueries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY segment ASC""".stripMargin),
       "bucketed co-located sort-merge join: zero join-side exchanges"),
+
+    // ------------------------------------------------------------------
+    // q80: deterministic train/val/test split assignment — the sharding
+    // primitive of a training-data pipeline. The split is a pure function
+    // of the stable document id via the cross-engine 60-bit md5 hash
+    // (identical in Spark and DuckDB), so shards are reproducible across
+    // engines, runs, and cluster sizes — never rand()-based (retried tasks
+    // would re-roll rows between splits). Map-side only; scales trivially.
+    GQuery(
+      "q80_split_assign",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            pmod(graft.functions.TextFunctions.md5Hash60(col("doc_id").cast("string")),
+              lit(100L)).cast("int").as("bucket"))
+          .select(col("doc_id"), col("bucket"),
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test").as("split"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT doc_id,
+             |       CAST(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS INT) AS bucket,
+             |       CASE WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 80 THEN 'train'
+             |            WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 90 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id ASC""".stripMargin),
+      "deterministic hash-sharded train/val/test split (cross-engine md5)"),
+
+    // ------------------------------------------------------------------
+    // q81: near-dup cluster assignment — connected components over the
+    // MinHash near-dup pair graph (the step that turns PAIRS into GROUPS
+    // so dedup can keep one representative per group). The oracle builds
+    // the same edge set from exact 3-gram Jaccard (== the LSH output on
+    // this fixture, proven by q36) and closes it with a recursive CTE.
+    GQuery(
+      "q81_dedup_clusters",
+      (s, d) => {
+        val pairs = graft.functions.MinHash.nearDuplicatePairs(
+          Tables.documents(s, d), "doc_id", "text", shingleSize = 3, threshold = 0.5)
+        graft.functions.Components.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("comp").as("cluster"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id,
+             |         list_distinct(list_transform(range(1, len(ws)-1),
+             |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sset
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+             |  WHERE len(ws) >= 3),
+             |edges AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(a.sset, b.sset))) >= 0.5),
+             |reach(a, b) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+             |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+             |FROM reach GROUP BY a ORDER BY doc_id ASC""".stripMargin),
+      "near-dup pairs -> duplicate groups (connected components, oracle=recursive CTE)"),
   )
 }
