@@ -21,6 +21,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees shuffle files, broadcasts, and checkpoint RDD
+      // blocks only when a GC runs; with a large mostly-idle heap the JVM
+      // may not GC for the whole bench, so ~160 query executions accumulate
+      // state and progressively slow the later ones (measured: 2nd half of
+      // the run 3.5× the 1st). Default periodicGC is 30min — far longer
+      // than the bench.
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      // the whole-stage-codegen class cache holds only 100 entries by
+      // default; ~80 queries × several codegen stages each overflow it
+      // between a query's warmup execution and its timed one, so the timed
+      // pass silently recompiles everything (measured: timed pass 119 s vs
+      // 53 s when executions are adjacent). Size it for the full suite.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.foreach { case (_, fn) =>

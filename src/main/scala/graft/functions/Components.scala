@@ -34,8 +34,11 @@ object Components {
       srcCol: String,
       dstCol: String,
       maxIters: Int = 20): DataFrame = {
+    // materialize the edge list FIRST: both union branches below reference
+    // it, and an un-checkpointed expensive upstream (e.g. the MinHash
+    // pipeline in q81) would execute once per branch inside a single job
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()
@@ -46,10 +49,12 @@ object Components {
       val nbr = und.join(labels, und("dst") === labels("id"))
         .groupBy(und("src").as("id2"))
         .agg(min(col("comp")).as("nbr_comp"))
+      // lazy checkpoint: the convergence count below materializes it, so
+      // each round costs ONE job instead of checkpoint-job + count-job
       val next = labels.join(nbr, labels("id") === nbr("id2"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.as("n")
         .join(labels.select(col("id"), col("comp").as("old")).as("o"), "id")
         .filter(col("comp") =!= col("old")).count()

@@ -184,6 +184,26 @@ object Similarity {
       k)
   }
 
+  /** Int8 scalar quantization of an embedding column: per-vector symmetric
+    * scale = max|v_i|/127, q_i = floor(v_i/scale + 0.5). 4× memory and
+    * shuffle-bandwidth reduction for 100 TB ANN corpora; the approximate
+    * dot product q_a·q_b·scale_a·scale_b ranks within the quantization
+    * error. floor(x+0.5) instead of round(): "round half up" with IDENTICAL
+    * semantics in Spark and DuckDB (their round() implementations disagree
+    * at exact .5 boundaries), keeping the operator exactly oracle-able.
+    * Map-side only. Returns (id, scale double, qvec array<int8-valued>).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val scale = array_max(transform(vd, x => abs(x))) / 127.0
+    df.select(col(idCol), scale.as("scale"), vd.as("_vd"))
+      .select(col(idCol), col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("_vd"), _ => lit(0.0)))
+          .otherwise(transform(col("_vd"), x => floor(x / col("scale") + 0.5)))
+          .as("qvec"))
+  }
+
   /** Exact near-duplicate pairs by cosine threshold within blocking keys —
     * O(Σ block²) instead of O(n²); mirror the blocking in any oracle.
     */

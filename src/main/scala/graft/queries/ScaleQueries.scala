@@ -264,5 +264,40 @@ object ScaleQueries {
              |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
              |FROM reach GROUP BY a ORDER BY doc_id ASC""".stripMargin),
       "near-dup pairs -> duplicate groups (connected components, oracle=recursive CTE)"),
+
+    // ------------------------------------------------------------------
+    // q82: int8 embedding quantization — round-trip contract. Emits the
+    // per-vector scale, max reconstruction error, and clip count, all from
+    // ORDER-FREE arithmetic (max over dims, integer count) so the values
+    // are bit-identical cross-engine; err_ok pins |err| ≤ scale/2.
+    GQuery(
+      "q82_quantize_int8",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = graft.functions.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+        q.join(emb.select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("vd")), "vec_id")
+          .select(col("vec_id"), col("scale"),
+            array_max(zip_with(col("vd"), col("qvec"),
+              (x, qq) => abs(x - qq * col("scale")))).as("max_abs_err"),
+            aggregate(col("qvec"), lit(0),
+              (acc, qq) => acc + when(abs(qq) > 127.0, 1).otherwise(0)).as("n_clipped"))
+          .select(col("vec_id"), col("scale"), col("max_abs_err"), col("n_clipped"),
+            (col("max_abs_err") <= col("scale") * 0.500001).as("err_ok"))
+          .orderBy(col("vec_id").asc)
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+             |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))/127.0 AS scale
+             |  FROM embeddings),
+             |m AS (
+             |  SELECT vec_id, scale,
+             |         list_max(list_transform(vd, x -> abs(x - floor(x/scale + 0.5)*scale))) AS max_abs_err,
+             |         CAST(len(list_filter(vd, x -> abs(floor(x/scale + 0.5)) > 127)) AS INT) AS n_clipped
+             |  FROM q)
+             |SELECT vec_id, scale, max_abs_err, n_clipped,
+             |       max_abs_err <= scale*0.500001 AS err_ok
+             |FROM m ORDER BY vec_id ASC""".stripMargin),
+      "int8 embedding quantization: scale/error/clip contract (bit-exact oracle)"),
   )
 }

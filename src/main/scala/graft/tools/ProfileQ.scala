@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSession
 object ProfileQ {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = if (args.nonEmpty) args.toSeq else Seq("q36_dedup_minhash", "q68_ivf_kmeans")
+    val names =
+      if (args.sameElements(Array("ALL"))) graft.SparkEntry.queries.keys.toSeq
+      else if (args.nonEmpty) args.toSeq
+      else Seq("q36_dedup_minhash", "q68_ivf_kmeans")
     val reps = sys.env.getOrElse("REPS", "3").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

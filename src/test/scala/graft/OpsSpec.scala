@@ -173,6 +173,26 @@ class OpsSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet))
   }
 
+  test("int8-quantized cosine ranking stays close to exact top-k") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    // cosine is invariant under per-vector positive scaling, so quantized
+    // cosine = cosine of the integer qvecs — the scales cancel entirely
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("qvec").cast("array<float>").as("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.bruteForceTopK(q, q.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall $recall")
+    // the error contract that q82 gates: |x - q*scale| <= scale/2
+    val bad = graft.queries.ScaleQueries.all.find(_.name == "q82_quantize_int8").get
+      .fn(spark, sf).filter(!col("err_ok") || col("n_clipped") > 0).count()
+    assert(bad == 0)
+  }
+
   test("minhash LSH hot-bucket cap drops boilerplate pairs, keeps real near-dups") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
