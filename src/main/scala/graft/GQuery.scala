@@ -29,7 +29,8 @@ object QueryRegistry {
       graft.queries.NorthStarQueries.all ++
       graft.queries.ExtraQueries.all ++
       graft.queries.InvariantQueries.all ++
-      graft.queries.ScaleQueries.all
+      graft.queries.ScaleQueries.all ++
+      graft.queries.PipelineQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

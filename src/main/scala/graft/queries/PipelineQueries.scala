@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GQuery
+import graft.expressions.MisraGriesAggregate
+import graft.functions.{Packing, TextFunctions => TF}
+import graft.sources.Tables
+
+/** Training-data pipeline operators beyond dedup/ANN (SURVEY.md §2.11 r2
+  * batch): sessionization, stratified sampling, TF-IDF, token packing,
+  * heavy-hitters sketching, and funnel analysis. All oracle-gated.
+  */
+object PipelineQueries {
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q83: gap-based sessionization — the batch form of session assignment
+    // (vs q33's session_window aggregate): lag to detect >1h gaps, running
+    // sum of the gap flags to number sessions per user, then per-session
+    // stats. Both windows use the same (user_id) partitioning, so this is
+    // ONE shuffle on user_id at any scale; seconds-granularity timestamps
+    // (epochSec == DuckDB floor(epoch)) keep the gap test cross-engine.
+    GQuery(
+      "q83_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("value").cast(DecimalType(18, 6)).as("v"),
+            epochSec(col("ts")).as("sec"))
+          .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 3600, 1L)
+              .otherwise(0L))
+          .withColumn("sess_idx", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("sess_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("sec")).as("t_start_sec"),
+            (max(col("sec")) - min(col("sec"))).as("dur_sec"),
+            sum(col("v")).as("sum_value"))
+          .orderBy(col("user_id").asc, col("sess_idx").asc)
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             |         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+             |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_sec
+             |  FROM events),
+             |f AS (
+             |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 3600
+             |                 THEN 1 ELSE 0 END AS new_sess FROM o),
+             |g AS (
+             |  SELECT *, CAST(SUM(new_sess) OVER
+             |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx FROM f)
+             |SELECT user_id, sess_idx, COUNT(*) AS n_events,
+             |       MIN(sec) AS t_start_sec,
+             |       MAX(sec) - MIN(sec) AS dur_sec,
+             |       CAST(SUM(v) AS DECIMAL(28,6)) AS sum_value
+             |FROM g GROUP BY 1, 2
+             |ORDER BY user_id ASC, sess_idx ASC""".stripMargin),
+      "gap-based sessionization: lag + running-sum session ids + per-session stats"),
+
+    // ------------------------------------------------------------------
+    // q84: stratified deterministic sampling — per-stratum keep rates via
+    // the cross-engine md5 hash (q80's split machinery generalised from
+    // global to per-group rates: downsample the over-represented language,
+    // keep more of the rest). Pure map-side; the 'strat:' salt decorrelates
+    // this hash from q80's split assignment.
+    GQuery(
+      "q84_stratified_sample",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            pmod(TF.md5Hash60(concat(lit("strat:"), col("doc_id").cast("string"))),
+              lit(1000L)).as("bucket"))
+          .filter(col("bucket") <
+            when(col("lang") === "en", 250L).otherwise(600L))
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT doc_id, lang,
+             |       CAST(('0x'||substr(md5('strat:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000 AS bucket
+             |FROM documents
+             |WHERE CAST(('0x'||substr(md5('strat:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000
+             |      < CASE WHEN lang = 'en' THEN 250 ELSE 600 END
+             |ORDER BY doc_id ASC""".stripMargin),
+      "per-language deterministic hash sampling (rebalance strata, never rand())"),
+
+    // ------------------------------------------------------------------
+    // q85: TF-IDF top terms per document. tf and df come from one
+    // explode→agg pass each; df (vocabulary-sized, corpus-independent) is
+    // broadcast back onto tf. Score is tf/df via ONE double division —
+    // IEEE division is correctly rounded, so Spark and DuckDB agree
+    // bit-for-bit (a log-based idf would be at the mercy of each engine's
+    // libm and could not be hash-gated; rankings are identical either way
+    // since log(N/df) is monotone in 1/df).
+    GQuery(
+      "q85_tfidf_topterms",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        val tf = tok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(broadcast(dfreq), "term")
+          .withColumn("score", col("tf").cast("double") / col("df"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("term"),
+            col("tf"), col("df"), col("score"))
+          .orderBy(col("doc_id").asc, col("rnk").asc)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfreq AS (
+             |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |r AS (
+             |  SELECT t.doc_id, t.term, t.tf, f.df,
+             |         CAST(t.tf AS DOUBLE) / f.df AS score,
+             |         CAST(row_number() OVER (PARTITION BY t.doc_id
+             |           ORDER BY CAST(t.tf AS DOUBLE) / f.df DESC, t.term ASC) AS INT) AS rnk
+             |  FROM tf t JOIN dfreq f USING (term))
+             |SELECT doc_id, rnk, term, tf, df, score
+             |FROM r WHERE rnk <= 3
+             |ORDER BY doc_id ASC, rnk ASC""".stripMargin),
+      "TF-IDF top-3 terms per doc (broadcast doc-freq, division-only score)"),
+
+    // ------------------------------------------------------------------
+    // q86: token packing — concat-and-chunk sequence assignment for LLM
+    // training: a running token total in doc_id order maps every document
+    // to its first/last 2048-token training sequence. The running total is
+    // Packing.prefixSum's two-level shape, NOT a global one-partition
+    // window (see Packing.scala), so the corpus-sized stages stay parallel;
+    // the oracle uses the naive global window, proving the distributed
+    // prefix sum exactly equals it.
+    GQuery(
+      "q86_token_packing",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tok"))
+        Packing.prefixSum(docs, "doc_id", "n_tok", bucketWidth = 128L)
+          .select(col("doc_id"), col("n_tok"), col("cum"),
+            floor((col("cum") - col("n_tok")) / 2048.0).as("bin_first"),
+            floor((col("cum") - 1) / 2048.0).as("bin_last"))
+          .withColumn("n_bins", col("bin_last") - col("bin_first") + 1)
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tok,
+             |         CAST(SUM(n_tok) OVER (ORDER BY doc_id ASC
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM t)
+             |SELECT doc_id, n_tok, cum,
+             |       CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS bin_first,
+             |       CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS bin_last,
+             |       CAST(floor((cum - 1) / 2048.0) - floor((cum - n_tok) / 2048.0) + 1 AS BIGINT) AS n_bins
+             |FROM c ORDER BY doc_id ASC""".stripMargin),
+      "token packing: distributed prefix sum == naive global window (oracle-proven)"),
+
+    // ------------------------------------------------------------------
+    // q87: heavy hitters via the Misra–Gries sketch — one mergeable
+    // aggregate pass (map-side partials, k-counter merge) instead of a
+    // full-vocabulary shuffle. k=64 exceeds the fixture's 31-word
+    // vocabulary, so the sketch estimates are provably EXACT here and the
+    // oracle pins est = cnt; the lossy k<distinct regime is covered by
+    // MisraGriesSpec. n_tok/65.0 is the sketch's N/(k+1) error bound.
+    GQuery(
+      "q87_heavy_hitters",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(explode(TF.tokens(col("text"))).as("term"))
+        val sk = tok.agg(MisraGriesAggregate(col("term"), 64).as("sketch"),
+          count(lit(1)).as("n_tok"))
+        tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term").asc).limit(10)
+          .crossJoin(broadcast(sk))
+          .select(col("term"), col("cnt"),
+            try_element_at(col("sketch"), col("term")).as("est"),
+            col("n_tok"))
+          .select(col("term"), col("cnt"), col("est"),
+            col("est").isNotNull.as("present"),
+            (col("est").isNotNull && col("est") <= col("cnt") &&
+              (col("cnt") - col("est")).cast("double") <=
+                col("n_tok").cast("double") / 65.0).as("err_ok"))
+          .orderBy(col("cnt").desc, col("term").asc)
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |exact AS (
+             |  SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1
+             |  ORDER BY cnt DESC, term ASC LIMIT 10)
+             |SELECT term, cnt, cnt AS est, TRUE AS present, TRUE AS err_ok
+             |FROM exact ORDER BY cnt DESC, term ASC""".stripMargin),
+      "Misra-Gries heavy hitters: k >= vocab makes the sketch exact (oracle-pinned)"),
+
+    // ------------------------------------------------------------------
+    // q88: funnel analysis — first view → first later click → first later
+    // purchase per user. Each stage is a groupBy(user_id) aggregate joined
+    // back on user_id, so every join key is the same and AQE/broadcast
+    // keeps the per-user stage tables (|users| rows, not |events|) cheap
+    // to re-join at any corpus scale.
+    GQuery(
+      "q88_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click").as("e")
+          .join(v.as("v"),
+            col("e.user_id") === col("v.user_id") && col("e.ts") > col("v.t_view"))
+          .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase").as("e")
+          .join(c.as("c"),
+            col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.t_click"))
+          .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            epochSec(col("t_view")).as("t_view_sec"),
+            col("t_click").isNotNull.as("reached_click"),
+            col("t_purchase").isNotNull.as("reached_purchase"),
+            (epochSec(col("t_purchase")) - epochSec(col("t_view"))).as("secs_to_purchase"))
+          .orderBy(col("user_id").asc)
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, MIN(ts) AS t_view FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+             |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+             |  WHERE e.event_type = 'click' GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+             |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+             |  WHERE e.event_type = 'purchase' GROUP BY 1)
+             |SELECT v.user_id,
+             |       CAST(floor(epoch(v.t_view)) AS BIGINT) AS t_view_sec,
+             |       c.user_id IS NOT NULL AS reached_click,
+             |       p.user_id IS NOT NULL AS reached_purchase,
+             |       CAST(floor(epoch(p.t_purchase)) - floor(epoch(v.t_view)) AS BIGINT) AS secs_to_purchase
+             |FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |       LEFT JOIN p ON v.user_id = p.user_id
+             |ORDER BY v.user_id ASC""".stripMargin),
+      "view->click->purchase funnel: per-user stage times + conversion flags"),
+  )
+}
