@@ -31,6 +31,9 @@ object Packing {
       bucketWidth: Long,
       out: String = "cum"): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1 (got $bucketWidth)")
+    require(!df.columns.contains(out), s"output column '$out' already exists")
+    require(df.columns.forall(!_.startsWith("_ps_")),
+      "column names starting with '_ps_' are reserved by prefixSum")
     val withB = df.withColumn("_ps_bucket",
       floor(col(orderCol) / lit(bucketWidth.toDouble)).cast("long"))
     val inner = Window.partitionBy(col("_ps_bucket"))

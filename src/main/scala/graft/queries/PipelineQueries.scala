@@ -93,13 +93,16 @@ object PipelineQueries {
       "per-language deterministic hash sampling (rebalance strata, never rand())"),
 
     // ------------------------------------------------------------------
-    // q85: TF-IDF top terms per document. tf and df come from one
-    // explode→agg pass each; df (vocabulary-sized, corpus-independent) is
-    // broadcast back onto tf. Score is tf/df via ONE double division —
-    // IEEE division is correctly rounded, so Spark and DuckDB agree
-    // bit-for-bit (a log-based idf would be at the mercy of each engine's
-    // libm and could not be hash-gated; rankings are identical either way
-    // since log(N/df) is monotone in 1/df).
+    // q85: TF-IDF top terms per document, in ONE tokenize pass: tf from
+    // explode→agg, then df as count() over a term-partitioned window on
+    // tf's (doc,term) rows — at web-corpus scale the vocabulary is
+    // billions of terms, so neither a broadcast of df nor a second
+    // tokenize pass (Spark has no CTE sharing) would survive; the window
+    // is one shuffle of the already-aggregated tf rows. Score is tf/df
+    // via ONE double division — IEEE division is correctly rounded, so
+    // Spark and DuckDB agree bit-for-bit (a log-based idf would be at the
+    // mercy of each engine's libm and could not be hash-gated; rankings
+    // are identical either way since log(N/df) is monotone in 1/df).
     GQuery(
       "q85_tfidf_topterms",
       (s, d) => {
@@ -107,10 +110,9 @@ object PipelineQueries {
           .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
         val tf = tok.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term").asc)
-        tf.join(broadcast(dfreq), "term")
+        tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
           .withColumn("score", col("tf").cast("double") / col("df"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
@@ -209,9 +211,11 @@ object PipelineQueries {
     // ------------------------------------------------------------------
     // q88: funnel analysis — first view → first later click → first later
     // purchase per user. Each stage is a groupBy(user_id) aggregate joined
-    // back on user_id, so every join key is the same and AQE/broadcast
-    // keeps the per-user stage tables (|users| rows, not |events|) cheap
-    // to re-join at any corpus scale.
+    // back on user_id. Stage outputs are |users|-sized, not |events|-sized,
+    // and each is consumed twice (next stage + final join) — Spark has no
+    // CTE sharing, so without the localCheckpoints one execution would
+    // re-scan events ~6×; checkpointing the tiny stage tables caps it at
+    // one scan per stage (the memory-documented small-result pattern).
     GQuery(
       "q88_funnel",
       (s, d) => {
@@ -219,10 +223,12 @@ object PipelineQueries {
           .select(col("user_id"), col("ts"), col("event_type"))
         val v = ev.filter(col("event_type") === "view")
           .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+          .localCheckpoint()
         val c = ev.filter(col("event_type") === "click").as("e")
           .join(v.as("v"),
             col("e.user_id") === col("v.user_id") && col("e.ts") > col("v.t_view"))
           .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t_click"))
+          .localCheckpoint()
         val p = ev.filter(col("event_type") === "purchase").as("e")
           .join(c.as("c"),
             col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.t_click"))

@@ -291,9 +291,15 @@ object ScaleQueries {
              |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))/127.0 AS scale
              |  FROM embeddings),
              |m AS (
+             |  -- scale = 0 (all-zero vector) quantizes to all zeros on the Spark
+             |  -- side; guard the division identically here
              |  SELECT vec_id, scale,
-             |         list_max(list_transform(vd, x -> abs(x - floor(x/scale + 0.5)*scale))) AS max_abs_err,
-             |         CAST(len(list_filter(vd, x -> abs(floor(x/scale + 0.5)) > 127)) AS INT) AS n_clipped
+             |         CASE WHEN scale = 0 THEN 0.0 ELSE
+             |           list_max(list_transform(vd, x -> abs(x - floor(x/scale + 0.5)*scale)))
+             |         END AS max_abs_err,
+             |         CASE WHEN scale = 0 THEN 0 ELSE
+             |           CAST(len(list_filter(vd, x -> abs(floor(x/scale + 0.5)) > 127)) AS INT)
+             |         END AS n_clipped
              |  FROM q)
              |SELECT vec_id, scale, max_abs_err, n_clipped,
              |       max_abs_err <= scale*0.500001 AS err_ok
