@@ -115,6 +115,21 @@ object EventStreams {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Stream-static join: enrich the event stream with a static dimension
+    * (customer). No state store is involved — Spark re-plans the static
+    * side each micro-batch (so a refreshed dim table is picked up) and
+    * broadcasts it when small; this is the standard slowly-changing-
+    * dimension enrichment shape, complementary to the stateful
+    * stream-stream join above. Left join keeps events whose user has no
+    * dimension row (stream-static left-outer needs no watermark: the
+    * static side never makes a stream row "late").
+    */
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      col("user_id") === col("c_custkey"), "left")
+      .drop("c_custkey")
+
   /** foreachBatch sink: the escape hatch for arbitrary batch-writer logic
     * per micro-batch (upserts, multi-sink fanout). foreachBatch itself is
     * AT-LEAST-ONCE (a batch can replay after a failure between the data

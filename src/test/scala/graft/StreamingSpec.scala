@@ -90,6 +90,24 @@ class StreamingSpec extends SparkTestBase {
     assert(got.size >= want.size / 2)
   }
 
+  test("stream-static join enriches events with the customer dimension (parity)") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    val cust = graft.sources.Tables.customer(spark, sf)
+    val enriched = EventStreams.enrichWithCustomer(stream, cust)
+    // stateless: append mode with no watermark emits every input row
+    val got = EventStreams.runToMemory(enriched, "t_enrich", "append")
+      .select(col("event_id"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+
+    val want = graft.sources.Tables.events(spark, sf)
+      .join(cust.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(got == want)
+    assert(got.exists(_._2 != null), "no event matched the dimension")
+  }
+
   test("foreachBatch sink writes each micro-batch exactly once") {
     val out = java.nio.file.Files.createTempDirectory("fb_out")
     val ckpt = java.nio.file.Files.createTempDirectory("fb_ckpt")
