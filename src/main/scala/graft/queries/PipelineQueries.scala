@@ -262,5 +262,37 @@ object PipelineQueries {
              |       LEFT JOIN p ON v.user_id = p.user_id
              |ORDER BY v.user_id ASC""".stripMargin),
       "view->click->purchase funnel: per-user stage times + conversion flags"),
+
+    // ------------------------------------------------------------------
+    // q89: text source/sink round-trip (completes the §2.1 file-format
+    // family: parquet/CSV/JSON/ORC/text). One doc per line, tab-separated
+    // id — safe because the corpus is single-space word text. The strict
+    // element_at (not try_element_at) makes a malformed line FAIL the
+    // query rather than silently dropping into a null-ignoring sum; the
+    // decimal content signature (sum of 60-bit md5 hashes — 19-digit
+    // values, so a long sum could overflow but DECIMAL(29,0) cannot)
+    // proves byte-level content fidelity, not just row counts.
+    GQuery(
+      "q89_text_roundtrip",
+      (s, d) => {
+        val tmp = s"/tmp/graft_text_${d.replaceAll("[^0-9.]", "")}_${ProcessHandle.current.pid}"
+        Tables.documents(s, d)
+          .select(concat_ws("\t", col("doc_id").cast("string"), col("text")).as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .select(split(col("value"), "\t", 2).as("p"))
+          .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+            element_at(col("p"), 2).as("text"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_ids"),
+            sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"),
+            sum(TF.md5Hash60(col("text")).cast(DecimalType(19, 0))).as("content_sig"))
+      },
+      Some("""SELECT COUNT(*) AS n_docs,
+             |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+             |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             |       CAST(SUM(CAST(CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS DECIMAL(19,0))) AS DECIMAL(29,0)) AS content_sig
+             |FROM documents""".stripMargin),
+      "text sink + source round-trip: content-hash signature == original corpus"),
   )
 }

@@ -58,6 +58,29 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(meta.map(_.content_hash).toSeq == again.map(_.content_hash).toSeq)
   }
 
+  test("binaryFile source ingests opaque payloads with file metadata") {
+    // the ingestion front door for the multimodal (§2.11) pipeline: raw
+    // image/audio bytes land as (path, modificationTime, length, content)
+    val dir = java.nio.file.Files.createTempDirectory("graft_binsrc")
+    val payloads = Map("a.bin" -> Array[Byte](1, 2, 3, 4, 5),
+      "b.bin" -> Array.tabulate[Byte](300)(i => (i % 127).toByte))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    }
+    val df = spark.read.format("binaryFile").load(dir.toString)
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val rows = df.collect().map { r =>
+      val name = r.getString(r.fieldIndex("path")).split('/').last
+      (name, r.getLong(r.fieldIndex("length")),
+        r.getAs[Array[Byte]]("content"))
+    }
+    assert(rows.length == 2)
+    rows.foreach { case (name, len, content) =>
+      assert(payloads(name).length.toLong == len)
+      assert(content.sameElements(payloads(name)), s"content mismatch for $name")
+    }
+  }
+
   test("frame sampling fans out every stride-th frame") {
     import spark.implicits._
     val media = Seq(Multimodal.MediaRow(1L, Array.fill[Byte](300)(1), "video/fake")).toDS()
