@@ -294,5 +294,28 @@ object PipelineQueries {
              |       CAST(SUM(CAST(CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS DECIMAL(19,0))) AS DECIMAL(29,0)) AS content_sig
              |FROM documents""".stripMargin),
       "text sink + source round-trip: content-hash signature == original corpus"),
+
+    // ------------------------------------------------------------------
+    // q90: equi-width histogram — one aggregation pass with a computed
+    // bucket key (no per-bucket filters, no second scan for data-dependent
+    // bounds). DuckDB 1.0 has no width_bucket, so both sides use the same
+    // explicit floor(x / width) capped at the last bucket: double divide
+    // and floor are IEEE-correctly-rounded, hence bit-identical
+    // cross-engine.
+    GQuery(
+      "q90_histogram",
+      (s, d) => {
+        Tables.orders(s, d)
+          .select(least(floor(col("o_totalprice") / 25000.0), lit(19L)).as("bucket"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_price"))
+          .orderBy(col("bucket").asc)
+      },
+      Some("""SELECT LEAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 19) AS bucket,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+             |FROM orders GROUP BY 1 ORDER BY bucket ASC""".stripMargin),
+      "equi-width histogram: computed bucket key, single aggregation pass"),
   )
 }

@@ -98,9 +98,17 @@ object EventStreams {
     * the same user in the preceding `windowSeconds`. Both sides carry
     * watermarks and the join condition bounds event time on BOTH ends, so
     * the state store can evict rows once the watermark passes — the
-    * canonical bounded-state stream-stream join shape.
+    * canonical bounded-state stream-stream join shape. `joinType`
+    * "leftOuter" emits unmatched purchases too — null-padded rows are
+    * produced only once the watermark proves no matching click can still
+    * arrive (the outer variant is exactly why the time bounds are
+    * mandatory: without them unmatched state could never be finalized).
     */
-  def purchaseClickJoin(events: DataFrame, windowSeconds: Long, watermarkDelay: String): DataFrame = {
+  def purchaseClickJoin(
+      events: DataFrame,
+      windowSeconds: Long,
+      watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
@@ -112,7 +120,8 @@ object EventStreams {
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
-        col("c_ts") <= col("p_ts"))
+        col("c_ts") <= col("p_ts"),
+      joinType)
   }
 
   /** Stream-static join: enrich the event stream with a static dimension

@@ -90,6 +90,38 @@ class StreamingSpec extends SparkTestBase {
     assert(got.size >= want.size / 2)
   }
 
+  test("left-outer stream-stream join emits watermark-finalized unmatched rows") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    val joined = EventStreams.purchaseClickJoin(stream, windowSeconds = 600,
+      watermarkDelay = "1 hour", joinType = "leftOuter")
+    val rows = EventStreams.runToMemory(joined, "t_ssj_lo", "append")
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val matched = rows.collect { case (p, Some(c)) => (p, c) }.toSet
+    val unmatched = rows.collect { case (p, None) => p }.toSet
+
+    val ev = graft.sources.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = p.join(c, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 600 SECONDS") &&
+        col("c_ts") <= col("p_ts"), "left")
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val wantMatched = batch.collect { case (pp, Some(cc)) => (pp, cc) }.toSet
+    val wantUnmatched = batch.collect { case (pp, None) => pp }.toSet
+
+    // matched pairs are exact (subset: trailing region past the final
+    // watermark never finalizes on bounded input); null-padded rows must
+    // be genuinely unmatched AND never also emitted as matched
+    assert(matched.nonEmpty && matched.subsetOf(wantMatched))
+    assert(unmatched.subsetOf(wantUnmatched), "false unmatched row emitted")
+    assert(unmatched.intersect(matched.map(_._1)).isEmpty)
+    assert(unmatched.nonEmpty, "outer join emitted no null-padded rows")
+  }
+
   test("stream-static join enriches events with the customer dimension (parity)") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     val cust = graft.sources.Tables.customer(spark, sf)
