@@ -317,5 +317,37 @@ object PipelineQueries {
              |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
              |FROM orders GROUP BY 1 ORDER BY bucket ASC""".stripMargin),
       "equi-width histogram: computed bucket key, single aggregation pass"),
+
+    // ------------------------------------------------------------------
+    // q91: within-document repetition ratio — the standard boilerplate /
+    // degenerate-text quality filter (1 - distinct/total 3-grams). Pure
+    // map-side row-local work, no shuffle except the output sort. The
+    // score is one division and one subtraction, both IEEE-correctly-
+    // rounded, so the flag threshold compares identically cross-engine.
+    GQuery(
+      "q91_repetition_ratio",
+      (s, d) => {
+        Tables.documents(s, d)
+          .filter(size(TF.tokens(col("text"))) >= 3)
+          .select(col("doc_id"),
+            (size(TF.tokens(col("text"))) - 2).cast("long").as("n_ngrams"),
+            size(TF.wordShingles(col("text"), 3)).cast("long").as("n_distinct"))
+          .withColumn("rep_ratio",
+            lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
+          .withColumn("flag_repetitive", col("rep_ratio") > 0.2)
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |g AS (
+             |  SELECT doc_id, CAST(len(ws) - 2 AS BIGINT) AS n_ngrams,
+             |         CAST(len(list_distinct(list_transform(range(1, len(ws) - 1),
+             |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS BIGINT) AS n_distinct
+             |  FROM t WHERE len(ws) >= 3)
+             |SELECT doc_id, n_ngrams, n_distinct,
+             |       1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams AS rep_ratio,
+             |       (1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams) > 0.2 AS flag_repetitive
+             |FROM g ORDER BY doc_id ASC""".stripMargin),
+      "within-doc 3-gram repetition ratio: map-side quality filter"),
   )
 }
