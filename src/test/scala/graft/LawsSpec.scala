@@ -86,4 +86,46 @@ class LawsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) == sigs(2L)) // identical sets → identical signatures
   }
+
+  test("misra-gries laws: never overcounts, undercount <= N/(k+1), heavy survive") {
+    import graft.expressions.MisraGriesAggregate
+    val streams = Gen.listOfN(200, Gen.oneOf(
+      "a", "a", "a", "a", "b", "b", "c", "d", "e", "f", "g", "h"))
+    check(Prop.forAll(streams) { items =>
+      val k = 3
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      val m = spark.sparkContext.parallelize(items, 4).toDF("t")
+        .agg(MisraGriesAggregate(col("t"), k).as("m"))
+        .collect()(0).getMap[String, Long](0)
+      val bound = n / (k + 1)
+      m.size <= k &&
+        m.forall { case (t, est) => est <= exact(t) && exact(t) - est <= bound } &&
+        exact.forall { case (t, c) => c <= bound || m.contains(t) }
+    })
+  }
+
+  test("int8 quantization laws: error <= scale/2, no clipping, sign preserved") {
+    import graft.functions.Similarity
+    val vecs = Gen.listOfN(6, Gen.listOfN(8,
+      Gen.chooseNum(-100.0f, 100.0f)).map(_.toArray))
+    check(Prop.forAll(vecs) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val rows = Similarity.quantizeInt8(df, "vec_id", "embedding")
+        .join(df.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vd")), "vec_id")
+        .collect()
+      rows.forall { r =>
+        val scale = r.getDouble(r.fieldIndex("scale"))
+        val q = r.getSeq[Double](r.fieldIndex("qvec"))
+        val vd = r.getSeq[Double](r.fieldIndex("vd"))
+        q.forall(x => math.abs(x) <= 127.0) &&
+          q.zip(vd).forall { case (qq, x) =>
+            math.abs(x - qq * scale) <= scale / 2.0 + 1e-12 &&
+              (x == 0.0 || qq == 0.0 || qq.sign == x.sign)
+          }
+      }
+    })
+  }
 }

@@ -38,6 +38,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q85 rank filter plans as WindowGroupLimit (top-k pushed below the shuffle)") {
+    val p = plan("q85_tfidf_topterms")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q86 prefix sum never runs a corpus-sized one-partition window") {
+    // the only acceptable unpartitioned window is the bucket-offsets level,
+    // which consumes the per-bucket aggregate (HashAggregate), never a scan
+    val p = plan("q86_token_packing")
+    val windows = p.split("\n").filter(_.contains("Window"))
+    assert(windows.nonEmpty)
+    // corpus-sized window must be hash-partitioned on the bucket column
+    assert(p.contains("_ps_bucket"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // offsets joined by broadcast
+  }
+
+  test("q88 funnel joins the per-user stage tables by broadcast") {
+    assert(plan("q88_funnel").contains("BroadcastHashJoin"))
+  }
+
   test("q59 partitioned re-read prunes to the filtered partition") {
     // run once so the partitioned directory exists, then inspect the plan
     val df = SparkEntry.queries("q59_partitioned_parquet")(spark, sf)
