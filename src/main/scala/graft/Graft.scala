@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => AsOfStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushLeftFilterThroughAsOf)
     e.injectFunction(Graft.cosineSimDescriptor)
+    e.injectFunction(Graft.misraGriesDescriptor)
   }
 }
 
@@ -36,12 +37,34 @@ object Graft {
       CosineSimilarity(children(0), children(1))
     })
 
+  private[graft] val misraGriesDescriptor = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("misra_gries"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[graft.expressions.MisraGriesAggregate].getName, "misra_gries"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 2, "misra_gries(item, k) takes two args")
+      // k shapes the aggregation buffer, so it must be a plan-time constant
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"misra_gries k must be an integer literal, got $other")
+      }
+      // return the bare AggregateFunction: the analyzer wraps it in an
+      // AggregateExpression exactly as for built-in aggregates
+      graft.expressions.MisraGriesAggregate(children(0), k)
+    })
+
   /** Idempotently install on a live session. */
   def install(spark: SparkSession): Unit = {
     AsOfStrategy.register(spark) // registers the strategy AND its optimizer rule
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => cosineSimDescriptor._3(exprs),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "misra_gries",
+      exprs => misraGriesDescriptor._3(exprs),
       "built-in")
   }
 }

@@ -25,6 +25,26 @@ class GraftInstallSpec extends SparkTestBase {
     assert(viaSql.nonEmpty)
   }
 
+  test("install registers misra_gries as a SQL aggregate") {
+    Graft.install(spark)
+    graft.sources.Tables.documents(spark, sf).createOrReplaceTempView("g_docs")
+    // k=64 >= fixture vocab -> sketch is exact: compare against plain counts
+    val viaSql = spark.sql(
+      """SELECT misra_gries(term, 64) AS m FROM
+        |  (SELECT explode(split(text, ' ')) AS term FROM g_docs)""".stripMargin)
+      .collect()(0).getMap[String, Long](0)
+    val exact = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == exact)
+    // non-literal k must fail cleanly at resolution
+    val err = intercept[Exception] {
+      spark.sql("SELECT misra_gries(term, length(term)) FROM (SELECT 'x' AS term)").collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
+
   test("install is idempotent") {
     Graft.install(spark)
     Graft.install(spark)
