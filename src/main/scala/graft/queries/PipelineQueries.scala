@@ -349,5 +349,38 @@ object PipelineQueries {
              |       (1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams) > 0.2 AS flag_repetitive
              |FROM g ORDER BY doc_id ASC""".stripMargin),
       "within-doc 3-gram repetition ratio: map-side quality filter"),
+
+    // ------------------------------------------------------------------
+    // q92: incremental dedup — the daily-ingest shape: drop new-batch docs
+    // whose fingerprint already exists in the corpus. One anti-join
+    // shuffled on the fingerprint (the corpus side is the big one — never
+    // broadcast it; at 100 TB the fingerprint index is exactly what you'd
+    // persist bucketed on fp to make this a zero-shuffle daily job). The
+    // 8-token prefix fingerprint is deliberately weaker than full-text
+    // md5 so the fixture's near-dup groups (shared 200-char prefixes)
+    // actually collide across the corpus/new split.
+    GQuery(
+      "q92_incremental_dedup",
+      (s, d) => {
+        val withFp = Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(TF.tokens(col("text")), 1, 8))).as("fp"),
+            substring(col("source"), 4, 10).cast("int").as("src_no"))
+        val corpus = withFp.filter(col("src_no") < 10).select(col("fp"))
+        withFp.filter(col("src_no") >= 10)
+          .join(corpus, Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("fp"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+             |         CAST(substr(source, 4) AS INT) AS src_no
+             |  FROM documents)
+             |SELECT n.doc_id, n.fp FROM d n
+             |WHERE n.src_no >= 10
+             |  AND NOT EXISTS (SELECT 1 FROM d c WHERE c.src_no < 10 AND c.fp = n.fp)
+             |ORDER BY doc_id ASC""".stripMargin),
+      "incremental dedup: anti-join new batch vs corpus fingerprint index"),
   )
 }
