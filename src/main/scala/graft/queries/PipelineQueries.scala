@@ -382,5 +382,41 @@ object PipelineQueries {
              |  AND NOT EXISTS (SELECT 1 FROM d c WHERE c.src_no < 10 AND c.fp = n.fp)
              |ORDER BY doc_id ASC""".stripMargin),
       "incremental dedup: anti-join new batch vs corpus fingerprint index"),
+
+    // ------------------------------------------------------------------
+    // q93: ignore-nulls window navigation + ntile — the remaining §2.5
+    // window-function semantics: lag(... IGNORE NULLS) (last prior
+    // non-null), a running last_value(... IGNORE NULLS) frame (the
+    // gap-fill primitive behind q64's forward fill), and ntile bucketing.
+    // Nulls are constructed via CASE (the fixtures have none); values pass
+    // through un-arithmetic'd, so doubles stay bit-identical.
+    GQuery(
+      "q93_window_ignore_nulls",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), epochSec(col("ts")).as("sec"),
+            col("ts"),
+            when(col("event_type") =!= "error", col("value")).as("v"))
+          .select(col("user_id"), col("event_id"), col("sec"),
+            lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"),
+            last(col("v"), ignoreNulls = true).over(wRun).as("run_v"),
+            ntile(4).over(w).as("tile"))
+          .orderBy(col("user_id").asc, col("sec").asc, col("event_id").asc)
+      },
+      Some("""SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             |       lag(v IGNORE NULLS) OVER w AS prev_v,
+             |       last_value(v IGNORE NULLS) OVER
+             |         (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_v,
+             |       CAST(ntile(4) OVER w AS INT) AS tile
+             |FROM (SELECT user_id, event_id, ts,
+             |             CASE WHEN event_type <> 'error' THEN value END AS v
+             |      FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+             |ORDER BY user_id ASC, sec ASC, event_id ASC""".stripMargin),
+      "ignore-nulls lag / running last_value / ntile (§2.5 completeness)"),
   )
 }
