@@ -58,6 +58,52 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("q88_funnel").contains("BroadcastHashJoin"))
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // the 100 TB flagship scan-reducer: a selective filter on the dimension
+    // side prunes the partitioned fact's directories via a runtime subquery
+    // — the fact filter is dynamicpruning#N, not a static literal
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    // the dim must be (a) cheap relative to the fact scan — the DPP cost
+    // heuristic rejects expensive subqueries — and (b) a real relation:
+    // a filtered in-memory Seq gets constant-folded to a bare
+    // LocalRelation, and DPP requires a surviving selective Filter node
+    val dimTmp = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("A", 1L), ("N", 2L), ("R", 3L)).toDF("flag", "ns")
+      .write.mode("overwrite").parquet(dimTmp)
+    val dim = spark.read.parquet(dimTmp).filter(col("ns") === 1L)
+    val fact = spark.read.parquet(tmp)
+    val joined = fact.join(dim, fact("l_returnflag") === dim("flag"))
+      .groupBy(col("flag")).agg(sum(col("l_quantity")).as("q"))
+    val p = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("dynamicpruning"), p)
+    assert(joined.collect().length == 1)
+  }
+
+  test("runtime bloom filter: selective dim join injects a bloom probe on the fact scan") {
+    // runtime filtering for non-partitioned join keys: the big-side scan is
+    // pre-filtered by a bloom built from the small side, cutting shuffle
+    // volume before the join — thresholds lowered to fire at fixture size
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    val li = graft.sources.Tables.lineitem(s2, sf)
+    val ord = graft.sources.Tables.orders(s2, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val p = joined.queryExecution.optimizedPlan.toString
+    assert(p.contains("bloom_filter") || p.contains("BloomFilter"), p)
+    assert(joined.collect().nonEmpty)
+  }
+
   test("q59 partitioned re-read prunes to the filtered partition") {
     // run once so the partitioned directory exists, then inspect the plan
     val df = SparkEntry.queries("q59_partitioned_parquet")(spark, sf)
