@@ -44,14 +44,20 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("q86 prefix sum never runs a corpus-sized one-partition window") {
-    // the only acceptable unpartitioned window is the bucket-offsets level,
-    // which consumes the per-bucket aggregate (HashAggregate), never a scan
-    val p = plan("q86_token_packing")
-    val windows = p.split("\n").filter(_.contains("Window"))
-    assert(windows.nonEmpty)
-    // corpus-sized window must be hash-partitioned on the bucket column
-    assert(p.contains("_ps_bucket"), p)
-    assert(p.contains("BroadcastHashJoin"), p) // offsets joined by broadcast
+    // structural check on the optimized plan: the ONLY unpartitioned window
+    // is the bucket-offsets level, and it consumes the per-bucket Aggregate
+    // (bucket-count-sized input), never the corpus scan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = SparkEntry.queries("q86_token_packing")(spark, sf)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size == 1, s"expected exactly one offsets-level window, got $wins")
+    assert(unpartitioned.head.child.collectFirst { case a: Aggregate => a }.isDefined,
+      "the unpartitioned window must read the per-bucket aggregate, not the corpus")
+    assert(wins.exists(_.partitionSpec.nonEmpty), "corpus window lost its partitioning")
+    assert(plan("q86_token_packing").contains("BroadcastHashJoin")) // offsets joined by broadcast
   }
 
   test("q88 funnel joins the per-user stage tables by broadcast") {
@@ -101,7 +107,15 @@ class PlanShapeSpec extends SparkTestBase {
       .agg(sum(col("l_quantity")).as("q"))
     val p = joined.queryExecution.optimizedPlan.toString
     assert(p.contains("bloom_filter") || p.contains("BloomFilter"), p)
-    assert(joined.collect().nonEmpty)
+    // the bloom is a pre-filter, never a result changer: the sum must equal
+    // the plain join's (l_quantity is integral-valued, so the double sum is
+    // exact and order-independent)
+    val expected = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(col("l_quantity"))).collect()(0).getDouble(0)
+    assert(joined.collect()(0).getDouble(0) == expected)
   }
 
   test("q59 partitioned re-read prunes to the filtered partition") {
