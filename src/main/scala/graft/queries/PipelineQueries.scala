@@ -418,5 +418,54 @@ object PipelineQueries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
              |ORDER BY user_id ASC, sec ASC, event_id ASC""".stripMargin),
       "ignore-nulls lag / running last_value / ntile (§2.5 completeness)"),
+
+    // ------------------------------------------------------------------
+    // q94: overlapping token chunking — the RAG / embedding-prep shape:
+    // split each document into 50-token windows with stride 25. Chunks
+    // are produced by a generator (explode over a computed index range) so
+    // the work is row-local and the optimizer cannot re-inline the token
+    // array per chunk; emitting the md5 of each chunk (not the text)
+    // keeps the gate content-exact without megabyte rows.
+    GQuery(
+      "q94_token_chunks",
+      (s, d) => {
+        val width = 50
+        val stride = 25
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TF.tokens(col("text")).as("ws"))
+          .withColumn("n_tok", size(col("ws")))
+        // chunk starts: 0, 25, 50, ... — last chunk may be short; a doc
+        // shorter than one stride still yields exactly one chunk
+        docs
+          .select(col("doc_id"), col("ws"), col("n_tok"),
+            // floor((n_tok-1)/25) = last chunk index (n_tok >= 1 always);
+            // Column./ is double division, so floor+cast back to int
+            explode(sequence(lit(0),
+              floor(greatest(col("n_tok") - 1, lit(0)) / (stride * 1.0)).cast("int"))).as("ci"))
+          .filter(col("ci") * stride < col("n_tok"))
+          .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+            slice(col("ws"), col("ci") * stride + 1, lit(width)).as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).cast("long").as("chunk_tokens"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+          .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws,
+             |         len(string_split(text, ' ')) AS n_tok
+             |  FROM documents),
+             |e AS (
+             |  SELECT doc_id, ws, n_tok,
+             |         unnest(range(0, CAST(ceil(n_tok / 25.0) AS BIGINT))) AS ci
+             |  FROM t),
+             |c AS (
+             |  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+             |         ws[ci*25 + 1 : least(ci*25 + 50, n_tok)] AS chunk
+             |  FROM e WHERE ci * 25 < n_tok)
+             |SELECT doc_id, chunk_idx,
+             |       CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+             |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+             |FROM c ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin),
+      "overlapping token chunking (width 50, stride 25): RAG/embedding prep"),
   )
 }
