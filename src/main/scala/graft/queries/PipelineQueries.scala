@@ -467,5 +467,46 @@ object PipelineQueries {
              |       md5(array_to_string(chunk, ' ')) AS chunk_md5
              |FROM c ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin),
       "overlapping token chunking (width 50, stride 25): RAG/embedding prep"),
+
+    // ------------------------------------------------------------------
+    // q95: edit-distance verification of fuzzy-dedup candidates — the
+    // character-level complement to token-level Jaccard (q38): block on
+    // the 8-token prefix fingerprint (never all-pairs; a boilerplate-heavy
+    // corpus would need the MinHash-style hot-bucket cap on this key
+    // too), then exact Levenshtein inside blocks only. levenshtein is an
+    // integer metric with identical semantics in both engines, so the
+    // gate is hash-exact; the normalized similarity is one division off
+    // integers (IEEE-exact cross-engine).
+    GQuery(
+      "q95_edit_distance",
+      (s, d) => {
+        val withFp = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            md5(concat_ws(" ", slice(TF.tokens(col("text")), 1, 8))).as("fp"))
+        val a = withFp.select(col("fp"), col("doc_id").as("id_a"), col("text").as("ta"))
+        val b = withFp.select(col("fp"), col("doc_id").as("id_b"), col("text").as("tb"))
+        a.join(b, "fp").filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+            length(col("ta")).cast("long").as("len_a"),
+            length(col("tb")).cast("long").as("len_b"))
+          .withColumn("edit_sim",
+            lit(1.0) - col("edit_dist").cast("double") /
+              greatest(col("len_a"), col("len_b")))
+          .orderBy(col("id_a").asc, col("id_b").asc)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text,
+             |         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+             |       CAST(length(a.text) AS BIGINT) AS len_a,
+             |       CAST(length(b.text) AS BIGINT) AS len_b,
+             |       1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+             |             greatest(length(a.text), length(b.text)) AS edit_sim
+             |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |ORDER BY id_a ASC, id_b ASC""".stripMargin),
+      "blocked Levenshtein verification: char-level fuzzy-dedup metric, hash-exact"),
   )
 }
