@@ -508,5 +508,32 @@ object PipelineQueries {
              |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
              |ORDER BY id_a ASC, id_b ASC""".stripMargin),
       "blocked Levenshtein verification: char-level fuzzy-dedup metric, hash-exact"),
+
+    // ------------------------------------------------------------------
+    // q96: BPE-ish tokenization estimate — the regex-pretokenizer
+    // complement to q42's whitespace counts: GPT-2-style pretokens
+    // (letter runs | digit runs | punctuation singles) plus a subword
+    // estimate of ceil(len/4) per pretoken (the ~4-chars-per-BPE-token
+    // heuristic). The character classes behave identically in Java regex
+    // and RE2; all arithmetic is integer. Map-side row-local.
+    GQuery(
+      "q96_bpeish_tokens",
+      (s, d) => {
+        val toks = regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_pretokens"),
+            aggregate(transform(toks, t => ceil(length(t) / 4.0)),
+              lit(0L), (a, x) => a + x).as("n_subwords_est"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT doc_id,
+             |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_pretokens,
+             |       CAST(COALESCE(list_sum(list_transform(
+             |         regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'),
+             |         t -> CAST(ceil(length(t)/4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords_est
+             |FROM documents ORDER BY doc_id ASC""".stripMargin),
+      "BPE-ish pretokenizer counts + ceil(len/4) subword estimate"),
   )
 }
