@@ -30,7 +30,8 @@ object QueryRegistry {
       graft.queries.ExtraQueries.all ++
       graft.queries.InvariantQueries.all ++
       graft.queries.ScaleQueries.all ++
-      graft.queries.PipelineQueries.all
+      graft.queries.PipelineQueries.all ++
+      graft.queries.CurationQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-curation family (q97–q103): invariants the SQL
+  * oracle can't express (plan shapes, determinism across runs, flag
+  * consistency) plus a planted-contamination check for the decontaminator.
+  */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def formatted(name: String): String =
+    q(name).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q97 decontamination: benchmark docs excluded, flag consistent with hits") {
+    val rows = q("q97_decontaminate")
+      .select("doc_id", "n_hits", "n_ngrams", "flag_contaminated").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 25 != 0, s"benchmark doc ${r.getLong(0)} in output")
+      assert(r.getBoolean(3) == (r.getLong(1) > 0))
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(2),
+        s"hits outside [0, n_ngrams]: $r")
+    }
+    // fixture plants exact duplicate texts across doc_ids; any non-benchmark
+    // exact dup of a benchmark doc must be flagged 100% contaminated
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val dupOfBench = docs.filter(col("doc_id") % 25 === 0).as("b")
+      .join(docs.filter(col("doc_id") % 25 =!= 0).as("t"), $"b.text" === $"t.text")
+      .select($"t.doc_id").as[Long].collect().toSet
+    if (dupOfBench.nonEmpty) {
+      val flagged = rows.filter(r => dupOfBench(r.getLong(0)))
+      assert(flagged.forall(_.getBoolean(3)),
+        s"exact dup of benchmark doc not flagged: ${flagged.mkString(",")}")
+    }
+  }
+
+  test("q97 probes the corpus with a broadcast of the benchmark grams") {
+    assert(formatted("q97_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("q98 domain cap: <=3 per source, longest kept, WindowGroupLimit plan") {
+    val rows = q("q98_domain_cap").collect()
+    val bySource = rows.groupBy(_.getString(1))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= 3, s"$src has ${rs.length} rows")
+      val lens = rs.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(lens.sameElements(lens.sorted(Ordering[Long].reverse)),
+        s"$src not length-descending: ${lens.mkString(",")}")
+    }
+    // every source keeps its true max-length doc
+    val trueMax = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(max(col("n_chars")).as("m"))
+      .as[(String, Long)].collect().toMap
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getLong(2)).max == trueMax(src), s"$src lost its longest doc")
+    }
+    assert(formatted("q98_domain_cap").contains("WindowGroupLimit"))
+  }
+
+  test("q99 url parse: host+path+query recompose the original url") {
+    q("q99_url_parse").collect().foreach { r =>
+      val (url, host, path, qs) =
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+      assert(url == s"https://$host$path?$qs", s"decomposition drift: $r")
+      assert(r.getString(5) == host.stripPrefix("www."))
+    }
+  }
+
+  test("q100 pii redaction: every doc has the planted email+phone counted") {
+    q("q100_pii_redact").collect().foreach { r =>
+      assert(r.getLong(1) >= 1L, s"email missed: $r")
+      assert(r.getLong(2) >= 1L, s"phone missed: $r")
+    }
+  }
+
+  test("q101 shuffle-shard: shards in range, positions contiguous, deterministic") {
+    val rows = q("q101_shuffle_shard").collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.groupBy(_.getLong(2)).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 8)
+      assert(rs.map(_.getInt(3)).sorted.sameElements(1 to rs.length),
+        s"shard $shard positions not contiguous")
+    }
+    // reproducible training order: two independent plans agree exactly
+    assert(q("q101_shuffle_shard").collect().sameElements(rows))
+  }
+
+  test("q103 outliers: n_outliers bounded by group size, m2 non-negative") {
+    val rows = q("q103_zscore_outliers").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0, s"negative m2: $r")
+      assert(r.getLong(4) >= 0 && r.getLong(4) < r.getLong(1),
+        s"outlier count out of range: $r")
+    }
+  }
+}
