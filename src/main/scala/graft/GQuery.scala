@@ -31,7 +31,8 @@ object QueryRegistry {
       graft.queries.InvariantQueries.all ++
       graft.queries.ScaleQueries.all ++
       graft.queries.PipelineQueries.all ++
-      graft.queries.CurationQueries.all
+      graft.queries.CurationQueries.all ++
+      graft.queries.SqlFeatureQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

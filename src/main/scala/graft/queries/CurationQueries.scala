@@ -28,25 +28,31 @@ object CurationQueries {
     // never shuffles for the probe — one map-side broadcast join plus one
     // groupBy(doc_id) shuffle of (doc_id, hit) rows. Grams travel as
     // 60-bit md5 hashes, not strings (oracle-reproducible, ~10× narrower
-    // shuffle rows than raw 5-grams).
+    // shuffle rows than raw 5-grams). The shingle transform lives INSIDE
+    // the explode generator (generator inputs are computed once per row;
+    // a named `grams` column referenced by size()+filter()+explode() gets
+    // re-inlined into each by CollapseProject — 3× the shingle cost, the
+    // known Catalyst pitfall), and n_ngrams falls out of the post-explode
+    // count: shingles are distinct per doc, so count(*) == size(grams),
+    // and <5-word docs explode to zero rows — no size() anywhere.
     GQuery(
       "q97_decontaminate",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), TF.wordShingles(col("text"), 5).as("grams"))
-          .filter(size(col("grams")) > 0)
-        val benchGrams = docs.filter(col("doc_id") % 25 === 0)
-          .select(explode(col("grams")).as("g"))
-          .select(TF.md5Hash60(col("g")).as("gh"))
-          .distinct()
+        // spread BEFORE the per-token work: the fixture arrives as one
+        // parquet file = one partition, which would serialize all shingle
+        // hashing onto a single core (measured 5.3 s of the original 5.8).
+        def exploded(pred: org.apache.spark.sql.Column) =
+          Tables.spread(Tables.documents(s, d).filter(pred), col("doc_id"))
+            .select(col("doc_id"),
+              explode(TF.wordShingleHashes(col("text"), 5)).as("gh"))
+        val benchGrams = exploded(col("doc_id") % 25 === 0)
+          .select(col("gh")).distinct()
           .withColumn("hit", lit(1L))
-        docs.filter(col("doc_id") % 25 =!= 0)
-          .select(col("doc_id"), size(col("grams")).cast("long").as("n_ngrams"),
-            explode(col("grams")).as("g"))
-          .select(col("doc_id"), col("n_ngrams"), TF.md5Hash60(col("g")).as("gh"))
+        exploded(col("doc_id") % 25 =!= 0)
           .join(broadcast(benchGrams), Seq("gh"), "left")
-          .groupBy(col("doc_id"), col("n_ngrams"))
-          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_ngrams"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
           .withColumn("contamination",
             col("n_hits").cast("double") / col("n_ngrams"))
           .withColumn("flag_contaminated", col("n_hits") > 0)

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GQuery
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+
+/** SQL-engine-depth gates: the subquery/decorrelation surface (correlated
+  * scalar subqueries, EXISTS anti-join, lateral top-k) plus unpivot and an
+  * end-to-end curation composite. These exercise Catalyst's
+  * RewriteCorrelatedScalarSubquery / RewritePredicateSubquery /
+  * DecorrelateInnerQuery rules — operators a user writes as SQL but the
+  * engine must plan as joins to be runnable at all (a per-row subquery
+  * execution would be O(n·m) at 100 TB; the decorrelated plan is one
+  * aggregate plus one join).
+  */
+object SqlFeatureQueries {
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q104: correlated scalar subquery — orders priced above 1.5× their
+    // customer's mean order value. Catalyst decorrelates the subquery into
+    // a grouped aggregate joined back on o_custkey (the scalable shape;
+    // naive per-row evaluation would rescan orders per order). Both needed
+    // aggregates travel in ONE named_struct subquery: Spark instantiates a
+    // correlated subquery once per *reference* (the filter and the output
+    // each count), so two scalar subqueries referenced twice planned as 4
+    // aggregate+join instances — struct packing halves that to 2. The
+    // remaining duplication is why the aggregate-join spelling (q103) stays
+    // the production shape; this gate pins the SQL path's semantics. The
+    // 1.5× test runs in integer cents ((2·price·cnt) vs (3·sum)) so both
+    // engines compare exact BIGINTs — a double mean would be
+    // accumulation-order-dependent and not hash-gateable.
+    GQuery(
+      "q104_scalar_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("g_sq_orders")
+        s.sql("""SELECT o_orderkey, o_custkey, price, cs.s AS cust_sum, cs.c AS cust_cnt
+                |FROM (
+                |  SELECT o_orderkey, o_custkey,
+                |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                |         (SELECT named_struct(
+                |                   's', CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)),
+                |                   'c', COUNT(*))
+                |            FROM g_sq_orders o2 WHERE o2.o_custkey = o.o_custkey) AS cs
+                |  FROM g_sq_orders o)
+                |WHERE 2 * CAST(price * 100 AS BIGINT) * cs.c
+                |      > 3 * CAST(cs.s * 100 AS BIGINT)
+                |ORDER BY o_orderkey ASC""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, price, cust_sum, cust_cnt
+             |FROM (
+             |  SELECT o_orderkey, o_custkey,
+             |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             |         (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+             |            FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_sum,
+             |         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o2
+             |            WHERE o2.o_custkey = o.o_custkey) AS cust_cnt
+             |  FROM orders o)
+             |WHERE 2 * CAST(price * 100 AS BIGINT) * cust_cnt
+             |      > 3 * CAST(cust_sum * 100 AS BIGINT)
+             |ORDER BY o_orderkey ASC""".stripMargin),
+      "correlated scalar subqueries decorrelated to aggregate+join; exact-cents filter"),
+
+    // ------------------------------------------------------------------
+    // q105: NOT EXISTS → anti join — customers with no order above 300k.
+    // RewritePredicateSubquery plans this as a left-anti hash join on
+    // o_custkey: shuffle-partitionable, scalable. The NOT IN spelling on a
+    // nullable key would instead force a null-aware anti join
+    // (BroadcastNestedLoop — quadratic, a 100 TB bug); the spec locks the
+    // scalable plan in. Inner predicate is pushed below the join so the
+    // anti side scans only qualifying orders.
+    GQuery(
+      "q105_exists_anti",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("g_sq_customer")
+        Tables.orders(s, d).createOrReplaceTempView("g_sq_orders")
+        s.sql("""SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+                |FROM g_sq_customer c
+                |WHERE NOT EXISTS (SELECT 1 FROM g_sq_orders o
+                |                  WHERE o.o_custkey = c.c_custkey
+                |                    AND o.o_totalprice > 300000)
+                |ORDER BY c_custkey ASC""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+             |FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_totalprice > 300000)
+             |ORDER BY c_custkey ASC""".stripMargin),
+      "NOT EXISTS as shuffle-able left-anti join (vs null-aware NOT IN trap)"),
+
+    // ------------------------------------------------------------------
+    // q106: lateral top-k — each nation's two richest customers via a
+    // correlated LATERAL subquery with ORDER BY + LIMIT.
+    // DecorrelateInnerQuery turns the per-nation limit into a partitioned
+    // window (rank over c_nationkey) + join, so no nation re-executes the
+    // customer scan — the same WindowGroupLimit shape as q98 but reached
+    // from SQL. Oracle recomputes via QUALIFY row_number (the lateral and
+    // window forms are semantically equal; proving that IS the gate).
+    GQuery(
+      "q106_lateral_topk",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("g_sq_nation")
+        Tables.customer(s, d).createOrReplaceTempView("g_sq_customer")
+        s.sql("""SELECT n.n_nationkey, n.n_name, t.c_custkey, t.acctbal
+                |FROM g_sq_nation n
+                |JOIN LATERAL (
+                |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+                |  FROM g_sq_customer c
+                |  WHERE c.c_nationkey = n.n_nationkey
+                |  ORDER BY c_acctbal DESC, c_custkey ASC
+                |  LIMIT 2) t
+                |ORDER BY n.n_nationkey ASC, t.acctbal DESC, t.c_custkey ASC""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name, c_custkey, acctbal FROM (
+             |  SELECT n.n_nationkey, n.n_name, c.c_custkey,
+             |         CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal,
+             |         row_number() OVER (PARTITION BY n.n_nationkey
+             |           ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rn
+             |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey)
+             |WHERE rn <= 2
+             |ORDER BY n_nationkey ASC, acctbal DESC, c_custkey ASC""".stripMargin),
+      "lateral ORDER BY+LIMIT subquery decorrelated to per-group top-k"),
+
+    // ------------------------------------------------------------------
+    // q107: unpivot — melt part's numeric measures to (key, measure, value)
+    // rows, the wide→long reshape feeding any per-feature aggregation.
+    // Spark's native Unpivot (Expand under the hood) emits both rows per
+    // input row in one scan — no self-union, no second pass; at 100 TB
+    // the UNION ALL spelling would read the table once per measure.
+    // Oracle uses the UNION ALL spelling — equality proves the reshape.
+    GQuery(
+      "q107_unpivot",
+      (s, d) => {
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+            col("p_retailprice"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("p_size"), col("p_retailprice")), "measure", "value")
+          .orderBy(col("p_partkey").asc, col("measure").asc)
+      },
+      Some("""SELECT p_partkey, measure, value FROM (
+             |  SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+             |  UNION ALL
+             |  SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value FROM part)
+             |ORDER BY p_partkey ASC, measure ASC""".stripMargin),
+      "native unpivot (one-scan Expand) vs the two-scan UNION ALL it replaces"),
+
+    // ------------------------------------------------------------------
+    // q108: the curation pipeline end-to-end — quality gate → exact dedup
+    // (keep lowest doc_id per text) → per-source cap (20 longest) →
+    // per-(source,lang) corpus summary. Every stage is an operator gated
+    // individually elsewhere (q43, q34, q98, q04); this composite proves
+    // they compose: three shuffles total (text, source, source+lang), each
+    // stage's filter applied before the next stage's shuffle so data only
+    // shrinks down the pipeline — the property that matters at 100 TB.
+    GQuery(
+      "q108_curation_pipeline",
+      (s, d) => {
+        val wDedup = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
+        val wCap = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .filter(col("n_chars") >= 50 && TF.tokenCount(col("text")) >= 10)
+          .withColumn("dup_rn", row_number().over(wDedup))
+          .filter(col("dup_rn") === 1)
+          .withColumn("cap_rn", row_number().over(wCap))
+          .filter(col("cap_rn") <= 20)
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy(col("source").asc, col("lang").asc)
+      },
+      Some("""WITH filtered AS (
+             |  SELECT * FROM documents
+             |  WHERE n_chars >= 50 AND len(string_split(text, ' ')) >= 10),
+             |deduped AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+             |    FROM filtered) WHERE rn = 1),
+             |capped AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id ASC) AS rn2
+             |    FROM deduped) WHERE rn2 <= 20)
+             |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+             |FROM capped GROUP BY source, lang
+             |ORDER BY source ASC, lang ASC""".stripMargin),
+      "end-to-end curation composite: quality gate -> dedup -> domain cap -> summary"),
+  )
+}
