@@ -59,13 +59,8 @@ object TextFunctions {
     * `wordShingles(...).map(md5Hash60)` — md5 collisions inside one
     * document are beyond negligible at 60 bits).
     */
-  def wordShingleHashes(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    when(size(ws) >= n,
-      array_distinct(transform(sequence(lit(0), size(ws) - n), i =>
-        md5Hash60(concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))))
-      .otherwise(array().cast("array<long>"))
-  }
+  def wordShingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(wordShinglesAll(text, n), md5Hash60(_)))
 
   /** Word n-grams WITH duplicates (multiset form, for frequency counting —
     * [[wordShingles]] is the distinct/set form for similarity).

@@ -286,7 +286,7 @@ object CurationQueries {
           .withColumn("mean", col("s").cast("double") / col("n"))
           .withColumn("m2", col("ss").cast("double") -
             col("s").cast("double") * col("s").cast("double") / col("n"))
-          .localCheckpoint()
+          .localCheckpoint(false) // lazy: the consuming action materializes it
         val outliers = li.join(broadcast(stats), Seq("l_returnflag"))
           .filter((col("q").cast("double") - col("mean")) *
             (col("q").cast("double") - col("mean")) *

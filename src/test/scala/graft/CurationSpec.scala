@@ -25,18 +25,19 @@ class CurationSpec extends SparkTestBase {
       assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(2),
         s"hits outside [0, n_ngrams]: $r")
     }
-    // fixture plants exact duplicate texts across doc_ids; any non-benchmark
-    // exact dup of a benchmark doc must be flagged 100% contaminated
+    // the fixture's near-dup groups share a 200-char prefix (~30 words, so
+    // provably ≥1 common word 5-gram); every training doc sharing a prefix
+    // with a benchmark doc must be flagged. 2 such pairs exist at sf0.001 —
+    // fail if the fixture ever stops planting them (dead check otherwise).
     val docs = graft.sources.Tables.documents(spark, sf)
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("p"))
     val dupOfBench = docs.filter(col("doc_id") % 25 === 0).as("b")
-      .join(docs.filter(col("doc_id") % 25 =!= 0).as("t"), $"b.text" === $"t.text")
+      .join(docs.filter(col("doc_id") % 25 =!= 0).as("t"), $"b.p" === $"t.p")
       .select($"t.doc_id").as[Long].collect().toSet
-    if (dupOfBench.nonEmpty) {
-      val flagged = rows.filter(r => dupOfBench(r.getLong(0)))
-      assert(flagged.forall(_.getBoolean(3)),
-        s"exact dup of benchmark doc not flagged: ${flagged.mkString(",")}")
-    }
+    assert(dupOfBench.nonEmpty, "fixture lost its planted bench/train near-dups")
+    val flagged = rows.filter(r => dupOfBench(r.getLong(0)))
+    assert(flagged.nonEmpty && flagged.forall(_.getBoolean(3)),
+      s"near-dup of benchmark doc not flagged: ${flagged.mkString(",")}")
   }
 
   test("q97 probes the corpus with a broadcast of the benchmark grams") {

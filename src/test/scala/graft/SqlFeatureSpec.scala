@@ -52,7 +52,11 @@ class SqlFeatureSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoop"), "lateral executed per-row")
     val rows = q("q106_lateral_topk").collect()
     val byNation = rows.groupBy(_.getInt(0))
-    byNation.values.foreach(rs => assert(rs.length <= 2))
+    // every nation has >=2 customers at all SFs, so the limit must fill:
+    // a decorrelation regression to top-1 would halve the rows
+    val nNations = graft.sources.Tables.nation(spark, sf).count()
+    assert(byNation.size == nNations, "nation missing from the lateral join")
+    byNation.values.foreach(rs => assert(rs.length == 2))
     // each nation's true max-acctbal customer survives the limit
     val trueTop = graft.sources.Tables.customer(spark, sf)
       .groupBy(col("c_nationkey"))
