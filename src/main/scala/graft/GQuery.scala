@@ -32,7 +32,8 @@ object QueryRegistry {
       graft.queries.ScaleQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.CurationQueries.all ++
-      graft.queries.SqlFeatureQueries.all
+      graft.queries.SqlFeatureQueries.all ++
+      graft.queries.DepthQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

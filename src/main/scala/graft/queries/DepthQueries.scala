@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GQuery
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+
+/** Engine-depth round-out gates: null-safe equality join, time-interval
+  * trailing windows, bit-exact vector normalization, and deterministic
+  * mixture sampling. Each fills a hole in the §2 surface that a user of a
+  * full analytics engine would eventually hit.
+  */
+object DepthQueries {
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q109: null-safe equality join (<=> / IS NOT DISTINCT FROM) — the
+    // join semantics where NULL matches NULL, needed when the join key is
+    // legitimately absent on both sides (e.g. "same optional attribute").
+    // Spark hashes NULL as an ordinary key value so the plan stays a hash
+    // join (vs the null-aware machinery of NOT IN); the caveat at scale is
+    // that every all-NULL row co-locates in one partition — if NULLs are a
+    // large fraction, pre-split them (they all match each other anyway).
+    // Keys are nullif-derived from the fixture so both sides really carry
+    // NULLs.
+    GQuery(
+      "q109_nullsafe_join",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"),
+            nullif(col("n_regionkey"), lit(2)).as("nk"))
+        val r = Tables.region(s, d)
+          .select(col("r_name"), nullif(col("r_regionkey"), lit(2)).as("rk"))
+        n.join(r, col("nk") <=> col("rk"))
+          .select(col("n_nationkey"), col("n_name"), col("nk"), col("r_name"))
+          .orderBy(col("n_nationkey").asc, col("r_name").asc)
+      },
+      Some("""SELECT n_nationkey, n_name, nk, r_name
+             |FROM (SELECT n_nationkey, n_name, nullif(n_regionkey, 2) AS nk FROM nation) n
+             |JOIN (SELECT r_name, nullif(r_regionkey, 2) AS rk FROM region) r
+             |  ON n.nk IS NOT DISTINCT FROM r.rk
+             |ORDER BY n_nationkey ASC, r_name ASC""".stripMargin),
+      "null-safe equality join: NULL keys match, plan stays a hash join"),
+
+    // ------------------------------------------------------------------
+    // q110: trailing time-interval window — each order's count and revenue
+    // over ITS CUSTOMER's preceding 30 days (inclusive), the
+    // "recent-activity feature" shape of feature engineering. RANGE frames
+    // over epoch seconds; partitioned by customer, so the window
+    // parallelizes per key — a single global time-ordered RANGE window
+    // would serialize the corpus into one task, the classic scale trap.
+    // Frame peers (same customer, same timestamp) are included either way,
+    // so the result is order-independent and hash-exact.
+    GQuery(
+      "q110_trailing_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("ts"))
+          .rangeBetween(-30L * 86400, 0)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            // NTZ has no direct numeric cast; NTZ→TIMESTAMP is a no-op
+            // re-tag under the UTC session, then TIMESTAMP→LONG is epoch s
+            col("o_orderdate").cast("timestamp").cast("long").as("ts"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+          .withColumn("n_trailing", count(lit(1)).over(w))
+          .withColumn("rev_trailing",
+            sum(col("price")).over(w).cast(DecimalType(28, 2)))
+          .drop("ts", "price")
+          .orderBy(col("o_orderkey").asc)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+             |       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(28,2)) AS rev_trailing
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey ASC""".stripMargin),
+      "30-day trailing count/revenue per customer: partitioned RANGE window over epoch"),
+
+    // ------------------------------------------------------------------
+    // q111: L2 vector normalization — unit-norm embeddings via the array
+    // higher-order functions (aggregate for Σx², transform for the
+    // divide), all inside whole-stage codegen, no UDF. Bit-exact across
+    // engines: float→double widening is exact, the fold is left-to-right
+    // on both sides, and IEEE +,*,/ and sqrt are correctly rounded — so
+    // even the full normalized vector hash-matches. Zero vectors pass
+    // through unchanged (norm 0 would divide to NaN).
+    GQuery(
+      "q111_l2_normalize",
+      (s, d) => {
+        val v = col("embedding").cast("array<double>")
+        val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), norm.as("norm"), v.as("v"))
+          .select(col("vec_id"), col("norm"),
+            when(col("norm") === 0.0, col("v"))
+              .otherwise(transform(col("v"), x => x / col("norm"))).as("unit"))
+          .orderBy(col("vec_id").asc)
+      },
+      Some("""WITH t AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |         sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), 'sum')) AS norm
+             |  FROM embeddings)
+             |SELECT vec_id, norm,
+             |       CASE WHEN norm = 0 THEN v
+             |            ELSE list_transform(v, x -> x / norm) END AS unit
+             |FROM t ORDER BY vec_id ASC""".stripMargin),
+      "unit-norm embeddings via array HOFs, bit-exact incl. the vector itself"),
+
+    // ------------------------------------------------------------------
+    // q112: deterministic mixture sampling — per-source keep rates (the
+    // LLM-training "data mixing" step: upweight rare/high-quality sources,
+    // downsample the crawl). Membership is a pure row-local hash test
+    // (keep iff h(doc) mod 1000 < rate·1000), so the sample is
+    // reproducible, shuffle-free, and restart-safe at any scale — rand()
+    // sampling is none of those. Rates derive from the source index
+    // (src<i> → 20·(1+i mod 5)%), standing in for a real weight table.
+    GQuery(
+      "q112_mixture_sample",
+      (s, d) => {
+        val rate = (lit(1) + substring(col("source"), 4, 10).cast("int") % 5) * 200
+        val h = pmod(TF.md5Hash60(concat(lit("mix:"), col("doc_id").cast("string"))),
+          lit(1000L))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            rate.as("rate_pm"), h.as("h"))
+          .filter(col("h") < col("rate_pm"))
+          .groupBy(col("source"), col("rate_pm"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("source").asc)
+      },
+      Some("""SELECT source, rate_pm, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |       CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+             |       MIN(doc_id) AS first_doc
+             |FROM (
+             |  SELECT doc_id, source, n_chars,
+             |         (1 + CAST(substr(source, 4, 10) AS INT) % 5) * 200 AS rate_pm,
+             |         CAST(('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000 AS h
+             |  FROM documents)
+             |WHERE h < rate_pm
+             |GROUP BY source, rate_pm
+             |ORDER BY source ASC""".stripMargin),
+      "mixture sampling: per-source hash-gated keep rates, reproducible, shuffle-free"),
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the engine-depth family (q109–q112): plan locks and the
+  * invariants the oracle equality doesn't spell out.
+  */
+class DepthSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def formatted(name: String): String =
+    q(name).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q109 null-safe join: stays a hash join, NULL keys really match") {
+    val plan = formatted("q109_nullsafe_join")
+    assert(plan.contains("HashJoin"), "null-safe equality fell off the hash-join path")
+    assert(!plan.contains("BroadcastNestedLoop"))
+    val rows = q("q109_nullsafe_join").collect()
+    // nations in region 2 have nk=NULL and must match exactly the nulled
+    // region row — they'd silently vanish under plain equality
+    val nulled = rows.filter(_.isNullAt(2))
+    assert(nulled.nonEmpty, "no NULL-keyed matches — the null-safe path is untested")
+    // every nation appears exactly once (region keys are unique even nulled)
+    assert(rows.map(_.getInt(0)).distinct.length == rows.length)
+  }
+
+  test("q110 trailing window: self always in frame, revenue >= own price") {
+    val rows = q("q110_trailing_window")
+      .join(graft.sources.Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_totalprice")), Seq("o_orderkey"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1, s"current row missing from its own frame: $r")
+      assert(r.getDecimal(4).doubleValue() >= r.getDouble(5) - 0.005,
+        s"trailing revenue below the row's own price: $r")
+    }
+  }
+
+  test("q111 l2 normalize: unit vectors have norm 1 within 1e-9") {
+    q("q111_l2_normalize").collect().foreach { r =>
+      assert(r.getDouble(1) > 0, "fixture gained a zero vector — guard untested")
+      val unit = r.getSeq[Double](2)
+      val ss = unit.map(x => x * x).sum
+      assert(math.abs(ss - 1.0) < 1e-9, s"vec ${r.getLong(0)}: |unit|^2 = $ss")
+    }
+  }
+
+  test("q112 mixture sample: deterministic, kept counts bounded by source size") {
+    val rows = q("q112_mixture_sample").collect()
+    assert(rows.nonEmpty)
+    val totals = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("source")).count().as[(String, Long)].collect().toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= totals(r.getString(0)))
+      assert(r.getInt(1) >= 200 && r.getInt(1) <= 1000, s"rate out of range: $r")
+    }
+    assert(q("q112_mixture_sample").collect().sameElements(rows), "not reproducible")
+  }
+}
