@@ -148,5 +148,31 @@ object DepthQueries {
              |GROUP BY source, rate_pm
              |ORDER BY source ASC""".stripMargin),
       "mixture sampling: per-source hash-gated keep rates, reproducible, shuffle-free"),
+
+    // ------------------------------------------------------------------
+    // q113: custom DataSource V2 connector — the graft range source with
+    // filter pushdown, column pruning, and partition skipping (see
+    // GraftRangeSource). The id bounds are pushed into the connector and
+    // narrow the generated range at plan time (30 of 32 slices are never
+    // planned); the sq % 7 predicate is NOT pushable and stays a
+    // Spark-side residual filter — exactly how a parquet scan splits
+    // PushedFilters from post-scan filters. Oracle reproduces the
+    // generator as DuckDB's range() table function.
+    GQuery(
+      "q113_custom_source",
+      (s, d) => {
+        s.read.format("graft.sources.GraftRangeSource")
+          .option("start", 0).option("end", 200000).option("slices", 32)
+          .load()
+          .filter(col("id") >= 150000 && col("id") < 160000 && col("sq") % 7 === 0)
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+            sum(col("sq")).as("sum_sq"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(id) AS BIGINT) AS sum_id,
+             |       CAST(SUM(id*id) AS BIGINT) AS sum_sq
+             |FROM (SELECT range AS id FROM range(150000, 160000))
+             |WHERE (id*id) % 7 = 0""".stripMargin),
+      "custom DSv2 source: pushed id bounds skip 30/32 partitions, residual sq filter"),
   )
 }

@@ -1,0 +1,163 @@
+package graft.sources
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A complete DataSource V2 connector: a deterministic range generator
+  * (`id`, `sq = id·id`) that implements the three contracts any connector
+  * must honor to be viable at 100 TB:
+  *
+  *   - **filter pushdown** ([[SupportsPushDownFilters]]): >,>=,<,<=,= on
+  *     `id` narrow the generated range at PLAN time — pushed filters are
+  *     removed from the Spark-side plan entirely (they are exactly
+  *     satisfied by the narrowed range);
+  *   - **column pruning** ([[SupportsPushDownRequiredColumns]]): readers
+  *     materialize only requested columns (`sq` is never computed for an
+  *     `id`-only projection);
+  *   - **partition skipping**: the range splits into `slices` partitions;
+  *     slices outside the pushed bounds are never planned, so a selective
+  *     filter costs proportionally less I/O — the moral equivalent of
+  *     parquet row-group / partition-dir pruning, observable in the scan
+  *     description (`range=[lo,hi) partitions=k/n`).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.GraftRangeSource")
+  *     .option("start", 0).option("end", 1000000).option("slices", 32).load()
+  * }}}
+  *
+  * Mirrors the reference's Table/ScanView pull-source contract
+  * (reference `src/operation/scan_view.rs:12-56` — a cursor over an
+  * in-memory table with batch-size caps) re-expressed as the Spark
+  * connector API; the driver's DuckDB oracle reproduces it as
+  * `range(start, end)`.
+  */
+class GraftRangeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftRangeSource.fullSchema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftRangeTable(
+      properties.getOrDefault("start", "0").toLong,
+      properties.getOrDefault("end", "0").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object GraftRangeSource {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("sq", LongType, nullable = false)))
+}
+
+private[sources] class GraftRangeTable(start: Long, end: Long, slices: Int)
+    extends Table with SupportsRead {
+  require(slices > 0, s"slices must be positive (got $slices)")
+  override def name(): String = s"graft_range($start,$end)"
+  override def schema(): StructType = GraftRangeSource.fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRangeScanBuilder(start, end, slices)
+}
+
+private[sources] class GraftRangeScanBuilder(start0: Long, end0: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  // bounds narrowed by every accepted pushed filter (half-open [lo, hi))
+  private var lo = start0
+  private var hi = end0
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = GraftRangeSource.fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rejected) = filters.partition {
+      case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
+           LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
+           EqualTo("id", _: Long) => true
+      case _ => false
+    }
+    supported.foreach {
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case f => throw new IllegalStateException(s"unreachable: $f")
+    }
+    accepted = supported
+    rejected // Spark keeps only these as post-scan filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve source column order regardless of the requested order
+    required = StructType(GraftRangeSource.fullSchema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan =
+    new GraftRangeScan(start0, end0, math.max(lo, start0), math.min(hi, end0), slices, required)
+}
+
+private[sources] case class GraftRangeSlice(lo: Long, hi: Long) extends InputPartition
+
+private[sources] class GraftRangeScan(
+    start0: Long, end0: Long, lo: Long, hi: Long, slices: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Slice the ORIGINAL range, then keep only slices overlapping the pushed
+    * bounds — so the spec can observe genuine partition skipping (k of n
+    * planned), exactly like partition-dir pruning on a keyed layout.
+    */
+  private def planned: Array[GraftRangeSlice] = {
+    val n = end0 - start0
+    if (n <= 0 || hi <= lo) Array.empty
+    else (0 until slices).iterator.map { i =>
+      GraftRangeSlice(
+        start0 + i * n / slices,
+        start0 + (i + 1) * n / slices)
+    }.map(s => GraftRangeSlice(math.max(s.lo, lo), math.min(s.hi, hi)))
+      .filter(s => s.hi > s.lo)
+      .toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    planned.toArray[InputPartition]
+
+  override def description(): String =
+    s"GraftRange range=[$lo,$hi) partitions=${planned.length}/$slices cols=${required.fieldNames.mkString(",")}"
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeReaderFactory(required)
+}
+
+private[sources] class GraftRangeReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val s = partition.asInstanceOf[GraftRangeSlice]
+    // resolve projection once per partition, not per row
+    val emitters: Array[Long => Long] = required.fieldNames.map {
+      case "id" => (id: Long) => id
+      case "sq" => (id: Long) => id * id
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    new PartitionReader[InternalRow] {
+      private var cur = s.lo - 1
+      override def next(): Boolean = { cur += 1; cur < s.hi }
+      override def get(): InternalRow =
+        new GenericInternalRow(emitters.map(e => e(cur): Any))
+      override def close(): Unit = ()
+    }
+  }
+}

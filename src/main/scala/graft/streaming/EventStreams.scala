@@ -94,6 +94,46 @@ object EventStreams {
       }
   }
 
+  /** Spark-4-native arbitrary state (transformWithState): the same per-user
+    * profile as [[userProfiles]] but through the [[StatefulProcessor]] API —
+    * typed named state handles (ValueState here; ListState/MapState and
+    * per-key timers in general), declared TTL instead of hand-rolled
+    * timeout logic, and schema-evolution-capable state encoding. Requires
+    * the RocksDB state store provider. Emitting both implementations and
+    * asserting they agree (StreamingSpec) pins the migration path.
+    */
+  class UserProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserProfile] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserProfile] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserProfile]("profile",
+        org.apache.spark.sql.Encoders.product[UserProfile], TTLConfig.NONE)
+    override def handleInputRows(
+        uid: Long,
+        rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserProfile] = {
+      val prev = if (state.exists()) state.get() else UserProfile(uid, 0L, 0L, 0.0)
+      val next = rows.foldLeft(prev) { (p, e) =>
+        UserProfile(uid, p.n_events + 1,
+          p.n_purchases + (if (e.event_type == "purchase") 1 else 0),
+          p.total_value + e.value)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def userProfilesTws(events: DataFrame): org.apache.spark.sql.Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id"), col("event_type"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserProfileProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[UserProfile])
+  }
+
   /** Stream-stream interval join: each purchase is enriched with clicks of
     * the same user in the preceding `windowSeconds`. Both sides carry
     * watermarks and the join condition bounds event time on BOTH ends, so

@@ -51,4 +51,36 @@ class BucketingSpec extends SparkTestBase {
     val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == expected)
   }
+
+  test("dynamic partition overwrite replaces only the partitions being written") {
+    // the idempotent-daily-rerun contract: re-running one day's pipeline
+    // output must not wipe the other days. Static overwrite (the default)
+    // truncates the whole table first — at 100 TB that is the difference
+    // between re-writing one partition and destroying the corpus.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.write.mode("overwrite").partitionBy("source").parquet(dir)
+    val before = spark.read.parquet(dir).count()
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // rewrite ONE source's rows with a sentinel value
+      docs.filter(col("source") === "src0")
+        .withColumn("n_chars", lit(-1L))
+        .write.mode("overwrite").partitionBy("source").parquet(dir)
+      val after = spark.read.parquet(dir)
+      assert(after.count() == before, "dynamic overwrite changed the row count")
+      assert(after.filter(col("source") === "src0")
+        .filter(col("n_chars") =!= -1L).count() == 0, "target partition not rewritten")
+      assert(after.filter(col("source") =!= "src0")
+        .filter(col("n_chars") === -1L).count() == 0, "non-target partitions touched")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
 }

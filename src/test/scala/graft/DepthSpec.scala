@@ -49,6 +49,35 @@ class DepthSpec extends SparkTestBase {
     }
   }
 
+  test("q113 custom source: pushdown narrows the range, skips partitions, keeps residual") {
+    val plan = formatted("q113_custom_source")
+    assert(plan.contains("range=[150000,160000) partitions=2/32"),
+      s"id bounds not pushed into the connector:\n$plan")
+    assert(plan.contains("% 7"), "residual sq filter vanished — wrongly claimed as pushed")
+    // pushed id predicates must NOT remain as Spark-side filters
+    assert(!plan.contains("id#") || !plan.split("Condition :").drop(1).exists(_.takeWhile(_ != '\n').contains("id#")),
+      "pushed id bounds still filtered Spark-side")
+    // value parity vs the built-in range source
+    val got = q("q113_custom_source").collect()(0)
+    val want = spark.range(150000, 160000).toDF("id")
+      .withColumn("sq", col("id") * col("id"))
+      .filter(col("sq") % 7 === 0)
+      .agg(count(lit(1)), sum(col("id")), sum(col("sq"))).collect()(0)
+    assert(got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1)
+      && got.getLong(2) == want.getLong(2), s"got $got want $want")
+  }
+
+  test("custom source prunes columns: id-only projection never materializes sq") {
+    val df = spark.read.format("graft.sources.GraftRangeSource")
+      .option("start", 0).option("end", 1000).option("slices", 4)
+      .load().select(col("id"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("cols=id") && !plan.contains("cols=id,sq"),
+      s"sq not pruned from the custom scan:\n$plan")
+    assert(df.count() == 1000)
+  }
+
   test("q112 mixture sample: deterministic, kept counts bounded by source size") {
     val rows = q("q112_mixture_sample").collect()
     assert(rows.nonEmpty)

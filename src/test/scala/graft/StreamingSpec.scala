@@ -223,6 +223,37 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState (Spark 4 StatefulProcessor) agrees with flatMapGroupsWithState") {
+    // the new typed-state API must be a drop-in semantic replacement for
+    // the GroupState tier — same inputs, same final per-user profile
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.streaming.Trigger
+      val stream = EventStreams.readEvents(spark, eventsDir)
+      val q = EventStreams.userProfilesTws(stream)
+        .writeStream.format("memory").queryName("t_tws")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("t_tws")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"), max(col("n_purchases")).as("n_purchases"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.sources.Tables.events(spark, sf)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
     val dir = eventsDir
     // duplicate the file → every event appears twice
