@@ -62,9 +62,7 @@ object DepthQueries {
           .rangeBetween(-30L * 86400, 0)
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-            // NTZ has no direct numeric cast; NTZ→TIMESTAMP is a no-op
-            // re-tag under the UTC session, then TIMESTAMP→LONG is epoch s
-            col("o_orderdate").cast("timestamp").cast("long").as("ts"),
+            epochSec(col("o_orderdate")).as("ts"),
             col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
           .withColumn("n_trailing", count(lit(1)).over(w))
           .withColumn("rev_trailing",
@@ -126,7 +124,7 @@ object DepthQueries {
         val rate = (lit(1) + substring(col("source"), 4, 10).cast("int") % 5) * 200
         val h = pmod(TF.md5Hash60(concat(lit("mix:"), col("doc_id").cast("string"))),
           lit(1000L))
-        Tables.documents(s, d)
+        Tables.spread(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), col("source"), col("n_chars"),
             rate.as("rate_pm"), h.as("h"))
           .filter(col("h") < col("rate_pm"))

@@ -86,12 +86,17 @@ private[sources] class GraftRangeScanBuilder(start0: Long, end0: Long, slices: I
            EqualTo("id", _: Long) => true
       case _ => false
     }
+    // saturating +1: v = Long.MaxValue must not wrap to MinValue (a pushed
+    // filter is REMOVED from the Spark plan, so a wrapped bound would
+    // silently return wrong rows, not just extra work). Saturation is
+    // sufficient because no id can equal Long.MaxValue (end is exclusive).
+    def inc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     supported.foreach {
-      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThan("id", v: Long) => lo = math.max(lo, inc(v))
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
       case LessThan("id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
-      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, inc(v))
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, inc(v))
       case f => throw new IllegalStateException(s"unreachable: $f")
     }
     accepted = supported

@@ -76,6 +76,14 @@ class DepthSpec extends SparkTestBase {
     assert(plan.contains("cols=id") && !plan.contains("cols=id,sq"),
       s"sq not pruned from the custom scan:\n$plan")
     assert(df.count() == 1000)
+    // pushed-bound saturation: a Long.MaxValue bound must not wrap — the
+    // pushed filter is gone from the Spark plan, so a wrap would return
+    // every row instead of none (and the dual would return none for all)
+    def src = spark.read.format("graft.sources.GraftRangeSource")
+      .option("start", 0).option("end", 1000).option("slices", 4).load()
+    assert(src.filter(col("id") > Long.MaxValue).count() == 0)
+    assert(src.filter(col("id") <= Long.MaxValue).count() == 1000)
+    assert(src.filter(col("id") === Long.MaxValue).count() == 0)
   }
 
   test("q112 mixture sample: deterministic, kept counts bounded by source size") {
