@@ -158,6 +158,47 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p.take(1500))
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (no manual salting)") {
+    // the modern alternative to q75's manual salting: AQE measures shuffle
+    // partition sizes at the stage boundary and splits oversized ones,
+    // replicating the matching side — same result, no query rewrite. At
+    // 100 TB this is the first line of defense; salting remains for
+    // skew the runtime can't see (e.g. inside aggregations).
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // fixture-sized skew thresholds (defaults are 256MB-scale)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      import spark.implicits._
+      // ~100k of 120k rows share key 0 → one shuffle partition ~50x median
+      val fact = spark.range(0, 120000)
+        .select(when(col("id") < 100000, 0L).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(0, 2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = fact.join(dim, Seq("k"))
+      // execute THROUGH j's own queryExecution (a count() would spawn a
+      // separate execution and leave this plan un-finalized)
+      val n = j.collect().length
+      // fact k ∈ {0} ∪ [100000,120000); dim k ∈ [0,2000) → only k=0 matches
+      assert(n == 100000, s"join row count wrong: $n")
+      val executed = j.queryExecution.executedPlan.toString
+      assert(executed.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${executed.take(3000)}")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join rejects dim-preserving join types (they would duplicate dim rows)") {
     import spark.implicits._
     val fact = Seq((1L, 1L)).toDF("k", "row_id")
