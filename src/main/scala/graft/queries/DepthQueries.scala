@@ -172,5 +172,35 @@ object DepthQueries {
              |FROM (SELECT range AS id FROM range(150000, 160000))
              |WHERE (id*id) % 7 = 0""".stripMargin),
       "custom DSv2 source: pushed id bounds skip 30/32 partitions, residual sq filter"),
+
+    // ------------------------------------------------------------------
+    // q114: Z-order clustering value — the Morton interleave of two
+    // clustering keys, the layout primitive behind multi-dimensional data
+    // skipping (sort/range-partition by zval at write time → every file
+    // gets tight min/max on BOTH dimensions, so scans filtered on EITHER
+    // key skip files; a single-key sort leaves the other dimension
+    // spanning the full domain in every file — DepthSpec measures exactly
+    // that difference). The load-bearing detail: each dimension must be
+    // quantized to the SAME bit width before interleaving — measured here,
+    // raw 6-bit p_size against 16-bit partkey left the wide dimension
+    // dominating the sort and the size spans barely improved; stretched to
+    // 16 bits ((p_size−1)·1337 < 2¹⁶) the interleave balances. Pure
+    // integer shift/mask arithmetic, bit-identical in any engine.
+    GQuery(
+      "q114_zorder",
+      (s, d) => {
+        import graft.functions.ZOrder
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_size"),
+            ZOrder.interleave16(
+              (col("p_size").cast("long") - 1) * 1337,
+              pmod(col("p_partkey"), lit(65536L))).as("zval"))
+          .orderBy(col("p_partkey").asc)
+      },
+      Some(s"""SELECT p_partkey, p_size,
+             |       ${graft.functions.ZOrder.interleave16Sql(
+                        "((CAST(p_size AS BIGINT) - 1) * 1337)", "(p_partkey % 65536)")} AS zval
+             |FROM part ORDER BY p_partkey ASC""".stripMargin),
+      "Z-order (Morton) clustering value: equal-width quantize then bit-interleave"),
   )
 }

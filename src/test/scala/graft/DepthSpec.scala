@@ -86,6 +86,38 @@ class DepthSpec extends SparkTestBase {
     assert(src.filter(col("id") === Long.MaxValue).count() == 0)
   }
 
+  test("q114 z-order: sorting by zval bounds BOTH dims per chunk, single-key sort does not") {
+    // the data-skipping claim, measured: chunk the table into 16 "files"
+    // under each layout and compare the average per-chunk span of p_size.
+    // A p_partkey-sorted layout leaves p_size spanning ~the full domain in
+    // every chunk (no skipping possible on p_size); the z-ordered layout
+    // must bound it materially tighter.
+    val rows = q("q114_zorder").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val chunks = 16
+    def avgSizeSpan(sorted: Seq[(Long, Int, Long)]): Double = {
+      val per = sorted.grouped(math.ceil(sorted.size / chunks.toDouble).toInt).toSeq
+      per.map(c => (c.map(_._2).max - c.map(_._2).min).toDouble).sum / per.size
+    }
+    val byKey = avgSizeSpan(rows.sortBy(_._1).toSeq)
+    val byZ = avgSizeSpan(rows.sortBy(_._3).toSeq)
+    assert(byZ < byKey / 2,
+      s"z-order span $byZ not materially tighter than key-sorted span $byKey")
+    // morton bits really interleave: zval reconstructs both inputs
+    rows.foreach { case (pk, size, z) =>
+      def unspread(v: Long): Long = {
+        var x = v & 0x5555555555555555L
+        x = (x | (x >> 1)) & 0x3333333333333333L
+        x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+        x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+        x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+        x
+      }
+      assert(unspread(z) == ((size - 1L) * 1337 & 0xFFFF), s"x lane wrong for $pk")
+      assert(unspread(z >> 1) == (pk % 65536), s"y lane wrong for $pk")
+    }
+  }
+
   test("q112 mixture sample: deterministic, kept counts bounded by source size") {
     val rows = q("q112_mixture_sample").collect()
     assert(rows.nonEmpty)
