@@ -118,6 +118,22 @@ class DepthSpec extends SparkTestBase {
     }
   }
 
+  test("observe() collects data-quality metrics on the main pass, no second scan") {
+    // the pipeline-hygiene primitive at 100 TB: row/null/range counters
+    // piggyback on the write job instead of paying a second full scan
+    val obs = new org.apache.spark.sql.Observation("dq")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_texts"),
+        min(col("n_chars")).as("min_chars"))
+    val n = docs.count()
+    val m = obs.get
+    assert(m("rows") == n)
+    assert(m("null_texts") == 0L)
+    assert(m("min_chars").asInstanceOf[Long] >= 0L)
+  }
+
   test("q112 mixture sample: deterministic, kept counts bounded by source size") {
     val rows = q("q112_mixture_sample").collect()
     assert(rows.nonEmpty)

@@ -199,6 +199,18 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("global sort plans as range partitioning, never a single partition") {
+    // orderBy must sample-and-range-partition so the sort itself is
+    // distributed; a SinglePartition exchange under a sort would serialize
+    // the corpus into one task at any scale
+    val p = SparkEntry.queries("q110_trailing_window")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val sortLines = p.linesIterator.filter(_.contains("Sort ")).toSeq
+    assert(sortLines.nonEmpty)
+    assert(p.contains("rangepartitioning"),
+      s"global sort without range partitioning:\n${p.take(1500)}")
+  }
+
   test("salted join rejects dim-preserving join types (they would duplicate dim rows)") {
     import spark.implicits._
     val fact = Seq((1L, 1L)).toDF("k", "row_id")
