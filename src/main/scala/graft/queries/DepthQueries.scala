@@ -202,5 +202,68 @@ object DepthQueries {
                         "((CAST(p_size AS BIGINT) - 1) * 1337)", "(p_partkey % 65536)")} AS zval
              |FROM part ORDER BY p_partkey ASC""".stripMargin),
       "Z-order (Morton) clustering value: equal-width quantize then bit-interleave"),
+
+    // ------------------------------------------------------------------
+    // q115: PageRank, fixed-point — 3 Jacobi iterations over a 100-node
+    // multigraph derived from lineitem (part%100 → supp%100). All
+    // arithmetic is integer micro-units (rank DIV degree per edge, exact
+    // BIGINT sums, new = 150000 + 85·sum DIV 100): double PageRank is
+    // accumulation-order-dependent and can never hash-match across
+    // engines; fixed-point is bit-exact and the oracle unrolls the same
+    // three iterations as CTEs. Per iteration: one edges⋈ranks join (the
+    // scale shape: edges shuffle-partitioned by src, ranks tiny and
+    // broadcast) + one groupBy(dst) — cost independent of iteration
+    // count; lazy localCheckpoint truncates the growing plan exactly like
+    // q68's k-means loop.
+    GQuery(
+      "q115_pagerank",
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .select(pmod(col("l_partkey"), lit(100L)).as("src"),
+            pmod(col("l_suppkey"), lit(100L)).as("dst"))
+          .localCheckpoint(false)
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        var ranks = nodes.withColumn("rank_fp", lit(1000000L))
+        for (_ <- 1 to 3) {
+          val contribs = edges
+            .join(broadcast(ranks), col("src") === col("node"))
+            .join(broadcast(deg), Seq("src"))
+            .select(col("dst"), expr("rank_fp div degree").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+          ranks = nodes
+            .join(contribs, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (lit(150000L) + expr("85 * coalesce(in_sum, 0L) div 100"))
+                .as("rank_fp"))
+            .localCheckpoint(false)
+        }
+        ranks.orderBy(col("node").asc)
+      },
+      Some("""WITH edges AS (
+             |  SELECT l_partkey % 100 AS src, l_suppkey % 100 AS dst FROM lineitem),
+             |nodes AS (
+             |  SELECT DISTINCT node FROM (
+             |    SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+             |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src),
+             |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM nodes),
+             |s1 AS (SELECT e.dst, CAST(SUM(r.rank_fp // d.degree) AS BIGINT) AS in_sum
+             |       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |       GROUP BY e.dst),
+             |r1 AS (SELECT n.node, CAST(150000 + 85 * COALESCE(s.in_sum, 0) // 100 AS BIGINT) AS rank_fp
+             |       FROM nodes n LEFT JOIN s1 s ON n.node = s.dst),
+             |s2 AS (SELECT e.dst, CAST(SUM(r.rank_fp // d.degree) AS BIGINT) AS in_sum
+             |       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT n.node, CAST(150000 + 85 * COALESCE(s.in_sum, 0) // 100 AS BIGINT) AS rank_fp
+             |       FROM nodes n LEFT JOIN s2 s ON n.node = s.dst),
+             |s3 AS (SELECT e.dst, CAST(SUM(r.rank_fp // d.degree) AS BIGINT) AS in_sum
+             |       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |       GROUP BY e.dst),
+             |r3 AS (SELECT n.node, CAST(150000 + 85 * COALESCE(s.in_sum, 0) // 100 AS BIGINT) AS rank_fp
+             |       FROM nodes n LEFT JOIN s3 s ON n.node = s.dst)
+             |SELECT node, rank_fp FROM r3 ORDER BY node ASC""".stripMargin),
+      "fixed-point PageRank: 3 exact integer iterations, join+agg per step"),
   )
 }

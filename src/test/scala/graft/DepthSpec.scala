@@ -118,6 +118,18 @@ class DepthSpec extends SparkTestBase {
     }
   }
 
+  test("q115 pagerank: ranks bounded below by the teleport term, mass conserved, deterministic") {
+    val rows = q("q115_pagerank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 100)
+    rows.foreach { case (n, r) => assert(r >= 150000L, s"node $n below teleport floor") }
+    assert(rows.map(_._2).distinct.length > 1, "all ranks identical — iteration inert")
+    // total mass stays within the damping envelope: <= n·1e6 (integer
+    // truncation only loses mass, never creates it)
+    val total = rows.map(_._2).sum
+    assert(total <= 100L * 1000000 && total > 100L * 150000, s"mass out of envelope: $total")
+    assert(q("q115_pagerank").collect().map(r => (r.getLong(0), r.getLong(1))).sameElements(rows))
+  }
+
   test("observe() collects data-quality metrics on the main pass, no second scan") {
     // the pipeline-hygiene primitive at 100 TB: row/null/range counters
     // piggyback on the write job instead of paying a second full scan
