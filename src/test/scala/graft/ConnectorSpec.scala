@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftCollectSink
+
+/** The DSv2 write path: two-phase commit through GraftCollectSink. */
+class ConnectorSpec extends SparkTestBase {
+
+  private def write(dfName: String, mode: String)(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("graft.sources.GraftCollectSink")
+      .option("name", dfName).mode(mode).save()
+
+  test("multi-partition write commits every row exactly once") {
+    GraftCollectSink.clear("t_basic")
+    write("t_basic", "append") {
+      spark.range(0, 10000, 1, 8)
+        .select(col("id"), (col("id") * 3).as("v"),
+          concat(lit("r"), col("id")).as("tag"))
+    }
+    val rows = GraftCollectSink.rows("t_basic")
+    assert(rows.length == 10000)
+    assert(rows.map(_.head.asInstanceOf[Long]).toSet == (0L until 10000L).toSet)
+    rows.foreach { r =>
+      assert(r(1) == r.head.asInstanceOf[Long] * 3)
+      assert(r(2) == s"r${r.head}") // UTF8String externalized, not buffer-backed
+    }
+  }
+
+  test("append merges with prior commits; overwrite truncates") {
+    GraftCollectSink.clear("t_modes")
+    write("t_modes", "append")(spark.range(0, 100).select(col("id")))
+    write("t_modes", "append")(spark.range(100, 150).select(col("id")))
+    assert(GraftCollectSink.rows("t_modes").length == 150)
+    write("t_modes", "overwrite")(spark.range(0, 7).select(col("id")))
+    assert(GraftCollectSink.rows("t_modes").length == 7)
+  }
+
+  test("a failed write job publishes nothing (driver commit never runs)") {
+    GraftCollectSink.clear("t_abort")
+    write("t_abort", "append")(spark.range(0, 10).select(col("id")))
+    val before = GraftCollectSink.rows("t_abort")
+    assert(before.length == 10)
+    // a task-side failure mid-job: raise_error on one row of many
+    intercept[Exception] {
+      write("t_abort", "append") {
+        spark.range(0, 10000, 1, 8)
+          .select(when(col("id") === 9999,
+            expr("raise_error('poison row')")).otherwise(col("id").cast("string")).as("s"))
+      }
+    }
+    assert(GraftCollectSink.rows("t_abort") == before,
+      "aborted job leaked rows into the committed table")
+  }
+}
