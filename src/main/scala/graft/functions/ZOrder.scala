@@ -35,7 +35,12 @@ object ZOrder {
     spread16(x.bitwiseAND(lit(0xFFFFL)))
       .bitwiseOR(shiftleft(spread16(y.bitwiseAND(lit(0xFFFFL))), 1))
 
-  /** The same arithmetic as ANSI SQL (for oracles / cross-engine checks). */
+  /** The same arithmetic as ANSI SQL (for oracles / cross-engine checks).
+    * The spread chain splices each operand 16 times into the output text —
+    * pass simple column references (alias any real quantization expression
+    * in a subselect first), or the oracle SQL grows multi-KB and the
+    * engine re-evaluates the operand per occurrence.
+    */
   def interleave16Sql(x: String, y: String): String = {
     def spread(v: String): String = {
       val a = s"((($v | ($v << 8)) & 16711935))"

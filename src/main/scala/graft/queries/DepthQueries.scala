@@ -198,9 +198,12 @@ object DepthQueries {
           .orderBy(col("p_partkey").asc)
       },
       Some(s"""SELECT p_partkey, p_size,
-             |       ${graft.functions.ZOrder.interleave16Sql(
-                        "((CAST(p_size AS BIGINT) - 1) * 1337)", "(p_partkey % 65536)")} AS zval
-             |FROM part ORDER BY p_partkey ASC""".stripMargin),
+             |       ${graft.functions.ZOrder.interleave16Sql("zx", "zy")} AS zval
+             |FROM (SELECT p_partkey, p_size,
+             |             (CAST(p_size AS BIGINT) - 1) * 1337 AS zx,
+             |             p_partkey % 65536 AS zy
+             |      FROM part)
+             |ORDER BY p_partkey ASC""".stripMargin),
       "Z-order (Morton) clustering value: equal-width quantize then bit-interleave"),
 
     // ------------------------------------------------------------------
@@ -222,9 +225,15 @@ object DepthQueries {
           .select(pmod(col("l_partkey"), lit(100L)).as("src"),
             pmod(col("l_suppkey"), lit(100L)).as("dst"))
           .localCheckpoint(false)
+        // tiny (≤100-row) results consumed every iteration — checkpoint
+        // them or each ranks materialization re-scans the full edge set
+        // to re-derive them (the NOTES "tiny results → localCheckpoint"
+        // pattern)
         val nodes = edges.select(col("src").as("node"))
           .union(edges.select(col("dst").as("node"))).distinct()
+          .localCheckpoint(false)
         val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+          .localCheckpoint(false)
         var ranks = nodes.withColumn("rank_fp", lit(1000000L))
         for (_ <- 1 to 3) {
           val contribs = edges

@@ -98,16 +98,17 @@ private[sources] class CollectBatchWrite(name: String, schema: StructType, trunc
 private[sources] class CollectWriterFactory(schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
+      // full internal→external conversion, eagerly, for EVERY type: the
+      // incoming InternalRow buffer is reused per row, so any
+      // buffer-backed value (UTF8String, UnsafeArrayData, nested rows)
+      // kept as-is would be overwritten by the next write() — the classic
+      // reused-row bug. The converter materializes external copies
+      // (String, Seq, BigDecimal, …) so nothing aliases the buffer.
+      private val toExternal =
+        org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(schema)
       private val buf = Seq.newBuilder[Seq[Any]]
       override def write(row: InternalRow): Unit =
-        // copy values out NOW — the InternalRow buffer is reused per row;
-        // strings come back as (buffer-backed) UTF8String → externalize
-        buf += schema.fields.indices.map { i =>
-          row.get(i, schema.fields(i).dataType) match {
-            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-            case v => v
-          }
-        }
+        buf += toExternal(row).asInstanceOf[org.apache.spark.sql.Row].toSeq
       override def commit(): WriterCommitMessage = CollectCommit(buf.result())
       override def abort(): Unit = ()
       override def close(): Unit = ()

@@ -27,6 +27,27 @@ class ConnectorSpec extends SparkTestBase {
     }
   }
 
+  test("nested types survive the reused-row boundary (arrays, timestamps, decimals)") {
+    GraftCollectSink.clear("t_nested")
+    write("t_nested", "append") {
+      spark.range(0, 500, 1, 4).select(
+        col("id"),
+        array(concat(lit("r"), col("id")), lit("x")).as("a"),
+        col("id").cast("decimal(18,2)").as("d"),
+        timestamp_seconds(col("id") * 60).as("ts"))
+    }
+    val rows = GraftCollectSink.rows("t_nested")
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.head.asInstanceOf[Long]
+      // a buffer-backed (un-copied) array would show the LAST row's values
+      assert(r(1) == Seq(s"r$id", "x"), s"array corrupted for id=$id: ${r(1)}")
+      assert(r(2).asInstanceOf[java.math.BigDecimal].longValueExact() == id)
+      assert(r(3).isInstanceOf[java.sql.Timestamp] || r(3).isInstanceOf[java.time.Instant],
+        s"timestamp not externalized: ${r(3).getClass}")
+    }
+  }
+
   test("append merges with prior commits; overwrite truncates") {
     GraftCollectSink.clear("t_modes")
     write("t_modes", "append")(spark.range(0, 100).select(col("id")))

@@ -209,6 +209,10 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sortLines.nonEmpty)
     assert(p.contains("rangepartitioning"),
       s"global sort without range partitioning:\n${p.take(1500)}")
+    // and no exchange anywhere serializes into one partition — a stray
+    // SinglePartition under a sort is exactly the regression this locks out
+    assert(!p.contains("SinglePartition"),
+      s"plan contains a SinglePartition exchange:\n${p.take(1500)}")
   }
 
   test("salted join rejects dim-preserving join types (they would duplicate dim rows)") {
