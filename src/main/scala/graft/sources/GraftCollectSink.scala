@@ -54,6 +54,7 @@ object GraftCollectSink {
     new ConcurrentHashMap[String, Seq[Seq[Any]]]()
 
   def rows(name: String): Seq[Seq[Any]] = Option(tables.get(name)).getOrElse(Nil)
+  def names: Seq[String] = tables.keys.asScala.toSeq
   def clear(name: String): Unit = tables.remove(name)
 }
 

@@ -57,6 +57,62 @@ class ConnectorSpec extends SparkTestBase {
     assert(GraftCollectSink.rows("t_modes").length == 7)
   }
 
+  test("micro-batch stream source: offset-bounded batches, exactly-once into the sink") {
+    GraftCollectSink.clear("t_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_s1").toString
+    val q = spark.readStream.format("graft.sources.GraftStreamSource")
+      .option("maxRows", 100).option("rowsPerBatch", 30).load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.format("graft.sources.GraftCollectSink")
+          .option("name", "t_stream").mode("append").save()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = GraftCollectSink.rows("t_stream")
+    assert(rows.length == 100, s"got ${rows.length} rows")
+    assert(rows.map(_.head.asInstanceOf[Long]).toSet == (0L until 100L).toSet)
+    rows.foreach(r => assert(r(1) == r.head.asInstanceOf[Long] * 7))
+  }
+
+  test("stream restart resumes from the checkpoint; idempotent-by-batchId writes make it exactly-once") {
+    // foreachBatch is AT-LEAST-ONCE: the engine may replay the last batch
+    // whose commit-log entry didn't land before shutdown (observed here —
+    // a naive append sink got rows [25,50) twice across a restart). The
+    // production pattern is idempotent writes keyed by batchId (overwrite
+    // the batch's own partition/table): replays then converge instead of
+    // duplicating. This test demonstrates exactly that upgrade.
+    GraftCollectSink.names.filter(_.startsWith("t_restart#")).foreach(GraftCollectSink.clear)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_s2").toString
+    def run(maxRows: Int): Unit = {
+      val q = spark.readStream.format("graft.sources.GraftStreamSource")
+        .option("maxRows", maxRows).option("rowsPerBatch", 25).load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          df.write.format("graft.sources.GraftCollectSink")
+            .option("name", s"t_restart#$batchId").mode("overwrite").save()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run(50) // first incarnation reads [0,50) in two batches
+    val afterFirst = GraftCollectSink.names.filter(_.startsWith("t_restart#"))
+      .flatMap(GraftCollectSink.rows).map(_.head.asInstanceOf[Long])
+    assert(afterFirst.toSet == (0L until 50L).toSet, s"first run wrong: ${afterFirst.sorted}")
+    run(100) // restart: may replay its last batch, must then continue from 50
+    val detail = GraftCollectSink.names.filter(_.startsWith("t_restart#")).sorted
+      .map(n => s"$n -> ${GraftCollectSink.rows(n).map(_.head).mkString(",")}")
+    val ids = GraftCollectSink.names.filter(_.startsWith("t_restart#"))
+      .flatMap(GraftCollectSink.rows).map(_.head.asInstanceOf[Long])
+    assert(ids.length == 100,
+      s"replay not idempotent or rows lost: ${ids.length}\n${detail.mkString("\n")}")
+    assert(ids.toSet == (0L until 100L).toSet)
+  }
+
   test("a failed write job publishes nothing (driver commit never runs)") {
     GraftCollectSink.clear("t_abort")
     write("t_abort", "append")(spark.range(0, 10).select(col("id")))
