@@ -274,5 +274,31 @@ object DepthQueries {
              |       FROM nodes n LEFT JOIN s3 s ON n.node = s.dst)
              |SELECT node, rank_fp FROM r3 ORDER BY node ASC""".stripMargin),
       "fixed-point PageRank: 3 exact integer iterations, join+agg per step"),
+
+    // ------------------------------------------------------------------
+    // q116: feature hashing (the "hashing trick", HashingTF's shape) —
+    // token counts bucketed by hash into a fixed 64-dim feature space, no
+    // vocabulary to build or broadcast (THE property that matters at
+    // 100 TB: a dictionary-based vectorizer needs a corpus-wide vocab
+    // pass + a giant broadcast; the hash needs neither). Emitted as
+    // (doc_id, bucket, cnt) sparse triples — the layout downstream
+    // aggregations join on — one explode + one groupBy shuffle.
+    GQuery(
+      "q116_feature_hashing",
+      (s, d) => {
+        Tables.spread(Tables.documents(s, d), col("doc_id"))
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), pmod(TF.md5Hash60(col("tok")), lit(64L)).as("bucket"))
+          .groupBy(col("doc_id"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("doc_id").asc, col("bucket").asc)
+      },
+      Some("""SELECT doc_id,
+             |       CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 64 AS bucket,
+             |       CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |GROUP BY 1, 2
+             |ORDER BY doc_id ASC, bucket ASC""".stripMargin),
+      "feature hashing: fixed-dim sparse vectors with no vocabulary pass"),
   )
 }

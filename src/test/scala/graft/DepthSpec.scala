@@ -130,6 +130,20 @@ class DepthSpec extends SparkTestBase {
     assert(q("q115_pagerank").collect().map(r => (r.getLong(0), r.getLong(1))).sameElements(rows))
   }
 
+  test("q116 feature hashing: per-doc bucket counts conserve token mass") {
+    val rows = q("q116_feature_hashing").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 64, s"bucket out of range: $r")
+      assert(r.getLong(2) >= 1)
+    }
+    // Σ cnt over buckets == token count of the doc (hashing never drops)
+    val perDoc = rows.groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(2)).sum }
+    val truth = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.foreach { case (d, n) => assert(n == truth(d), s"doc $d token mass $n != ${truth(d)}") }
+  }
+
   test("observe() collects data-quality metrics on the main pass, no second scan") {
     // the pipeline-hygiene primitive at 100 TB: row/null/range counters
     // piggyback on the write job instead of paying a second full scan
