@@ -243,15 +243,17 @@ object CurationQueries {
         li.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
+          // double at the boundary (OutputPolicy): order-preserving here —
+          // 13-significant-digit decimals convert exactly
           .agg(sum(dec(col("l_extendedprice")) *
             (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
-            .cast(DecimalType(34, 4)).as("revenue"))
+            .cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
           .limit(10)
       },
       Some("""SELECT l_orderkey, o_orderdate,
              |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             |            (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(34,4)) AS revenue
+             |            (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey

@@ -65,14 +65,15 @@ object DepthQueries {
             epochSec(col("o_orderdate")).as("ts"),
             col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
           .withColumn("n_trailing", count(lit(1)).over(w))
-          .withColumn("rev_trailing",
-            sum(col("price")).over(w).cast(DecimalType(28, 2)))
+          // decimal window sum internally; DOUBLE at the output boundary
+          // (OutputPolicy)
+          .withColumn("rev_trailing", sum(col("price")).over(w).cast("double"))
           .drop("ts", "price")
           .orderBy(col("o_orderkey").asc)
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderdate,
              |       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
-             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(28,2)) AS rev_trailing
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_trailing
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey
              |             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
@@ -85,9 +86,16 @@ object DepthQueries {
     // higher-order functions (aggregate for Σx², transform for the
     // divide), all inside whole-stage codegen, no UDF. Bit-exact across
     // engines: float→double widening is exact, the fold is left-to-right
-    // on both sides, and IEEE +,*,/ and sqrt are correctly rounded — so
-    // even the full normalized vector hash-matches. Zero vectors pass
-    // through unchanged (norm 0 would divide to NaN).
+    // on both sides, and IEEE +,*,/ and sqrt are correctly rounded. Zero
+    // vectors pass through unchanged (norm 0 would divide to NaN).
+    //
+    // The gate emits SCALAR proofs, not the vector (OutputPolicy: the
+    // driver's comparator cannot sort an array column — r2 q111 ERR):
+    // the norm, plus an md5 over the unit vector's components quantized
+    // by floor(x·1e12 + 0.5) — one IEEE multiply + add + floor, so the
+    // BIGINT digits (and hence the digest) are bit-identical on both
+    // engines with no number-formatting semantics involved. The full
+    // raw-vector equality stays asserted in DepthSpec.
     GQuery(
       "q111_l2_normalize",
       (s, d) => {
@@ -98,17 +106,27 @@ object DepthQueries {
           .select(col("vec_id"), col("norm"),
             when(col("norm") === 0.0, col("v"))
               .otherwise(transform(col("v"), x => x / col("norm"))).as("unit"))
+          .select(col("vec_id"), col("norm"), size(col("unit")).as("dim"),
+            md5(concat_ws(",",
+              transform(col("unit"),
+                x => floor(x * lit(1e12) + lit(0.5)).cast("long").cast("string")))
+              .cast("binary")).as("unit_md5"))
           .orderBy(col("vec_id").asc)
       },
       Some("""WITH t AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              |         sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), 'sum')) AS norm
-             |  FROM embeddings)
-             |SELECT vec_id, norm,
-             |       CASE WHEN norm = 0 THEN v
-             |            ELSE list_transform(v, x -> x / norm) END AS unit
-             |FROM t ORDER BY vec_id ASC""".stripMargin),
-      "unit-norm embeddings via array HOFs, bit-exact incl. the vector itself"),
+             |  FROM embeddings),
+             |u AS (
+             |  SELECT vec_id, norm,
+             |         CASE WHEN norm = 0 THEN v
+             |              ELSE list_transform(v, x -> x / norm) END AS unit
+             |  FROM t)
+             |SELECT vec_id, norm, CAST(len(unit) AS INT) AS dim,
+             |       md5(array_to_string(list_transform(unit,
+             |           x -> CAST(CAST(floor(x * 1e12 + 0.5) AS BIGINT) AS VARCHAR)), ',')) AS unit_md5
+             |FROM u ORDER BY vec_id ASC""".stripMargin),
+      "unit-norm embeddings via array HOFs; scalar digest proof at the gate"),
 
     // ------------------------------------------------------------------
     // q112: deterministic mixture sampling — per-source keep rates (the

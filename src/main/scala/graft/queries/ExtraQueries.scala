@@ -257,12 +257,11 @@ object ExtraQueries {
           .orc(tmp)
           .groupBy(col("s_nationkey").as("nk"))
           .agg(count(lit(1)).as("n"),
-            sum(col("s_acctbal").cast(DecimalType(18, 2))).as("sum_bal"))
+            sum(col("s_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
           .orderBy(col("nk").asc)
       },
-      // Spark sum(DECIMAL(18,2)) -> DECIMAL(28,2); DuckDB -> DECIMAL(38,2).
       Some("""SELECT s_nationkey AS nk, COUNT(*) AS n,
-             |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal
+             |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
              |FROM supplier GROUP BY 1 ORDER BY nk ASC""".stripMargin),
       "ORC sink + source round-trip"),
 
@@ -344,24 +343,24 @@ object ExtraQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         grid.join(hourly, Seq("user_id", "bucket"), "left")
           .select(col("user_id"), col("bucket"),
-            last(col("v"), ignoreNulls = true).over(w).as("v_ffill"),
+            // decimal ffill internally; DOUBLE at the output boundary
+            // (OutputPolicy)
+            last(col("v"), ignoreNulls = true).over(w).cast("double").as("v_ffill"),
             col("v").isNotNull.as("observed"))
           .orderBy(col("user_id").asc, col("bucket").asc)
       },
-      // hourly v cast to DECIMAL(28,6) = Spark's sum-of-(18,6) output type,
-      // so LAST_VALUE carries the same physical type through v_ffill.
       Some("""WITH hourly AS (
              |  SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
-             |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS v
+             |         SUM(CAST(value AS DECIMAL(18,6))) AS v
              |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
              |bounds AS (SELECT min(bucket) lo, max(bucket) hi FROM hourly),
              |grid AS (
              |  SELECT u.user_id, CAST(unnest(range(b.lo, b.hi + 3600, 3600)) AS BIGINT) AS bucket
              |  FROM (SELECT DISTINCT user_id FROM hourly) u CROSS JOIN bounds b)
              |SELECT g.user_id, g.bucket,
-             |       LAST_VALUE(h.v IGNORE NULLS) OVER
+             |       CAST(LAST_VALUE(h.v IGNORE NULLS) OVER
              |         (PARTITION BY g.user_id ORDER BY g.bucket
-             |          ROWS UNBOUNDED PRECEDING) AS v_ffill,
+             |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS v_ffill,
              |       h.v IS NOT NULL AS observed
              |FROM grid g LEFT JOIN hourly h
              |  ON h.user_id = g.user_id AND h.bucket = g.bucket

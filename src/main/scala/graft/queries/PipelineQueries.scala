@@ -42,7 +42,9 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_events"),
             min(col("sec")).as("t_start_sec"),
             (max(col("sec")) - min(col("sec"))).as("dur_sec"),
-            sum(col("v")).as("sum_value"))
+            // decimal sum internally; DOUBLE at the output boundary
+            // (OutputPolicy)
+            sum(col("v")).cast("double").as("sum_value"))
           .orderBy(col("user_id").asc, col("sess_idx").asc)
       },
       Some("""WITH o AS (
@@ -61,7 +63,7 @@ object PipelineQueries {
              |SELECT user_id, sess_idx, COUNT(*) AS n_events,
              |       MIN(sec) AS t_start_sec,
              |       MAX(sec) - MIN(sec) AS dur_sec,
-             |       CAST(SUM(v) AS DECIMAL(28,6)) AS sum_value
+             |       CAST(SUM(v) AS DOUBLE) AS sum_value
              |FROM g GROUP BY 1, 2
              |ORDER BY user_id ASC, sess_idx ASC""".stripMargin),
       "gap-based sessionization: lag + running-sum session ids + per-session stats"),
@@ -286,12 +288,16 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("doc_id")).as("sum_ids"),
             sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"),
-            sum(TF.md5Hash60(col("text")).cast(DecimalType(19, 0))).as("content_sig"))
+            // 21-digit exact sum exceeds double precision → leave the
+            // boundary as STRING on both engines (OutputPolicy); scale-0
+            // decimal stringifies as bare digits identically cross-engine
+            sum(TF.md5Hash60(col("text")).cast(DecimalType(19, 0)))
+              .cast("string").as("content_sig"))
       },
       Some("""SELECT COUNT(*) AS n_docs,
              |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
              |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-             |       CAST(SUM(CAST(CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS DECIMAL(19,0))) AS DECIMAL(29,0)) AS content_sig
+             |       CAST(CAST(SUM(CAST(CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS DECIMAL(19,0))) AS DECIMAL(29,0)) AS VARCHAR) AS content_sig
              |FROM documents""".stripMargin),
       "text sink + source round-trip: content-hash signature == original corpus"),
 
@@ -309,12 +315,12 @@ object PipelineQueries {
           .select(least(floor(col("o_totalprice") / 25000.0), lit(19L)).as("bucket"),
             col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
           .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_price"))
+          .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("sum_price"))
           .orderBy(col("bucket").asc)
       },
       Some("""SELECT LEAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 19) AS bucket,
              |       COUNT(*) AS n,
-             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              |FROM orders GROUP BY 1 ORDER BY bucket ASC""".stripMargin),
       "equi-width histogram: computed bucket key, single aggregation pass"),
 

@@ -113,17 +113,18 @@ object RelationalQueries {
         li.groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
           .agg(
             sum(col("l_quantity")).as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).as("sum_price"),
+            // exact decimal sum internally; DOUBLE at the output boundary
+            // (OutputPolicy: the driver stringifies Decimal vs float)
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
             count(lit(1)).as("n"),
             (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
             min(col("l_shipdate")).as("min_ship"),
             max(col("l_shipdate")).as("max_ship"))
           .orderBy(col("flag").asc, col("status").asc)
       },
-      // sum_price cast to Spark's sum-of-(18,2) output type DECIMAL(28,2).
       Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
              |       SUM(l_quantity) AS sum_qty,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
              |       COUNT(*) AS n,
              |       SUM(l_quantity) / COUNT(*) AS avg_qty,
              |       MIN(l_shipdate) AS min_ship,
@@ -246,14 +247,14 @@ object RelationalQueries {
           .join(c, col("o_custkey") === col("c_custkey"))
           .thetaJoin(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name").as("nation"))
-          .agg(sum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+          // decimal sum internally (order-free); DOUBLE at the output
+          // boundary (OutputPolicy)
+          .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
           .orderBy(col("nation").asc)
       },
-      // Spark sums DECIMAL(24,4) products as DECIMAL(34,4); DuckDB SUM yields
-      // DECIMAL(38,4) — cast down (lossless, values fit) to match physically.
       Some("""SELECT n_name AS nation,
              |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(34,4)) AS revenue,
+             |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
              |       COUNT(*) AS n_items
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
@@ -272,12 +273,12 @@ object RelationalQueries {
         c.thetaJoin(o, col("c_custkey") === col("o_custkey"), "left")
           .groupBy(col("c_custkey").as("custkey"))
           .agg(count(col("o_orderkey")).as("n_orders"),
-            coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(DecimalType(18, 2))).as("total"))
+            coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(DecimalType(18, 2)))
+              .cast("double").as("total"))
           .orderBy(col("custkey").asc)
       },
-      // Spark sum(DECIMAL(18,2)) -> DECIMAL(28,2); DuckDB -> DECIMAL(38,2).
       Some("""SELECT c_custkey AS custkey, COUNT(o_orderkey) AS n_orders,
-             |       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+             |       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1 ORDER BY custkey ASC""".stripMargin),
       "left outer join + null-aware aggregation"),

@@ -101,11 +101,11 @@ object ScaleQueries {
         m.agg(
           sum(dec(col("l_extendedprice")) *
             (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
-            .cast(DecimalType(34, 4)).as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("n"))
       },
       Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(34,4)) AS revenue,
+             |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
              |       CAST(COUNT(*) AS BIGINT) AS n
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -141,13 +141,13 @@ object ScaleQueries {
             year(col("l_shipdate")).as("l_year"))
           .agg(sum(dec(col("l_extendedprice")) *
               (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
-            .cast(DecimalType(34, 4)).as("volume"))
+            .cast("double").as("volume"))
           .orderBy(col("supp_nation").asc, col("cust_nation").asc, col("l_year").asc)
       },
       Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              |       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
              |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(34,4)) AS volume
+             |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
              |FROM lineitem
              |JOIN supplier ON l_suppkey = s_suppkey
              |JOIN orders   ON l_orderkey = o_orderkey
@@ -194,11 +194,11 @@ object ScaleQueries {
         s.table(ot).hint("merge")
           .join(s.table(ct), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment").as("segment"))
-          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
           .orderBy(col("segment").asc)
       },
       Some("""SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
-             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY segment ASC""".stripMargin),
       "bucketed co-located sort-merge join: zero join-side exchanges"),

@@ -38,7 +38,10 @@ object SqlFeatureQueries {
       "q104_scalar_subquery",
       (s, d) => {
         Tables.orders(s, d).createOrReplaceTempView("g_sq_orders")
-        s.sql("""SELECT o_orderkey, o_custkey, price, cs.s AS cust_sum, cs.c AS cust_cnt
+        // decimal cents stay internal to the filter; the projection leaves
+        // as DOUBLE (OutputPolicy — exact at these magnitudes)
+        s.sql("""SELECT o_orderkey, o_custkey, CAST(price AS DOUBLE) AS price,
+                |       CAST(cs.s AS DOUBLE) AS cust_sum, cs.c AS cust_cnt
                 |FROM (
                 |  SELECT o_orderkey, o_custkey,
                 |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
@@ -51,7 +54,8 @@ object SqlFeatureQueries {
                 |      > 3 * CAST(cs.s * 100 AS BIGINT)
                 |ORDER BY o_orderkey ASC""".stripMargin)
       },
-      Some("""SELECT o_orderkey, o_custkey, price, cust_sum, cust_cnt
+      Some("""SELECT o_orderkey, o_custkey, CAST(price AS DOUBLE) AS price,
+             |       CAST(cust_sum AS DOUBLE) AS cust_sum, cust_cnt
              |FROM (
              |  SELECT o_orderkey, o_custkey,
              |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
@@ -78,14 +82,14 @@ object SqlFeatureQueries {
       (s, d) => {
         Tables.customer(s, d).createOrReplaceTempView("g_sq_customer")
         Tables.orders(s, d).createOrReplaceTempView("g_sq_orders")
-        s.sql("""SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        s.sql("""SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
                 |FROM g_sq_customer c
                 |WHERE NOT EXISTS (SELECT 1 FROM g_sq_orders o
                 |                  WHERE o.o_custkey = c.c_custkey
                 |                    AND o.o_totalprice > 300000)
                 |ORDER BY c_custkey ASC""".stripMargin)
       },
-      Some("""SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      Some("""SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
              |FROM customer c
              |WHERE NOT EXISTS (SELECT 1 FROM orders o
              |                  WHERE o.o_custkey = c.c_custkey
@@ -109,7 +113,7 @@ object SqlFeatureQueries {
         s.sql("""SELECT n.n_nationkey, n.n_name, t.c_custkey, t.acctbal
                 |FROM g_sq_nation n
                 |JOIN LATERAL (
-                |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+                |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
                 |  FROM g_sq_customer c
                 |  WHERE c.c_nationkey = n.n_nationkey
                 |  ORDER BY c_acctbal DESC, c_custkey ASC
@@ -118,7 +122,7 @@ object SqlFeatureQueries {
       },
       Some("""SELECT n_nationkey, n_name, c_custkey, acctbal FROM (
              |  SELECT n.n_nationkey, n.n_name, c.c_custkey,
-             |         CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal,
+             |         CAST(c.c_acctbal AS DOUBLE) AS acctbal,
              |         row_number() OVER (PARTITION BY n.n_nationkey
              |           ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rn
              |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey)

@@ -13,7 +13,9 @@ import graft.sources.Tables
   *
   * value sums go through DECIMAL(18,6): double→decimal rounding is a
   * deterministic function of the binary double on both engines (no exact-tie
-  * doubles exist at scale 6), and decimal addition is order-free.
+  * doubles exist at scale 6), and decimal addition is order-free. The sum
+  * leaves the query as DOUBLE (exact here: ≤13 significant digits) per
+  * OutputPolicy — the driver stringifies Decimal vs float asymmetrically.
   */
 object StreamQueries {
 
@@ -26,16 +28,14 @@ object StreamQueries {
       (s, d) => {
         Tables.events(s, d)
           .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(decValue).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(decValue).cast("double").as("sum_value"))
           .select(epochSec(col("w.start")).as("bucket_start"),
             col("event_type"), col("n"), col("sum_value"))
           .orderBy(col("bucket_start").asc, col("event_type").asc)
       },
-      // Spark sum(DECIMAL(18,6)) -> DECIMAL(28,6); DuckDB -> DECIMAL(38,6):
-      // cast down losslessly so the driver's type-strict hash matches.
       Some("""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_start,
              |       event_type, COUNT(*) AS n,
-             |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+             |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2
              |ORDER BY bucket_start ASC, event_type ASC""".stripMargin),
       "tumbling event-time window (10 min), batch/stream parity"),
@@ -46,7 +46,7 @@ object StreamQueries {
       (s, d) => {
         Tables.events(s, d)
           .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
-          .agg(count(lit(1)).as("n"), sum(decValue).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(decValue).cast("double").as("sum_value"))
           .select(epochSec(col("w.start")).as("bucket_start"),
             col("n"), col("sum_value"))
           .orderBy(col("bucket_start").asc)
@@ -58,7 +58,7 @@ object StreamQueries {
              |  UNION ALL
              |  SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT) AS bucket_start, value FROM events)
              |SELECT bucket_start, COUNT(*) AS n,
-             |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+             |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM b GROUP BY 1 ORDER BY bucket_start ASC""".stripMargin),
       "sliding event-time window (10 min / 5 min slide)"),
 
@@ -70,7 +70,7 @@ object StreamQueries {
       (s, d) => {
         Tables.events(s, d)
           .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-          .agg(count(lit(1)).as("n"), sum(decValue).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(decValue).cast("double").as("sum_value"))
           .select(col("user_id"),
             epochSec(col("w.start")).as("session_start"),
             col("n"), col("sum_value"))
@@ -90,7 +90,7 @@ object StreamQueries {
              |  FROM g)
              |SELECT user_id,
              |       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
-             |       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+             |       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id ASC, session_start ASC""".stripMargin),
       "session windows (30 min gap) vs gaps-and-islands oracle"),

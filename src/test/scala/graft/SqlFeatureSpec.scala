@@ -22,10 +22,12 @@ class SqlFeatureSpec extends SparkTestBase {
     val rows = q("q104_scalar_subquery").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (price, sum, cnt) = (r.getDecimal(2), r.getDecimal(3), r.getLong(4))
+      // output is DOUBLE (OutputPolicy); the doubles are exact images of the
+      // scale-2 decimals, so cents reconstruct exactly via half-up rounding
+      val (price, sum, cnt) = (r.getDouble(2), r.getDouble(3), r.getLong(4))
+      def cents(x: Double): Long = math.floor(x * 100 + 0.5).toLong
       // the gate's own predicate, recomputed exactly in cents
-      assert(2 * price.movePointRight(2).longValueExact() * cnt >
-        3 * sum.movePointRight(2).longValueExact(), s"filter violated: $r")
+      assert(2 * cents(price) * cnt > 3 * cents(sum), s"filter violated: $r")
       // a single-order customer can never beat 1.5x its own mean
       assert(cnt >= 2, s"single-order customer passed the 1.5x filter: $r")
     }
@@ -63,7 +65,7 @@ class SqlFeatureSpec extends SparkTestBase {
       .agg(max(col("c_acctbal")).as("m"))
       .as[(Int, Double)].collect().toMap
     byNation.foreach { case (nk, rs) =>
-      val best = rs.map(_.getDecimal(3).doubleValue()).max
+      val best = rs.map(_.getDouble(3)).max
       assert(math.abs(best - trueTop(nk)) < 0.005, s"nation $nk lost its top customer")
     }
   }

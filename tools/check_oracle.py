@@ -82,6 +82,19 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         got = con.execute(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetch_arrow_table()
+        # OutputPolicy hazards (round-3): the REAL driver reads the Spark
+        # parquet through pandas and the oracle through .df(), stringifying
+        # values — decimal columns hash-fail on trailing scale zeros and
+        # array/struct columns crash its sort. This uniform arrow path can't
+        # reproduce that, so reject the types outright (mirrors Verify's
+        # Scala-side lint; tools/driver_sim.py models the driver directly).
+        hazards = [f"{f.name}: {f.type}" for f in got.schema
+                   if str(f.type).startswith(("decimal", "list", "struct", "map",
+                                              "large_list", "fixed_size_list"))]
+        if hazards:
+            print(f"FAIL {name}: driver-unstable output types: {hazards}")
+            n_fail += 1
+            continue
         wcols, gcols = sorted(want.column_names), sorted(got.column_names)
         if wcols != gcols:
             print(f"FAIL {name}: columns differ oracle={wcols} spark={gcols}")
