@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * id. Each round is one join + one aggregation, both shuffled on vertex
   * id — O(E) work per round, O(diameter) rounds. Near-dup graphs have tiny
   * diameter (duplicate groups are cliques or near-cliques), so this
-  * converges in 2-3 rounds; for general graphs with long chains at 100 TB
-  * scale, switch to the large-star/small-star algorithm (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC 2014), which
-  * contracts paths in O(log² n) rounds with the same per-round shape.
+  * converges in 2-3 rounds; for general graphs with long chains (deep link
+  * graphs, transitive-reference chains) use [[connectedComponentsStar]] —
+  * the large-star/small-star algorithm (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC 2014), which contracts paths
+  * in O(log² n) rounds with the same per-round shuffle shape.
   *
   * Each generation of labels is localCheckpoint'ed (same pattern as
   * KMeans.fit): plan depth stays constant per round instead of nesting one
@@ -62,5 +63,88 @@ object Components {
       it += 1
     }
     labels
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al., SoCC 2014)
+    * — same contract as [[connectedComponents]] but O(log² n) rounds
+    * instead of O(diameter), the scale path for long-chain graphs where
+    * min-label propagation would crawl (a 10⁶-link chain is ~10⁶
+    * propagation rounds but ~40 star rounds).
+    *
+    * Each round applies two shuffle-on-vertex operations to the edge set:
+    *  - large-star: for every vertex u, link each strictly-larger neighbor
+    *    v to m(u) = min(u ∪ Γ(u)) — contracts long paths in half;
+    *  - small-star: for every vertex u (over the larger→smaller edges
+    *    large-star emits), link u and all its smaller neighbors to the
+    *    minimum — flattens local trees into stars.
+    * Both are one groupBy-min + one join, shuffled on vertex id — the same
+    * per-round shape (and skew behavior) as a propagation round, so the
+    * 100 TB story is unchanged: O(E) per round, no driver-side data, edge
+    * set localCheckpoint'ed so plan depth stays constant.
+    *
+    * Fixpoint = the star edge set stops changing (counts equal and
+    * next \ current empty — two scalar jobs per round, no data collected);
+    * at fixpoint every edge is (vertex, component-min) directly.
+    */
+  def connectedComponentsStar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int = 30): DataFrame =
+    starWithRounds(edges, srcCol, dstCol, maxIters)._1
+
+  /** [[connectedComponentsStar]] plus the round count, for the round-bound
+    * assertions in ComponentsSpec.
+    */
+  private[graft] def starWithRounds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int = 30): (DataFrame, Int) = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
+    // all vertices of the contract ("appears in an edge"), incl. self-loop-
+    // only vertices that the star iteration itself drops with the loops
+    val vertices = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var cur = e0.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint()
+    var it = 0
+    var done = cur.isEmpty
+    while (!done && it < maxIters) {
+      // ---- large-star over the undirected view
+      val bi = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val lmin = bi.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = bi.join(lmin, bi("src") === lmin("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // ---- small-star over the (larger -> smaller) edges
+      val smin = ls.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+      val withM = ls.join(smin, ls("src") === smin("u"))
+      val ss = withM.select(col("u").as("src"), col("m").as("dst"))
+        .union(withM.filter(col("dst") =!= col("m"))
+          .select(col("dst").as("src"), col("m").as("dst")))
+        .distinct().localCheckpoint(false)
+      // fixpoint test: both sets are distinct canonical (src > dst), so
+      // equality == same count + no new edges; two scalar jobs, the first
+      // of which also materializes the lazy checkpoint
+      done = ss.count() == cur.count() && ss.except(cur).isEmpty
+      cur = ss
+      it += 1
+    }
+    // at fixpoint edges ARE (vertex, component-min); vertices never on the
+    // larger side of any edge (component minima, isolated-after-self-loop
+    // vertices) label themselves. The min-agg guarantees one label per
+    // vertex even if maxIters truncated before the true fixpoint.
+    val labels = vertices
+      .join(cur.groupBy(col("src").as("id")).agg(min(col("dst")).as("c")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("comp"))
+    (labels, it)
   }
 }

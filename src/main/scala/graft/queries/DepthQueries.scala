@@ -318,5 +318,50 @@ object DepthQueries {
              |GROUP BY 1, 2
              |ORDER BY doc_id ASC, bucket ASC""".stripMargin),
       "feature hashing: fixed-dim sparse vectors with no vocabulary pass"),
+
+    // ------------------------------------------------------------------
+    // q117: connected components on a LONG-CHAIN graph via
+    // large-star/small-star (Components.connectedComponentsStar) — the
+    // O(log² n)-round scale path that q81's min-label propagation
+    // (O(diameter) rounds, fine for near-dup cliques) cannot walk: a
+    // million-link reference chain is a million propagation rounds but
+    // ~40 star rounds. The fixture graph is adversarially deep on
+    // purpose: doc_id→doc_id+1 chains (broken every 50 ids) plus
+    // doc_id→doc_id+7 shortcut cycles, so components are ~50-node paths
+    // with cycles — propagation would need ~50 rounds here (spec-pinned),
+    // the star alternation converges in ≤6. Oracle = recursive-CTE
+    // reachability closure with min-label aggregation (exactly q81's
+    // oracle pattern, on an explicit deep graph).
+    GQuery(
+      "q117_chain_components",
+      (s, d) => {
+        import graft.functions.Components
+        val ids = Tables.documents(s, d).select(col("doc_id"))
+        val e1 = ids.filter(pmod(col("doc_id"), lit(50L)) =!= 49)
+          .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+        val e7 = ids.filter(pmod(col("doc_id"), lit(50L)) < 43)
+          .select(col("doc_id").as("src"), (col("doc_id") + 7).as("dst"))
+        // keep only edges whose endpoint exists (tolerates doc_id gaps)
+        val edges = e1.union(e7)
+          .join(ids.select(col("doc_id").as("dst")), Seq("dst"))
+        Components.connectedComponentsStar(edges, "src", "dst")
+          .orderBy(col("id").asc)
+      },
+      Some("""WITH RECURSIVE
+             |ids AS (SELECT doc_id FROM documents),
+             |edges AS (
+             |  SELECT src, dst FROM (
+             |    SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 50 <> 49
+             |    UNION ALL
+             |    SELECT doc_id AS src, doc_id + 7 AS dst FROM ids WHERE doc_id % 50 < 43) e
+             |  WHERE dst IN (SELECT doc_id FROM ids)),
+             |bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+             |reach(id, comp) AS (
+             |  SELECT src, src FROM bi
+             |  UNION
+             |  SELECT b.dst, r.comp FROM reach r JOIN bi b ON b.src = r.id)
+             |SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+             |ORDER BY id ASC""".stripMargin),
+      "large-star/small-star components on a deep chain graph (log² rounds)"),
   )
 }
