@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~117 gated queries × several whole-stage-codegen classes each overflow
+  // the default 240 MB JIT code cache during a full Verify/Bench pass;
+  // flushed methods fall back to interpreter and re-tier, which measured as
+  // q81 6.2 s vs 2.2 s in the same bench run. Codegen'd Spark wants a big
+  // code cache.
+  "-XX:ReservedCodeCacheSize=1g",
 )

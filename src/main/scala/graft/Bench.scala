@@ -37,7 +37,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        // steady-state warmup: one pass compiles the codegen classes but
+        // leaves C2 JIT half-tiered on the heavy pipelines — their timed
+        // run then lands anywhere between warm cost and ~5× it (measured
+        // on q36/q81: 12 s → 7 s → 2 s over identical replans). Re-run
+        // only queries whose first pass was slow until they stop
+        // improving materially (≤3 extra passes bounds added wall-clock
+        // to the few multi-second queries).
+        var prev = (System.nanoTime() - t0) / 1e9
+        var extra = 0
+        while (prev > 1.0 && extra < 3) {
+          val t1 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val cur = (System.nanoTime() - t1) / 1e9
+          extra += 1
+          if (cur > prev * 0.7) extra = 3 // converged — stop early
+          prev = cur
+        }
+      } catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()

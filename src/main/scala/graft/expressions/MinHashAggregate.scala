@@ -36,8 +36,10 @@ case class MinHashAggregate(
   // must stay below 2^31 so the product fits in a Long (a 61-bit prime — the
   // other common MinHash modulus — would wrap negative and poison the minima)
   require(prime < (1L << 31), s"prime must be < 2^31 (got $prime)")
-  require(seedsA.forall(a => a > 0 && a < prime) && seedsB.forall(b => b >= 0 && b < prime),
-    "seeds must lie in (0, prime)")
+  require(seedsA.forall(a => a > 0 && a < prime),
+    "multiplier seeds (a) must lie in (0, prime) — a=0 would collapse a hash to its offset")
+  require(seedsB.forall(b => b >= 0 && b < prime),
+    "offset seeds (b) must lie in [0, prime)")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -111,8 +111,25 @@ object Components {
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct().localCheckpoint()
+    // orderless edge-set signature: (count, XOR of xxhash64(src,dst)) in
+    // ONE scalar job (which doubles as the lazy-checkpoint materializer);
+    // XOR is orderless and overflow-free (a Long sum would trip ANSI
+    // overflow), and both operands are DISTINCT sets, so XOR-cancellation
+    // of duplicates cannot occur.
+    // Unequal signature ⇒ definitely not converged — skip the expensive
+    // exact test; equal signature ⇒ CONFIRM with except() (paid once, at
+    // true convergence — never hash-luck-terminate a correctness path).
+    // The alternative — count()+except() every round — is an extra
+    // anti-join shuffle over the full edge set per round, which at corpus
+    // scale costs as much as the round itself.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var curSig = signature(cur)
     var it = 0
-    var done = cur.isEmpty
+    var done = curSig._1 == 0
     while (!done && it < maxIters) {
       // ---- large-star over the undirected view
       val bi = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
@@ -131,10 +148,11 @@ object Components {
           .select(col("dst").as("src"), col("m").as("dst")))
         .distinct().localCheckpoint(false)
       // fixpoint test: both sets are distinct canonical (src > dst), so
-      // equality == same count + no new edges; two scalar jobs, the first
-      // of which also materializes the lazy checkpoint
-      done = ss.count() == cur.count() && ss.except(cur).isEmpty
+      // equality == equal signature (fast negative) + except-empty confirm
+      val ssSig = signature(ss)
+      done = ssSig == curSig && ss.except(cur).isEmpty
       cur = ss
+      curSig = ssSig
       it += 1
     }
     // at fixpoint edges ARE (vertex, component-min); vertices never on the

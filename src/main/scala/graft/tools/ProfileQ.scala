@@ -12,7 +12,13 @@ object ProfileQ {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // mirror Bench's session exactly — its NOTES_r2 harness artifacts
+      // (idle-heap ContextCleaner, codegen cache eviction) otherwise
+      // contaminate profiles with costs the bench never pays
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)

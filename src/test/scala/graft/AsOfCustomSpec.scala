@@ -94,6 +94,21 @@ class AsOfCustomSpec extends SparkTestBase {
     }
   }
 
+  test("custom as-of rejects reserved asof_*/__r_* left columns at bind time") {
+    import spark.implicits._
+    val right = Seq((1L, 90L, 1.0, 1L)).toDF("k", "t", "v", "rid")
+    // asof_* on the left would collide with the appended output columns
+    val l1 = Seq((1L, 100L, 2.0)).toDF("k", "t", "asof_v")
+    intercept[graft.types.DuplicateAttribute] {
+      AsOfJoinCustom.backward(l1, right, "k", "k", "t", "t", Seq("v"), "rid")
+    }
+    // __r_* on the left would alias into the renamed right namespace
+    val l2 = Seq((1L, 100L, 2.0)).toDF("k", "t", "__r_v")
+    intercept[graft.types.DuplicateAttribute] {
+      AsOfJoinCustom.backward(l2, right, "k", "k", "t", "t", Seq("v"), "rid")
+    }
+  }
+
   test("null tiebreak rule agrees between window and custom implementations") {
     import spark.implicits._
     val left = Seq((1L, 100L, "p1")).toDF("k", "t", "tag")

@@ -124,7 +124,12 @@ def main(sf_dir, out_dir):
             n_pass += 1
         else:
             diffs = [(i, w, g) for i, (w, g) in enumerate(zip(wrows, grows)) if w != g][:3]
-            print(f"FAIL {name}: value/order mismatch; first diffs:")
+            # diagnosis: ordering-only drift (values equal as a multiset)
+            # reads very differently from a value mismatch — say which
+            kind = ("ordering differs but values match as a multiset"
+                    if sorted(map(repr, wrows)) == sorted(map(repr, grows))
+                    else "value mismatch")
+            print(f"FAIL {name}: {kind}; first diffs:")
             for i, w, g in diffs:
                 print(f"  row {i}:\n    oracle={w}\n    spark ={g}")
             n_fail += 1
