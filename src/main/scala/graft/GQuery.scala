@@ -33,7 +33,8 @@ object QueryRegistry {
       graft.queries.PipelineQueries.all ++
       graft.queries.CurationQueries.all ++
       graft.queries.SqlFeatureQueries.all ++
-      graft.queries.DepthQueries.all
+      graft.queries.DepthQueries.all ++
+      graft.queries.GraphTemporalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GQuery
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+
+/** Graph / temporal / corpus-statistics round-out (round 3): triangle
+  * counting, SCD2 merge, sweep-line concurrency, Kneser-Ney continuation
+  * counts, integer-exact collocation ranking, and MAD robust outliers.
+  * Every gate is integer- or boundary-double-exact per OutputPolicy.
+  */
+object GraphTemporalQueries {
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q118: triangle counting — the link-graph curation signal (dense
+    // triangle neighborhoods flag link farms / mutual-citation rings the
+    // way repetition flags boilerplate text). Relational edge-iterator
+    // form: canonical a<b edges self-joined twice with a<b<c, so each
+    // triangle is produced exactly once. At web scale the standard
+    // refinement is degree ordering (orient each edge low-degree →
+    // high-degree before the join) which bounds the candidate wedges per
+    // node by d_max of the smaller endpoint — same plan shape, one extra
+    // degree join; the id-ordered variant here keeps the oracle exact.
+    // Output: per-node triangle participation (every node, ordered).
+    GQuery(
+      "q118_triangle_count",
+      (s, d) => {
+        val e = Tables.lineitem(s, d)
+          .select(pmod(col("l_partkey"), lit(100L)).as("x"),
+            pmod(col("l_suppkey"), lit(100L)).as("y"))
+          .filter(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+          .distinct().localCheckpoint(false)
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("n1"), col("e1.b").as("n2"), col("e2.b").as("n3"))
+        tri.select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
+          .groupBy(col("node"))
+          .agg(count(lit(1)).as("n_triangles"))
+          .orderBy(col("node").asc)
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM (
+             |    SELECT l_partkey % 100 AS x, l_suppkey % 100 AS y FROM lineitem)
+             |  WHERE x <> y),
+             |tri AS (
+             |  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+             |  FROM e e1
+             |  JOIN e e2 ON e1.b = e2.a
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+             |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+             |FROM (SELECT unnest([n1, n2, n3]) AS node FROM tri)
+             |GROUP BY node ORDER BY node ASC""".stripMargin),
+      "triangle counting: canonical a<b<c edge-iterator, per-node participation"),
+
+    // ------------------------------------------------------------------
+    // q119: SCD2 merge (slowly-changing dimension, type 2) — the
+    // warehouse upsert: an update batch closes the matched current rows
+    // (valid_to = effective date) and appends new versions, unmatched
+    // rows pass through. Spark has no MERGE INTO without a table format;
+    // the relational shape IS the operator: ONE left join of dimension to
+    // updates (updates are the small side → broadcast) and ONE scan
+    // emitting 1-or-2 rows per key via explode(array(...)) — never two
+    // passes over the dimension. The update batch (customers' H2-1997
+    // order volume) reuses exact decimal arithmetic internally; balances
+    // leave as DOUBLE per OutputPolicy.
+    GQuery(
+      "q119_scd2_merge",
+      (s, d) => {
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").as("custkey"),
+            col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+        val upd = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ntzLit("1997-07-01 00:00:00"))
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("delta"))
+        // versions carry TIMESTAMP_NTZ bounds — the fixture's native
+        // temporal type (o_orderdate), proven driver-stable by q102
+        val eff = ntzLit("1998-01-01 00:00:00")
+        val origin = ntzLit("1990-01-01 00:00:00")
+        val nullTs = lit(null).cast(org.apache.spark.sql.types.TimestampNTZType)
+        dim.join(broadcast(upd), Seq("custkey"), "left")
+          .select(col("custkey"), explode(when(col("delta").isNull,
+            array(struct(col("bal").cast("double").as("bal"),
+              origin.as("valid_from"), nullTs.as("valid_to"),
+              lit(true).as("is_current"))))
+            .otherwise(array(
+              struct(col("bal").cast("double").as("bal"),
+                origin.as("valid_from"), eff.as("valid_to"),
+                lit(false).as("is_current")),
+              struct((col("bal") + col("delta")).cast("double").as("bal"),
+                eff.as("valid_from"), nullTs.as("valid_to"),
+                lit(true).as("is_current"))))).as("v"))
+          .select(col("custkey"), col("v.bal"), col("v.valid_from"),
+            col("v.valid_to"), col("v.is_current"))
+          .orderBy(col("custkey").asc, col("valid_from").asc)
+      },
+      Some("""WITH upd AS (
+             |  SELECT o_custkey AS custkey,
+             |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS delta
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+             |  GROUP BY 1)
+             |SELECT custkey, bal, valid_from, valid_to, is_current FROM (
+             |  SELECT c.c_custkey AS custkey,
+             |         CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+             |         TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+             |         CASE WHEN u.custkey IS NULL THEN NULL
+             |              ELSE TIMESTAMP '1998-01-01 00:00:00' END AS valid_to,
+             |         (u.custkey IS NULL) AS is_current
+             |  FROM customer c LEFT JOIN upd u ON c.c_custkey = u.custkey
+             |  UNION ALL
+             |  SELECT c.c_custkey,
+             |         CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) + u.delta AS DOUBLE),
+             |         TIMESTAMP '1998-01-01 00:00:00', NULL, true
+             |  FROM customer c JOIN upd u ON c.c_custkey = u.custkey)
+             |ORDER BY custkey ASC, valid_from ASC""".stripMargin),
+      "SCD2 merge: close matched versions + append new, one join one scan"),
+
+    // ------------------------------------------------------------------
+    // q120: interval max-concurrency (sweep line) — "how many sessions
+    // were open at once", the capacity-planning / abuse-detection shape.
+    // Each event opens a [sec, sec+600) interval; the timeline compresses
+    // to (instant, Σdelta) points (ends sort before starts at the same
+    // instant via the 2·sec+{0,1} key, so half-open intervals never
+    // overlap at the boundary), and the running concurrency is
+    // Packing.prefixSum — the two-level distributed prefix sum — NOT a
+    // one-partition global window over the corpus-sized timeline (the
+    // classic scale trap; only the per-bucket TOTALS ever meet a global
+    // window). Gate: the 10 most concurrent instants.
+    GQuery(
+      "q120_max_concurrency",
+      (s, d) => {
+        // ONE scan: each event explodes to its (+1 at start, −1 at end)
+        // timeline points — a union of two selects would read the source
+        // twice, 2× the dominant cost at corpus scale
+        val points = Tables.events(s, d).select(epochSec(col("ts")).as("sec"))
+          .select(explode(array(
+            struct((col("sec") * 2 + 1).as("k"), lit(1L).as("delta")),
+            struct((col("sec") * 2 + 1200).as("k"), lit(-1L).as("delta")))).as("p"))
+          .groupBy(col("p.k").as("k")).agg(sum(col("p.delta")).as("delta"))
+        graft.functions.Packing.prefixSum(points, "k", "delta", 100000L, "concurrency")
+          .select(expr("k div 2").as("t_sec"), col("concurrency"))
+          .orderBy(col("concurrency").desc, col("t_sec").asc)
+          .limit(10)
+      },
+      Some("""WITH ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+             |pts AS (
+             |  SELECT k, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+             |    SELECT sec * 2 + 1 AS k, 1 AS delta FROM ev
+             |    UNION ALL
+             |    SELECT sec * 2 + 1200 AS k, -1 AS delta FROM ev)
+             |  GROUP BY k),
+             |run AS (
+             |  SELECT k, CAST(SUM(delta) OVER (ORDER BY k ASC
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
+             |  FROM pts)
+             |SELECT CAST(k // 2 AS BIGINT) AS t_sec, concurrency
+             |FROM run ORDER BY concurrency DESC, t_sec ASC LIMIT 10""".stripMargin),
+      "sweep-line max concurrency: delta points + distributed prefix sum"),
+
+    // ------------------------------------------------------------------
+    // q121: Kneser-Ney continuation counts — the n-gram LM smoothing
+    // statistics (Kneser & Ney 1995): how many DISTINCT left contexts a
+    // word follows (N1+(•w), the KN unigram numerator) and how many
+    // distinct continuations it opens (N1+(w•)). Two count-distinct
+    // aggregations over the bigram relation — Spark plans each as
+    // expand + two-phase aggregate, so the shuffle carries (word,
+    // context) pairs pre-deduplicated map-side, never raw occurrences.
+    // Pure integer counting ⇒ hash-exact.
+    GQuery(
+      "q121_kn_continuation",
+      (s, d) => {
+        val toks = TF.tokens(col("text"))
+        // two consumers (left-type and right-type aggregations) —
+        // checkpoint the bigram relation so the scan+explode runs once
+        // (the q88 funnel pattern)
+        val bi = Tables.spread(Tables.documents(s, d), col("doc_id"))
+          .filter(size(toks) >= 2)
+          .select(explode(transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2")))).as("b"))
+          .select(col("b.w1"), col("b.w2"))
+          .localCheckpoint(false)
+        val left = bi.groupBy(col("w2").as("w"))
+          .agg(countDistinct(col("w1")).as("n_left_types"),
+            count(lit(1)).as("n_tokens_right"))
+        val right = bi.groupBy(col("w1").as("w"))
+          .agg(countDistinct(col("w2")).as("n_right_types"))
+        left.join(right, Seq("w"), "full")
+          .select(col("w"),
+            coalesce(col("n_left_types"), lit(0L)).as("n_left_types"),
+            coalesce(col("n_right_types"), lit(0L)).as("n_right_types"),
+            coalesce(col("n_tokens_right"), lit(0L)).as("n_bigrams"))
+          .orderBy(col("n_left_types").desc, col("w").asc)
+          .limit(30)
+      },
+      Some("""WITH bi AS (
+             |  SELECT ws[i] AS w1, ws[i+1] AS w2
+             |  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+             |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+             |  WHERE len(ws) >= 2),
+             |l AS (SELECT w2 AS w, CAST(COUNT(DISTINCT w1) AS BIGINT) AS n_left_types,
+             |             CAST(COUNT(*) AS BIGINT) AS n_bigrams
+             |      FROM bi GROUP BY 1),
+             |r AS (SELECT w1 AS w, CAST(COUNT(DISTINCT w2) AS BIGINT) AS n_right_types
+             |      FROM bi GROUP BY 1)
+             |SELECT COALESCE(l.w, r.w) AS w,
+             |       COALESCE(l.n_left_types, 0) AS n_left_types,
+             |       COALESCE(r.n_right_types, 0) AS n_right_types,
+             |       COALESCE(l.n_bigrams, 0) AS n_bigrams
+             |FROM l FULL JOIN r ON l.w = r.w
+             |ORDER BY n_left_types DESC, w ASC LIMIT 30""".stripMargin),
+      "Kneser-Ney continuation counts: distinct-context statistics per word"),
+
+    // ------------------------------------------------------------------
+    // q122: collocation ranking — PMI-ordered adjacent pairs WITHOUT
+    // floating log: PMI(x,y) = log(N·c(xy) / (c(x)·c(y))) is monotone in
+    // the integer ratio, so ranking by the fixed-point quotient
+    // c(xy)·N·10⁶ div (c(x)·c(y)) is exactly PMI-ordered and bit-stable
+    // cross-engine (libm log would be rank-equivalent but value-fuzzy).
+    // Shape: one bigram pass + two broadcast unigram joins; the c(xy)≥5
+    // floor cuts hapax noise. The standard vocabulary-induction /
+    // multi-word-expression signal over a training corpus.
+    GQuery(
+      "q122_collocations",
+      (s, d) => {
+        val toks = TF.tokens(col("text"))
+        val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
+        val uni = docs
+          .select(explode(toks).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+          .localCheckpoint(false)
+        // total token mass from the unigram aggregate — NOT a third scan
+        // of the corpus
+        val n = uni.agg(sum(col("c1")).as("n"))
+        val bi = docs.filter(size(toks) >= 2)
+          .select(explode(transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2")))).as("b"))
+          .select(col("b.w1"), col("b.w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5)
+        bi.join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "cx")), "w1")
+          .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "cy")), "w2")
+          .crossJoin(broadcast(n))
+          .select(col("w1"), col("w2"), col("c12"),
+            expr("c12 * n * 1000000 div (cx * cy)").as("pmi_fp"))
+          .orderBy(col("pmi_fp").desc, col("w1").asc, col("w2").asc)
+          .limit(25)
+      },
+      Some("""WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+             |uni AS (
+             |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+             |  FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY 1),
+             |n AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS n FROM ws),
+             |bi AS (
+             |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+             |    SELECT ws[i] AS w1, ws[i+1] AS w2
+             |    FROM ws, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+             |    WHERE len(ws) >= 2)
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+             |SELECT bi.w1, bi.w2, bi.c12,
+             |       CAST(bi.c12 * n.n * 1000000 // (x.c1 * y.c1) AS BIGINT) AS pmi_fp
+             |FROM bi JOIN uni x ON bi.w1 = x.w
+             |        JOIN uni y ON bi.w2 = y.w
+             |        CROSS JOIN n
+             |ORDER BY pmi_fp DESC, w1 ASC, w2 ASC LIMIT 25""".stripMargin),
+      "collocations: integer fixed-point PMI rank, no libm in the gate"),
+
+    // ------------------------------------------------------------------
+    // q123: MAD robust outliers — median absolute deviation, the robust
+    // complement to q103's ±2σ (one corrupt value moves a mean/stddev
+    // arbitrarily but not a median). Two exact-percentile aggregations
+    // (median of x per group, then median of |x − med|) + a broadcast
+    // join back; l_quantity is integral so every median is k or k+0.5 —
+    // exact in binary — and the 3·MAD comparison is exact arithmetic,
+    // never an epsilon. Output: the outlier rows per return flag.
+    GQuery(
+      "q123_mad_outliers",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("g_mad_li")
+        s.sql("""WITH med AS (
+                |  SELECT l_returnflag AS flag, percentile(l_quantity, 0.5) AS med
+                |  FROM g_mad_li GROUP BY 1),
+                |dev AS (
+                |  SELECT m.flag, m.med,
+                |         percentile(abs(l.l_quantity - m.med), 0.5) AS mad
+                |  FROM g_mad_li l JOIN med m ON l.l_returnflag = m.flag
+                |  GROUP BY m.flag, m.med)
+                |SELECT d.flag, d.med, d.mad,
+                |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                |       CAST(SUM(CASE WHEN abs(l.l_quantity - d.med) > 3 * d.mad
+                |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+                |FROM g_mad_li l JOIN dev d ON l.l_returnflag = d.flag
+                |GROUP BY d.flag, d.med, d.mad
+                |ORDER BY flag ASC""".stripMargin)
+      },
+      Some("""WITH med AS (
+             |  SELECT l_returnflag AS flag, quantile_cont(l_quantity, 0.5) AS med
+             |  FROM lineitem GROUP BY 1),
+             |dev AS (
+             |  SELECT m.flag, m.med,
+             |         quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad
+             |  FROM lineitem l JOIN med m ON l.l_returnflag = m.flag
+             |  GROUP BY m.flag, m.med)
+             |SELECT d.flag, d.med, d.mad,
+             |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       CAST(SUM(CASE WHEN abs(l.l_quantity - d.med) > 3 * d.mad
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM lineitem l JOIN dev d ON l.l_returnflag = d.flag
+             |GROUP BY d.flag, d.med, d.mad
+             |ORDER BY flag ASC""".stripMargin),
+      "MAD robust outliers: exact medians, 3*MAD flag, no epsilon"),
+  )
+}
