@@ -155,13 +155,18 @@ object Components {
       curSig = ssSig
       it += 1
     }
+    // a truncated run would silently hand back labels from a
+    // partially-contracted edge set (vertices of one component under
+    // different labels) — refuse, like every other correctness path here
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds " +
+          "(O(log^2 n) expected — raise maxIters or inspect the edge set)")
     // at fixpoint edges ARE (vertex, component-min); vertices never on the
     // larger side of any edge (component minima, isolated-after-self-loop
-    // vertices) label themselves. The min-agg guarantees one label per
-    // vertex even if maxIters truncated before the true fixpoint.
+    // vertices) label themselves
     val labels = vertices
-      .join(cur.groupBy(col("src").as("id")).agg(min(col("dst")).as("c")),
-        Seq("id"), "left")
+      .join(cur.select(col("src").as("id"), col("dst").as("c")), Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), col("id")).as("comp"))
     (labels, it)
   }

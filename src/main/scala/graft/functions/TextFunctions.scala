@@ -73,6 +73,20 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Adjacent token pairs as an array of (w1, w2) structs (multiset form —
+    * every occurrence kept, for bigram frequency/context statistics à la
+    * q121/q122). Empty when the document has fewer than 2 tokens; callers
+    * explode it. One definition so bigram semantics cannot drift between
+    * the corpus-statistics gates.
+    */
+  def bigramPairs(text: Column): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1), i =>
+        struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
   /** Exact Jaccard similarity of two string sets (int/int division — exact
     * and order-free in IEEE double on every engine).
     */

@@ -178,15 +178,11 @@ object GraphTemporalQueries {
     GQuery(
       "q121_kn_continuation",
       (s, d) => {
-        val toks = TF.tokens(col("text"))
         // two consumers (left-type and right-type aggregations) —
         // checkpoint the bigram relation so the scan+explode runs once
         // (the q88 funnel pattern)
         val bi = Tables.spread(Tables.documents(s, d), col("doc_id"))
-          .filter(size(toks) >= 2)
-          .select(explode(transform(sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("w1"),
-              element_at(toks, i + 1).as("w2")))).as("b"))
+          .select(explode(TF.bigramPairs(col("text"))).as("b"))
           .select(col("b.w1"), col("b.w2"))
           .localCheckpoint(false)
         val left = bi.groupBy(col("w2").as("w"))
@@ -241,18 +237,22 @@ object GraphTemporalQueries {
         // total token mass from the unigram aggregate — NOT a third scan
         // of the corpus
         val n = uni.agg(sum(col("c1")).as("n"))
-        val bi = docs.filter(size(toks) >= 2)
-          .select(explode(transform(sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("w1"),
-              element_at(toks, i + 1).as("w2")))).as("b"))
+        val bi = docs
+          .select(explode(TF.bigramPairs(col("text"))).as("b"))
           .select(col("b.w1"), col("b.w2"))
           .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
           .filter(col("c12") >= 5)
+        // the c12·N·10⁶ product overflows BIGINT once c12·N > ~9.2e12
+        // (any real corpus), and Spark-4 ANSI makes that a hard error —
+        // widen the product to DECIMAL(38,0) on both engines (HUGEINT in
+        // DuckDB); the QUOTIENT is bounded by N·10⁶/min_count, which fits
+        // BIGINT through N ≈ 4.6e13 tokens (shrink the multiplier beyond)
         bi.join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "cx")), "w1")
           .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "cy")), "w2")
           .crossJoin(broadcast(n))
           .select(col("w1"), col("w2"), col("c12"),
-            expr("c12 * n * 1000000 div (cx * cy)").as("pmi_fp"))
+            expr("CAST(CAST(c12 AS DECIMAL(38,0)) * n * 1000000 div (cx * cy) AS BIGINT)")
+              .as("pmi_fp"))
           .orderBy(col("pmi_fp").desc, col("w1").asc, col("w2").asc)
           .limit(25)
       },
@@ -268,7 +268,7 @@ object GraphTemporalQueries {
              |    WHERE len(ws) >= 2)
              |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
              |SELECT bi.w1, bi.w2, bi.c12,
-             |       CAST(bi.c12 * n.n * 1000000 // (x.c1 * y.c1) AS BIGINT) AS pmi_fp
+             |       CAST(CAST(bi.c12 AS HUGEINT) * n.n * 1000000 // (x.c1 * y.c1) AS BIGINT) AS pmi_fp
              |FROM bi JOIN uni x ON bi.w1 = x.w
              |        JOIN uni y ON bi.w2 = y.w
              |        CROSS JOIN n

@@ -38,11 +38,13 @@ object SkewDemo {
     def dim = spark.range(0, 1000)
       .select(col("id").as("key"), (col("id") * 2 + 1).as("dval"))
 
+    // thunks return the aggregated value itself so the printout doubles as
+    // an A==B==C equality check across variants, not just a timing
     def time(tag: String)(thunk: => Long): Unit =
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
         val n = thunk
-        println(f"[skew] $tag run$i ${(System.nanoTime() - t0) / 1e9}%6.2f s (rows=$n)")
+        println(f"[skew] $tag run$i ${(System.nanoTime() - t0) / 1e9}%6.2f s (sum=$n)")
       }
 
     def skewConf(on: Boolean): Unit = {
@@ -54,18 +56,18 @@ object SkewDemo {
     skewConf(false)
     time("A plain, AQE-skew OFF") {
       fact.hint("shuffle_hash").join(dim, Seq("key"))
-        .agg(sum(col("payload") * col("dval"))).count()
+        .agg(sum(col("payload") * col("dval"))).head().getLong(0)
     }
     skewConf(true)
     time("B plain, AQE-skew ON ") {
       fact.hint("shuffle_hash").join(dim, Seq("key"))
-        .agg(sum(col("payload") * col("dval"))).count()
+        .agg(sum(col("payload") * col("dval"))).head().getLong(0)
     }
     skewConf(false)
     time("C salted(32), AQE OFF") {
       graft.ops.Skew.saltedEquiJoin(
           fact.hint("shuffle_hash"), dim, "key", "rid", 32)
-        .agg(sum(col("payload") * col("dval"))).count()
+        .agg(sum(col("payload") * col("dval"))).head().getLong(0)
     }
     spark.stop()
   }
