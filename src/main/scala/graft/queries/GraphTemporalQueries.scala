@@ -319,5 +319,96 @@ object GraphTemporalQueries {
              |GROUP BY d.flag, d.med, d.mad
              |ORDER BY flag ASC""".stripMargin),
       "MAD robust outliers: exact medians, 3*MAD flag, no epsilon"),
+
+    // ------------------------------------------------------------------
+    // q124: cohort retention — the product-analytics staple: users
+    // cohorted by first-activity period, retention = distinct active
+    // users per (cohort, periods-since). Two shuffles total: one user_id
+    // aggregation for the cohort assignment, one join back + distinct
+    // count (the join is shuffle-on-user_id; the cohort table is
+    // user-cardinality so never broadcast at scale). DAILY periods via
+    // integer epoch-day — the fixture's events span weeks, not months,
+    // and epoch-day arithmetic has no calendar ambiguity cross-engine.
+    GQuery(
+      "q124_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"),
+            (epochSec(col("ts")) / 86400).cast("int").as("day"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        ev.join(cohort, Seq("user_id"))
+          .select(col("user_id"), col("cohort_day"),
+            (col("day") - col("cohort_day")).as("days_since"))
+          .groupBy(col("cohort_day"), col("days_since"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_day").asc, col("days_since").asc)
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS INT) AS day
+             |  FROM events),
+             |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1)
+             |SELECT c.cohort_day, e.day - c.cohort_day AS days_since,
+             |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+             |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+             |GROUP BY 1, 2 ORDER BY cohort_day ASC, days_since ASC""".stripMargin),
+      "cohort retention matrix: first-activity daily cohorts x days-since"),
+
+    // ------------------------------------------------------------------
+    // q125: winnowing fingerprints + cross-document overlap (Schleimer,
+    // Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    // Fingerprinting", SIGMOD 2003 — the MOSS algorithm, and the standard
+    // exact-span contamination/plagiarism detector): hash every word
+    // 5-gram, take the MIN of each sliding window of 4 positional hashes
+    // (guarantees any shared run of ≥8 words yields a shared
+    // fingerprint), dedupe minima per doc, then self-join on fingerprint.
+    // Whole-doc hashing (q35) misses partial overlap; all-pairs Jaccard
+    // (q38) is quadratic — winnowing is the linear-scan middle ground:
+    // corpus-sized work is one explode + one windowed min partitioned by
+    // doc; only docs sharing a fingerprint ever meet in the join (same
+    // bucketed-meeting shape as LSH). The window min is a per-doc
+    // ROWS-frame window, never a global sort.
+    GQuery(
+      "q125_winnow_overlap",
+      (s, d) => {
+        val k = 5 // gram size (words)
+        val w = 4 // winnow window (fingerprint every ≥ k+w-1 = 8-word run)
+        val grams = Tables.spread(Tables.documents(s, d), col("doc_id"))
+          .select(col("doc_id"),
+            posexplode(transform(TF.wordShinglesAll(col("text"), k), TF.md5Hash60(_)))
+              .as(Seq("pos", "h")))
+        val win = Window.partitionBy(col("doc_id"))
+          .orderBy(col("pos").asc).rowsBetween(0, w - 1)
+        val fps = grams
+          .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+          .withColumn("fp", min(col("h")).over(win))
+          // windows that extend past the last gram are not full-width —
+          // the paper's guarantee only holds for complete windows
+          .filter(col("pos") <= col("n_grams") - w)
+          .select(col("doc_id"), col("fp")).distinct()
+        fps.as("a").join(fps.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy(col("id_a").asc, col("id_b").asc)
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id,
+             |         list_transform(range(1, len(ws) - 3),
+             |           i -> CAST(('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]),1,15)) AS BIGINT)) AS hs
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+             |  WHERE len(ws) >= 5),
+             |fps AS (
+             |  SELECT DISTINCT doc_id, fp FROM (
+             |    SELECT doc_id,
+             |           unnest(list_transform(range(1, len(hs) - 2),
+             |             j -> list_min(hs[j:j+3]))) AS fp
+             |    FROM grams WHERE len(hs) >= 4))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(COUNT(*) AS BIGINT) AS n_shared
+             |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |ORDER BY id_a ASC, id_b ASC""".stripMargin),
+      "winnowing fingerprints (MOSS): shared >=8-word spans meet in a fingerprint join"),
   )
 }

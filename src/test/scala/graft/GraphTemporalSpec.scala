@@ -74,6 +74,47 @@ class GraphTemporalSpec extends SparkTestBase {
     assert(scores == scores.sorted.reverse, "not ordered by score")
   }
 
+  test("q124 cohort retention: day-0 row per cohort dominates, users conserved") {
+    val rows = q("q124_cohort_retention").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_._2 == 0)
+      assert(day0.isDefined, s"cohort $c missing its days_since=0 row")
+      // day-0 contains every cohort member; later periods can only shrink
+      // or equal (a user active later was active on its first day too)
+      rs.foreach { r => assert(r._3 <= day0.get._3, s"cohort $c: $r exceeds day-0") }
+    }
+    // total day-0 mass = number of distinct users in the fixture
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == nUsers)
+  }
+
+  test("q125 winnowing: guarantees shared >=8-word runs are detected") {
+    val rows = q("q125_winnow_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (a, b, n) => assert(a < b && n >= 2) }
+    // ground truth: the fixture's planted near-dup pairs share long
+    // prefixes — every doc pair sharing an identical 8-word prefix MUST
+    // appear (the winnowing guarantee: any shared k+w-1 = 8-word span
+    // yields at least one shared fingerprint; with >= 2 such spans the
+    // n_shared >= 2 floor keeps the pair)
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val byPrefix = docs.groupBy(_._2.split(" ").take(16).mkString(" "))
+      .filter { case (p, ds) => p.split(" ").length >= 16 && ds.length >= 2 }
+    val got = rows.map(r => (r._1, r._2)).toSet
+    byPrefix.values.foreach { ds =>
+      val ids = ds.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        assert(got.contains((ids(i), ids(j))),
+          s"16-word-identical-prefix pair (${ids(i)},${ids(j)}) not detected")
+    }
+  }
+
   test("q123 mad: outliers bounded, mad nonnegative, recomputed flags agree") {
     val rows = q("q123_mad_outliers").collect()
     assert(rows.length >= 1)
