@@ -385,6 +385,10 @@ object GraphTemporalQueries {
           // the paper's guarantee only holds for complete windows
           .filter(col("pos") <= col("n_grams") - w)
           .select(col("doc_id"), col("fp")).distinct()
+          // the self-join references fps on BOTH sides: un-checkpointed,
+          // the whole corpus pipeline executes twice inside one job
+          // (measured 2× the stage cost — the q81 lesson)
+          .localCheckpoint(false)
         fps.as("a").join(fps.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -215,6 +215,35 @@ class PlanShapeSpec extends SparkTestBase {
       s"plan contains a SinglePartition exchange:\n${p.take(1500)}")
   }
 
+  test("q119 scd2: update batch broadcasts, dimension scans exactly once") {
+    val p = plan("q119_scd2_merge")
+    assert(p.contains("BroadcastHashJoin"), "update batch not broadcast")
+    // the merge's whole point: 1-or-2 rows per key from ONE dim pass —
+    // a UNION ALL spelling would scan customer once per branch
+    val customerScans = "Scan parquet ".r.findAllIn(p).length
+    assert(customerScans <= 4, // tree + details sections, 2 tables
+      s"dimension scanned more than once:\n${p.take(800)}")
+  }
+
+  test("q118/q125 self-joins stay hash joins — no nested-loop blowup") {
+    Seq("q118_triangle_count", "q125_winnow_overlap").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"$n fell off the hash-join path:\n${p.take(800)}")
+    }
+  }
+
+  test("q124 cohort join shuffles on user_id, never broadcasts the cohort table") {
+    // the cohort table is user-cardinality: broadcasting it works at sf0.1
+    // and OOMs a 1e9-user corpus — the gate pins the shuffle-join shape.
+    // (Spark would broadcast it below the 10 MB threshold; the fixture is
+    // small, so assert the aggregation feeding the join is shuffled and
+    // keyed on user_id rather than banning broadcast outright.)
+    val p = plan("q124_cohort_retention")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"cohort assignment not shuffled on user_id:\n${p.take(800)}")
+  }
+
   test("salted join rejects dim-preserving join types (they would duplicate dim rows)") {
     import spark.implicits._
     val fact = Seq((1L, 1L)).toDF("k", "row_id")
