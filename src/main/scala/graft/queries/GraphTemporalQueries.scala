@@ -414,5 +414,120 @@ object GraphTemporalQueries {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2
              |ORDER BY id_a ASC, id_b ASC""".stripMargin),
       "winnowing fingerprints (MOSS): shared >=8-word spans meet in a fingerprint join"),
+
+    // ------------------------------------------------------------------
+    // q126: exact set-similarity join via PREFIX FILTERING (AllPairs/
+    // PPJoin family — Bayardo, Ma & Srikant, "Scaling Up All Pairs
+    // Similarity Search", WWW 2007): the EXACT complement to LSH (q36
+    // trades recall for scale; this keeps exactness and still avoids
+    // all-pairs). Order each doc's distinct tokens by global rarity
+    // (df asc, token asc); for Jaccard ≥ t only the first
+    // n − ⌈t·n⌉ + 1 tokens (the prefix) can witness a qualifying pair —
+    // if J(a,b) ≥ t, the globally-smallest shared token provably sits in
+    // BOTH prefixes — so candidates come from an equi-join on prefix
+    // tokens (rare tokens → tiny buckets), never a quadratic block.
+    // Verification recomputes exact overlap; the ≥ t test is exact
+    // integer arithmetic (10·∩ ≥ 6·∪), not a float threshold. Oracle =
+    // the naive exact all-pairs join; equality IS the completeness proof.
+    // Element universe: 3-gram shingle HASHES, not words — the fixture's
+    // ~31-word vocabulary makes word-set Jaccard degenerate (every doc
+    // pair ≥ 0.6); shingles are diverse. Intersection cardinalities are
+    // identical in hash space and string space, and the oracle (naive
+    // all-pairs over shingle strings) is order-agnostic, so the
+    // engine-internal df ordering never needs oracle replication.
+    GQuery(
+      "q126_prefix_simjoin",
+      (s, d) => {
+        val toks = Tables.spread(Tables.documents(s, d), col("doc_id"))
+          .filter(size(TF.tokens(col("text"))) >= 3)
+          .select(col("doc_id"),
+            explode(TF.wordShingleHashes(col("text"), 3)).as("tok"))
+          .localCheckpoint(false) // 3 consumers: df, prefix, verify
+        val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val ranked = toks.join(df, "tok")
+          .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("df").asc, col("tok").asc)))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        // prefix length n − ⌈0.6n⌉ + 1, in integers: ⌈3n/5⌉ = (3n+4) div 5
+        val prefix = ranked.filter(col("rn") <= col("n") - expr("(3*n + 4) div 5") + 1)
+          .select(col("doc_id"), col("tok"))
+        val cand = prefix.as("pa").join(prefix.as("pb"),
+            col("pa.tok") === col("pb.tok") && col("pa.doc_id") < col("pb.doc_id"))
+          .select(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
+          .distinct()
+        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val inter = cand
+          .join(toks.select(col("doc_id").as("id_a"), col("tok")), "id_a")
+          .join(toks.select(col("doc_id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("na")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("nb")), "id_b")
+          .withColumn("u", col("na") + col("nb") - col("i"))
+          .filter(col("i") * 10 >= col("u") * 6)
+          .select(col("id_a"), col("id_b"),
+            (col("i").cast("double") / col("u")).as("jaccard"))
+          .orderBy(col("id_a").asc, col("id_b").asc)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_distinct(list_transform(range(1, len(ws)-1),
+             |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS ts
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+             |  WHERE len(ws) >= 3)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+             |       len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
+             |FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |WHERE 10 * len(list_intersect(a.ts, b.ts))
+             |      >= 6 * len(list_distinct(list_concat(a.ts, b.ts)))
+             |ORDER BY id_a ASC, id_b ASC""".stripMargin),
+      "prefix-filtering exact similarity join (AllPairs): rare-token equi-join, no quadratic block"),
+
+    // ------------------------------------------------------------------
+    // q127: interval-overlap join via BINNING — Spark plans a raw
+    // `a.start < b.end AND b.start < a.end` theta join as a
+    // BroadcastNestedLoopJoin (O(n²), the 100 TB killer; no native range
+    // join optimization in OSS Spark). The standard fix: explode each
+    // interval to the fixed-width bins it touches (width = max interval
+    // length ⇒ ≤2 bins here), equi-join on bin, refine with the exact
+    // overlap predicate, dedupe pairs that met in both bins. PlanShapeSpec
+    // asserts the binned plan is a hash join. Fixture: 10-minute event
+    // windows of a user subset; output = overlap counts per user pair.
+    GQuery(
+      "q127_interval_join",
+      (s, d) => {
+        val iv = Tables.events(s, d)
+          .filter(col("user_id") < 5)
+          .select(col("user_id"), col("event_id"), epochSec(col("ts")).as("s0"),
+            (epochSec(col("ts")) + 600).as("s1"))
+          .localCheckpoint(false) // both join sides
+        val binned = iv.select(col("user_id"), col("event_id"), col("s0"), col("s1"),
+          explode(array_distinct(array(expr("s0 div 600"), expr("(s1 - 1) div 600"))))
+            .as("bin"))
+        binned.as("a").join(binned.as("b"),
+            col("a.bin") === col("b.bin") &&
+              col("a.event_id") < col("b.event_id") &&
+              col("a.user_id") < col("b.user_id") &&
+              col("a.s0") < col("b.s1") && col("b.s0") < col("a.s1"))
+          .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
+            col("a.event_id").as("ea"), col("b.event_id").as("eb"))
+          .distinct() // a pair can meet in two bins
+          .groupBy(col("user_a"), col("user_b"))
+          .agg(count(lit(1)).as("n_overlaps"))
+          .orderBy(col("user_a").asc, col("user_b").asc)
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS s0,
+             |         CAST(floor(epoch(ts)) AS BIGINT) + 600 AS s1
+             |  FROM events WHERE user_id < 5)
+             |SELECT a.user_id AS user_a, b.user_id AS user_b,
+             |       CAST(COUNT(*) AS BIGINT) AS n_overlaps
+             |FROM iv a JOIN iv b
+             |  ON a.event_id < b.event_id AND a.user_id < b.user_id
+             | AND a.s0 < b.s1 AND b.s0 < a.s1
+             |GROUP BY 1, 2 ORDER BY user_a ASC, user_b ASC""".stripMargin),
+      "interval-overlap join via binning: equi-join + refine, never a nested loop"),
   )
 }

@@ -115,6 +115,44 @@ class GraphTemporalSpec extends SparkTestBase {
     }
   }
 
+  test("q126 prefix filtering: equals naive all-pairs (completeness), all pairs >= 0.6") {
+    import graft.functions.{TextFunctions => TF}
+    val sh = graft.sources.Tables.documents(spark, sf)
+      .filter(size(TF.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), TF.wordShingleHashes(col("text"), 3).as("ts"))
+    val naive = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        size(array_intersect(col("a.ts"), col("b.ts"))).as("i"),
+        size(array_union(col("a.ts"), col("b.ts"))).as("u"))
+      .filter(col("i") * 10 >= col("u") * 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = q("q126_prefix_simjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (_, _, j) => assert(j >= 0.6 - 1e-12) }
+    assert(got.map(t => (t._1, t._2)).toSet == naive,
+      "prefix filtering missed or invented pairs vs the naive all-pairs join")
+  }
+
+  test("q127 binning: equals the raw theta join; naive plans a nested loop, binned does not") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), col("event_id"),
+        graft.queries.epochSec(col("ts")).as("s0"),
+        (graft.queries.epochSec(col("ts")) + 600).as("s1"))
+    val naive = ev.as("a").join(ev.as("b"),
+        col("a.event_id") < col("b.event_id") && col("a.user_id") < col("b.user_id") &&
+          col("a.s0") < col("b.s1") && col("b.s0") < col("a.s1"))
+      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+      .agg(count(lit(1)).as("n"))
+    // the naive spelling is exactly the O(n^2) plan the binned form avoids
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"),
+      "fixture naive theta join no longer plans BNLJ — update the demo")
+    val want = naive.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = q("q127_interval_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"binned interval join != theta join:\n$got\n$want")
+  }
+
   test("q123 mad: outliers bounded, mad nonnegative, recomputed flags agree") {
     val rows = q("q123_mad_outliers").collect()
     assert(rows.length >= 1)

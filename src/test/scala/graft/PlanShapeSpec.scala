@@ -225,8 +225,9 @@ class PlanShapeSpec extends SparkTestBase {
       s"dimension scanned more than once:\n${p.take(800)}")
   }
 
-  test("q118/q125 self-joins stay hash joins — no nested-loop blowup") {
-    Seq("q118_triangle_count", "q125_winnow_overlap").foreach { n =>
+  test("q118/q125/q126/q127 self-joins stay hash joins — no nested-loop blowup") {
+    Seq("q118_triangle_count", "q125_winnow_overlap",
+        "q126_prefix_simjoin", "q127_interval_join").foreach { n =>
       val p = plan(n)
       assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
         s"$n fell off the hash-join path:\n${p.take(800)}")
