@@ -529,5 +529,132 @@ object GraphTemporalQueries {
              | AND a.s0 < b.s1 AND b.s0 < a.s1
              |GROUP BY 1, 2 ORDER BY user_a ASC, user_b ASC""".stripMargin),
       "interval-overlap join via binning: equi-join + refine, never a nested loop"),
+
+    // ------------------------------------------------------------------
+    // q128: snapshot diff / reconciliation — "what changed between
+    // yesterday's table and today's": full outer join on the key, rows
+    // classified added / removed / changed / unchanged by comparing a
+    // content hash (md5 of the canonicalized value tuple — comparing ONE
+    // hash, not N columns, keeps the diff predicate O(1) per row and the
+    // shuffle narrow). Snapshot B is snapshot A with deterministic
+    // mutations (every 7th order's priority bumped, every 13th dropped,
+    // synthetic keys appended) so both engines derive identical inputs.
+    GQuery(
+      "q128_snapshot_diff",
+      (s, d) => {
+        val a = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"),
+            col("o_orderstatus").as("status"), col("o_orderpriority").as("prio"))
+        val b0 = a.filter(pmod(col("k"), lit(13L)) =!= 0)
+          .select(col("k"),
+            col("status"),
+            when(pmod(col("k"), lit(7L)) === 0, lit("0-BUMPED")).otherwise(col("prio")).as("prio"))
+        val b = b0.union(
+          a.select((col("k") + 10000000L).as("k"), col("status"), col("prio"))
+            .filter(pmod(col("k"), lit(101L)) === 0))
+        def h(df: org.apache.spark.sql.DataFrame) = df.select(col("k"),
+          md5(concat_ws("|", col("status"), col("prio"))).as("h"))
+        h(a).as("a").join(h(b).as("b"), col("a.k") === col("b.k"), "full")
+          .select(coalesce(col("a.k"), col("b.k")).as("k"),
+            when(col("a.k").isNull, "added")
+              .when(col("b.k").isNull, "removed")
+              .when(col("a.h") =!= col("b.h"), "changed")
+              .otherwise("unchanged").as("change"))
+          .groupBy(col("change")).agg(count(lit(1)).as("n"), min(col("k")).as("first_key"))
+          .orderBy(col("change").asc)
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderkey AS k, o_orderstatus AS status, o_orderpriority AS prio
+             |  FROM orders),
+             |b AS (
+             |  SELECT k, status,
+             |         CASE WHEN k % 7 = 0 THEN '0-BUMPED' ELSE prio END AS prio
+             |  FROM a WHERE k % 13 <> 0
+             |  UNION ALL
+             |  SELECT k + 10000000, status, prio FROM a WHERE (k + 10000000) % 101 = 0),
+             |ah AS (SELECT k, md5(status||'|'||prio) AS h FROM a),
+             |bh AS (SELECT k, md5(status||'|'||prio) AS h FROM b)
+             |SELECT change, CAST(COUNT(*) AS BIGINT) AS n, MIN(k) AS first_key FROM (
+             |  SELECT COALESCE(ah.k, bh.k) AS k,
+             |         CASE WHEN ah.k IS NULL THEN 'added'
+             |              WHEN bh.k IS NULL THEN 'removed'
+             |              WHEN ah.h <> bh.h THEN 'changed'
+             |              ELSE 'unchanged' END AS change
+             |  FROM ah FULL JOIN bh ON ah.k = bh.k)
+             |GROUP BY change ORDER BY change ASC""".stripMargin),
+      "snapshot diff: full outer join on key + one content hash per row"),
+
+    // ------------------------------------------------------------------
+    // q129: survivorship merge — multi-source entity resolution's last
+    // step: the same key arrives from several sources with a precedence
+    // order; keep the best-precedence row per key (ties broken
+    // deterministically). ONE window pass over the union — the naive
+    // per-source anti-join cascade reads the union once per source.
+    // Sources derived from customer: "crm" (all rows), "web" (every 2nd,
+    // marked), "import" (every 3rd, marked) with precedence crm < web <
+    // import reversed — import wins — so ~1/3 of keys resolve to
+    // import, ~1/6 more to web, rest crm.
+    GQuery(
+      "q129_survivorship",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey").as("k"), col("c_name").as("name"))
+        val union = c.withColumn("src", lit("crm")).withColumn("rank", lit(3))
+          .union(c.filter(pmod(col("k"), lit(2L)) === 0)
+            .select(col("k"), concat(col("name"), lit("#web")).as("name"))
+            .withColumn("src", lit("web")).withColumn("rank", lit(2)))
+          .union(c.filter(pmod(col("k"), lit(3L)) === 0)
+            .select(col("k"), concat(col("name"), lit("#imp")).as("name"))
+            .withColumn("src", lit("import")).withColumn("rank", lit(1)))
+        union
+          .withColumn("rn", row_number().over(Window.partitionBy(col("k"))
+            .orderBy(col("rank").asc, col("src").asc)))
+          .filter(col("rn") === 1)
+          .select(col("k"), col("name"), col("src"))
+          .orderBy(col("k").asc)
+      },
+      Some("""WITH u AS (
+             |  SELECT c_custkey AS k, c_name AS name, 'crm' AS src, 3 AS rank FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey, c_name||'#web', 'web', 2 FROM customer WHERE c_custkey % 2 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_name||'#imp', 'import', 1 FROM customer WHERE c_custkey % 3 = 0)
+             |SELECT k, name, src FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY rank ASC, src ASC) AS rn
+             |  FROM u)
+             |WHERE rn = 1 ORDER BY k ASC""".stripMargin),
+      "survivorship merge: precedence-ranked best row per key, one window pass"),
+
+    // ------------------------------------------------------------------
+    // q130: event transition counts — the first-order Markov statistics
+    // of user journeys (page-path analysis, funnel discovery): within
+    // each user's time-ordered stream, count (event_type → next
+    // event_type) transitions. One lead() window partitioned by user —
+    // the same single-shuffle shape as sessionization (q83); transition
+    // mass per source state is pinned by the spec (Σ transitions from x
+    // = occurrences of x that are not stream-final).
+    GQuery(
+      "q130_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("from_type").asc, col("to_type").asc)
+      },
+      Some("""WITH o AS (
+             |  SELECT event_type,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts ASC, event_id ASC) AS next_type
+             |  FROM events)
+             |SELECT event_type AS from_type, next_type AS to_type,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM o WHERE next_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY from_type ASC, to_type ASC""".stripMargin),
+      "event transition matrix: lead() per user stream, single shuffle"),
   )
 }

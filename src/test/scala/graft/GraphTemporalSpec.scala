@@ -153,6 +153,49 @@ class GraphTemporalSpec extends SparkTestBase {
     assert(got == want, s"binned interval join != theta join:\n$got\n$want")
   }
 
+  test("q128 snapshot diff: change classes partition both snapshots") {
+    val rows = q("q128_snapshot_diff").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.keySet == Set("added", "removed", "changed", "unchanged"))
+    val nA = graft.sources.Tables.orders(spark, sf).count()
+    // A splits into removed + changed + unchanged; added is B-only
+    assert(rows("removed") + rows("changed") + rows("unchanged") == nA)
+    assert(rows("added") >= 1 && rows("changed") >= 1 && rows("removed") >= 1)
+  }
+
+  test("q129 survivorship: one row per key, highest-precedence source wins") {
+    val rows = q("q129_survivorship").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keys = rows.map(_._1)
+    assert(keys.distinct.length == keys.length, "duplicate keys survived")
+    rows.foreach { case (k, name, src) =>
+      val want = if (k % 3 == 0) "import" else if (k % 2 == 0) "web" else "crm"
+      assert(src == want, s"key $k resolved to $src, want $want")
+      if (src == "import") assert(name.endsWith("#imp"))
+      if (src == "web") assert(name.endsWith("#web"))
+    }
+  }
+
+  test("q130 transitions: outgoing mass = non-final occurrences per type") {
+    val trans = q("q130_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outMass = trans.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._3).sum }
+    // per-user streams each have one final event with no successor
+    val ev = graft.sources.Tables.events(spark, sf)
+    val occurrences = ev.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lastPerUser = ev.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    occurrences.foreach { case (t, n) =>
+      assert(outMass.getOrElse(t, 0L) == n - lastPerUser.getOrElse(t, 0L),
+        s"transition mass for $t does not conserve")
+    }
+  }
+
   test("q123 mad: outliers bounded, mad nonnegative, recomputed flags agree") {
     val rows = q("q123_mad_outliers").collect()
     assert(rows.length >= 1)
