@@ -33,7 +33,7 @@ sealed abstract class GraftType(val name: String, val spark: DataType) {
 
 object GraftType {
   case object UInt32 extends GraftType("UINT32", LongType) // widened: no unsigned in Spark
-  case object UInt64 extends GraftType("UINT64", LongType) // fixtures fit in i64; doc'd narrowing
+  case object UInt64 extends GraftType("UINT64", LongType) // i64 bit carrier; full range via types.Unsigned (DECIMAL(20,0))
   case object Int32 extends GraftType("INT32", IntegerType)
   case object Int64 extends GraftType("INT64", LongType)
   case object Float32 extends GraftType("FLOAT32", FloatType)

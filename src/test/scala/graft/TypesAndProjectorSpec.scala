@@ -94,4 +94,29 @@ class TypesAndProjectorSpec extends SparkTestBase {
     val out = Projector.of(Projector.allPrefixed("l_"))(df)
     assert(out.columns.toSeq == Seq("l_a", "l_b"))
   }
+
+  test("UINT64 full range: carrier <-> DECIMAL(20,0) round-trips exactly at the edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the interesting u64 values: 0, 1, 2^63-1 (max positive carrier),
+    // 2^63 (carrier Long.MinValue), 2^64-1 (carrier -1)
+    val carriers = Seq(0L, 1L, Long.MaxValue, Long.MinValue, -1L)
+    val df = carriers.toDF("i")
+      .withColumn("u", Unsigned.toUnsigned(col("i")))
+      .withColumn("back", Unsigned.toCarrier(col("u")))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), BigDecimal(r.getDecimal(1)), r.getLong(2)))
+    val expectU = Map(
+      0L -> BigDecimal(0), 1L -> BigDecimal(1),
+      Long.MaxValue -> BigDecimal("9223372036854775807"),
+      Long.MinValue -> BigDecimal("9223372036854775808"),
+      -1L -> BigDecimal("18446744073709551615"))
+    rows.foreach { case (i, u, back) =>
+      assert(u == expectU(i), s"carrier $i mapped to $u")
+      assert(back == i, s"round-trip lost $i -> $u -> $back")
+    }
+    // unsigned ORDER differs from signed order: -1L is the LARGEST u64
+    val ordered = df.orderBy(col("u").asc).collect().map(_.getLong(0)).toSeq
+    assert(ordered == Seq(0L, 1L, Long.MaxValue, Long.MinValue, -1L))
+  }
 }
