@@ -335,6 +335,10 @@ object GraphTemporalQueries {
         val ev = Tables.events(s, d)
           .select(col("user_id"),
             (epochSec(col("ts")) / 86400).cast("int").as("day"))
+          // two consumers (cohort aggregation + join probe side, which
+          // cannot share an exchange) — checkpoint so the events scan runs
+          // once (the q81 lesson)
+          .localCheckpoint(false)
         val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
         ev.join(cohort, Seq("user_id"))
           .select(col("user_id"), col("cohort_day"),
@@ -392,8 +396,10 @@ object GraphTemporalQueries {
         fps.as("a").join(fps.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          // NO n_shared floor: a pair sharing exactly one ≥8-word span is
+          // guaranteed only ONE shared fingerprint — a ≥2 floor would
+          // silently break the winnowing detection guarantee
           .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 2)
           .orderBy(col("id_a").asc, col("id_b").asc)
       },
       Some("""WITH grams AS (
@@ -411,7 +417,7 @@ object GraphTemporalQueries {
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |       CAST(COUNT(*) AS BIGINT) AS n_shared
              |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-             |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |GROUP BY 1, 2
              |ORDER BY id_a ASC, id_b ASC""".stripMargin),
       "winnowing fingerprints (MOSS): shared >=8-word spans meet in a fingerprint join"),
 
@@ -444,18 +450,22 @@ object GraphTemporalQueries {
             explode(TF.wordShingleHashes(col("text"), 3)).as("tok"))
           .localCheckpoint(false) // 3 consumers: df, prefix, verify
         val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        // doc sizes via ONE aggregation, reused by the prefix filter AND
+        // the verifier — a count() window with a different orderBy than
+        // the row_number would cost a second corpus-wide sort
+        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+          .localCheckpoint(false)
         val ranked = toks.join(df, "tok")
           .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
             .orderBy(col("df").asc, col("tok").asc)))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+          .join(sizes, "doc_id")
         // prefix length n − ⌈0.6n⌉ + 1, in integers: ⌈3n/5⌉ = (3n+4) div 5
-        val prefix = ranked.filter(col("rn") <= col("n") - expr("(3*n + 4) div 5") + 1)
+        val prefix = ranked.filter(col("rn") <= col("sz") - expr("(3*sz + 4) div 5") + 1)
           .select(col("doc_id"), col("tok"))
         val cand = prefix.as("pa").join(prefix.as("pb"),
             col("pa.tok") === col("pb.tok") && col("pa.doc_id") < col("pb.doc_id"))
           .select(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
           .distinct()
-        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val inter = cand
           .join(toks.select(col("doc_id").as("id_a"), col("tok")), "id_a")
           .join(toks.select(col("doc_id").as("id_b"), col("tok")), Seq("id_b", "tok"))
@@ -505,9 +515,11 @@ object GraphTemporalQueries {
         val binned = iv.select(col("user_id"), col("event_id"), col("s0"), col("s1"),
           explode(array_distinct(array(expr("s0 div 600"), expr("(s1 - 1) div 600"))))
             .as("bin"))
+        // user_a < user_b alone orients each cross-user pair exactly once —
+        // an event_id conjunct on top would silently drop the pairs whose
+        // id order disagrees with the user order (~half the real overlaps)
         binned.as("a").join(binned.as("b"),
             col("a.bin") === col("b.bin") &&
-              col("a.event_id") < col("b.event_id") &&
               col("a.user_id") < col("b.user_id") &&
               col("a.s0") < col("b.s1") && col("b.s0") < col("a.s1"))
           .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
@@ -525,7 +537,7 @@ object GraphTemporalQueries {
              |SELECT a.user_id AS user_a, b.user_id AS user_b,
              |       CAST(COUNT(*) AS BIGINT) AS n_overlaps
              |FROM iv a JOIN iv b
-             |  ON a.event_id < b.event_id AND a.user_id < b.user_id
+             |  ON a.user_id < b.user_id
              | AND a.s0 < b.s1 AND b.s0 < a.s1
              |GROUP BY 1, 2 ORDER BY user_a ASC, user_b ASC""".stripMargin),
       "interval-overlap join via binning: equi-join + refine, never a nested loop"),

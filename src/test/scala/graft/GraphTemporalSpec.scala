@@ -95,12 +95,12 @@ class GraphTemporalSpec extends SparkTestBase {
   test("q125 winnowing: guarantees shared >=8-word runs are detected") {
     val rows = q("q125_winnow_overlap").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    rows.foreach { case (a, b, n) => assert(a < b && n >= 2) }
+    rows.foreach { case (a, b, n) => assert(a < b && n >= 1) }
     // ground truth: the fixture's planted near-dup pairs share long
     // prefixes — every doc pair sharing an identical 8-word prefix MUST
     // appear (the winnowing guarantee: any shared k+w-1 = 8-word span
-    // yields at least one shared fingerprint; with >= 2 such spans the
-    // n_shared >= 2 floor keeps the pair)
+    // yields at least one shared fingerprint, and the query applies NO
+    // n_shared floor that could drop a single-span pair)
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
@@ -140,7 +140,7 @@ class GraphTemporalSpec extends SparkTestBase {
         graft.queries.epochSec(col("ts")).as("s0"),
         (graft.queries.epochSec(col("ts")) + 600).as("s1"))
     val naive = ev.as("a").join(ev.as("b"),
-        col("a.event_id") < col("b.event_id") && col("a.user_id") < col("b.user_id") &&
+        col("a.user_id") < col("b.user_id") &&
           col("a.s0") < col("b.s1") && col("b.s0") < col("a.s1"))
       .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
       .agg(count(lit(1)).as("n"))
