@@ -34,7 +34,8 @@ object QueryRegistry {
       graft.queries.CurationQueries.all ++
       graft.queries.SqlFeatureQueries.all ++
       graft.queries.DepthQueries.all ++
-      graft.queries.GraphTemporalQueries.all
+      graft.queries.GraphTemporalQueries.all ++
+      graft.queries.TpchShapeQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

@@ -36,6 +36,10 @@ object OutputPolicy {
     def walk(path: String, dt: DataType): Seq[String] = dt match {
       case _: DecimalType =>
         Seq(s"$path: ${dt.simpleString} (driver stringifies Decimal with trailing scale zeros; cast to double or string on both engines)")
+      case FloatType =>
+        Seq(s"$path: float (float32 shortest-repr differs between pandas and duckdb frames; cast to double on both engines)")
+      case BinaryType =>
+        Seq(s"$path: binary (raw bytes stringify differently across frames; emit hex/md5 instead)")
       case ArrayType(et, _) =>
         Seq(s"$path: ${dt.simpleString} (pandas cannot sort array cells; emit a scalar proof instead)") ++
           walk(s"$path[]", et)

@@ -147,7 +147,9 @@ object GraphTemporalQueries {
             struct((col("sec") * 2 + 1200).as("k"), lit(-1L).as("delta")))).as("p"))
           .groupBy(col("p.k").as("k")).agg(sum(col("p.delta")).as("delta"))
         graft.functions.Packing.prefixSum(points, "k", "delta", 100000L, "concurrency")
-          .select(expr("k div 2").as("t_sec"), col("concurrency"))
+          // floor(k/2), not `k div 2`: DuckDB's // floors, Spark's div
+          // truncates — they disagree on negative instants (ADVICE r3)
+          .select(expr("CAST(floor(k / 2.0) AS BIGINT)").as("t_sec"), col("concurrency"))
           .orderBy(col("concurrency").desc, col("t_sec").asc)
           .limit(10)
       },
@@ -220,8 +222,11 @@ object GraphTemporalQueries {
     // q122: collocation ranking — PMI-ordered adjacent pairs WITHOUT
     // floating log: PMI(x,y) = log(N·c(xy) / (c(x)·c(y))) is monotone in
     // the integer ratio, so ranking by the fixed-point quotient
-    // c(xy)·N·10⁶ div (c(x)·c(y)) is exactly PMI-ordered and bit-stable
-    // cross-engine (libm log would be rank-equivalent but value-fuzzy).
+    // c(xy)·N·10⁶ div (c(x)·c(y)) is PMI-monotone up to quotient ties —
+    // integer truncation can collapse pairs whose true PMIs differ below
+    // the 10⁻⁶ fixed-point resolution; such ties break lexically on
+    // (w1,w2), identically in both engines, so the gate stays bit-stable
+    // (libm log would be rank-equivalent but value-fuzzy).
     // Shape: one bigram pass + two broadcast unigram joins; the c(xy)≥5
     // floor cuts hapax noise. The standard vocabulary-induction /
     // multi-word-expression signal over a training corpus.
@@ -333,8 +338,11 @@ object GraphTemporalQueries {
       "q124_cohort_retention",
       (s, d) => {
         val ev = Tables.events(s, d)
+          // floor(), not cast-int truncation: the two agree only for
+          // non-negative epochs; a pre-1970 timestamp would silently
+          // diverge from DuckDB's floor(epoch/86400) (ADVICE r3)
           .select(col("user_id"),
-            (epochSec(col("ts")) / 86400).cast("int").as("day"))
+            floor(epochSec(col("ts")) / 86400).cast("int").as("day"))
           // two consumers (cohort aggregation + join probe side, which
           // cannot share an exchange) — checkpoint so the events scan runs
           // once (the q81 lesson)
@@ -512,8 +520,14 @@ object GraphTemporalQueries {
           .select(col("user_id"), col("event_id"), epochSec(col("ts")).as("s0"),
             (epochSec(col("ts")) + 600).as("s1"))
           .localCheckpoint(false) // both join sides
+        // floor division, not `div` (truncation): the bin invariant
+        // "overlapping intervals share ≥1 bin" must hold for pre-1970
+        // (negative-epoch) timestamps too, where truncation and floor
+        // disagree (ADVICE r3). Doubles are exact here (|s| < 2^53).
         val binned = iv.select(col("user_id"), col("event_id"), col("s0"), col("s1"),
-          explode(array_distinct(array(expr("s0 div 600"), expr("(s1 - 1) div 600"))))
+          explode(array_distinct(array(
+            expr("CAST(floor(s0 / 600.0) AS BIGINT)"),
+            expr("CAST(floor((s1 - 1) / 600.0) AS BIGINT)"))))
             .as("bin"))
         // user_a < user_b alone orients each cross-user pair exactly once —
         // an event_id conjunct on top would silently drop the pairs whose

@@ -29,6 +29,11 @@ class OutputPolicySpec extends SparkTestBase {
       StructField("x", MapType(StringType, LongType))))).nonEmpty)
     assert(OutputPolicy.hazards(StructType(Seq(
       StructField("x", StructType(Seq(StructField("y", LongType))))))).nonEmpty)
+    // float32 / raw binary drift under the stringified compare (ADVICE r3)
+    assert(OutputPolicy.hazards(StructType(Seq(
+      StructField("x", FloatType)))).nonEmpty)
+    assert(OutputPolicy.hazards(StructType(Seq(
+      StructField("x", BinaryType)))).nonEmpty)
     // nested hazards are found, not just top-level ones
     intercept[IllegalArgumentException] {
       OutputPolicy.enforce("t", StructType(Seq(

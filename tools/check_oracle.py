@@ -90,7 +90,13 @@ def main(sf_dir, out_dir):
         # Scala-side lint; tools/driver_sim.py models the driver directly).
         hazards = [f"{f.name}: {f.type}" for f in got.schema
                    if str(f.type).startswith(("decimal", "list", "struct", "map",
-                                              "large_list", "fixed_size_list"))]
+                                              "large_list", "fixed_size_list",
+                                              # float32 shortest-repr / raw-bytes
+                                              # stringification drift (ADVICE r3);
+                                              # arrow float64 prints as "double"
+                                              # so "float" matches only 16/32-bit
+                                              "float", "halffloat", "binary",
+                                              "large_binary"))]
         if hazards:
             print(f"FAIL {name}: driver-unstable output types: {hazards}")
             n_fail += 1
