@@ -35,7 +35,8 @@ object QueryRegistry {
       graft.queries.SqlFeatureQueries.all ++
       graft.queries.DepthQueries.all ++
       graft.queries.GraphTemporalQueries.all ++
-      graft.queries.TpchShapeQueries.all
+      graft.queries.TpchShapeQueries.all ++
+      graft.queries.TypeAndStateQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

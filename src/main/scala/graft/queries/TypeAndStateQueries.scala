@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GQuery
+import graft.sources.Tables
+import graft.types.Unsigned
+
+/** Round-4 closures of two previously spec-only claims (VERDICT r3 items
+  * 4/6): full-range UINT64 through a cross-engine gate, and the arbitrary
+  * stateful-streaming operator's batch-parity contract.
+  */
+object TypeAndStateQueries {
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q135: UINT64 full range, end-to-end (SURVEY §1.3; reference
+    // src/types.rs:20-21 — u64 stored in an i64 carrier by
+    // bit-reinterpretation). Fixture keys deterministically derive a u64
+    // per order: even keys map near 2⁶⁴ (top bit SET → negative carrier),
+    // odd keys stay small (top bit clear → positive carrier), so BOTH
+    // reinterpretation branches are exercised. The query round-trips
+    // u_true → toCarrier → i64 → toUnsigned → u2 and aggregates u2
+    // exactly in the decimal domain; the oracle performs the identical
+    // reinterpretation in HUGEINT. n_roundtrip_err must be 0 on both
+    // engines — the carrier⇄unsigned bijection is the thing under test.
+    // Outputs: 20-digit u64s and the 25-digit sum exceed double precision,
+    // so they leave as VARCHAR (OutputPolicy; q89 precedent) — plain
+    // digits on both engines (DECIMAL(x,0) has no point or exponent).
+    GQuery(
+      "q135_uint64_full_range",
+      (s, d) => {
+        val uMax = lit(BigDecimal("18446744073709551615")).cast(DecimalType(21, 0))
+        val uTrue = when(col("o_orderkey") % 2 === 0,
+          (uMax - col("o_orderkey").cast(DecimalType(21, 0))).cast(DecimalType(20, 0)))
+          .otherwise(col("o_orderkey").cast(DecimalType(20, 0)))
+        Tables.orders(s, d)
+          .select(col("o_orderstatus"), uTrue.as("u_true"))
+          .withColumn("carrier", Unsigned.toCarrier(col("u_true")))
+          .withColumn("u2", Unsigned.toUnsigned(col("carrier")))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("u2")).cast("string").as("min_u"),
+            max(col("u2")).cast("string").as("max_u"),
+            sum(col("u2")).cast(DecimalType(38, 0)).cast("string").as("sum_u"),
+            min(col("carrier")).as("min_carrier"),
+            sum(when(col("u2") =!= col("u_true"), 1L).otherwise(0L))
+              .as("n_roundtrip_err"))
+          .orderBy(col("o_orderstatus").asc)
+      },
+      Some("""WITH src AS (
+             |  SELECT o_orderstatus,
+             |         CASE WHEN o_orderkey % 2 = 0
+             |              THEN 18446744073709551615::HUGEINT - o_orderkey
+             |              ELSE o_orderkey::HUGEINT END AS u_true
+             |  FROM orders),
+             |c AS (
+             |  SELECT o_orderstatus, u_true,
+             |         CASE WHEN u_true > 9223372036854775807::HUGEINT
+             |              THEN CAST(u_true - 18446744073709551616::HUGEINT AS BIGINT)
+             |              ELSE CAST(u_true AS BIGINT) END AS carrier
+             |  FROM src),
+             |r AS (
+             |  SELECT o_orderstatus, u_true, carrier,
+             |         CASE WHEN carrier < 0
+             |              THEN carrier + 18446744073709551616::HUGEINT
+             |              ELSE carrier::HUGEINT END AS u2
+             |  FROM c)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(MIN(u2) AS VARCHAR) AS min_u,
+             |       CAST(MAX(u2) AS VARCHAR) AS max_u,
+             |       CAST(SUM(u2) AS VARCHAR) AS sum_u,
+             |       MIN(carrier) AS min_carrier,
+             |       CAST(SUM(CASE WHEN u2 <> u_true THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_roundtrip_err
+             |FROM r GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus ASC""".stripMargin),
+      "UINT64 full range: carrier<->unsigned bijection gated across engines"),
+
+    // ------------------------------------------------------------------
+    // q136: batch-parity gate for the arbitrary-state streaming operator.
+    // flatMapGroupsWithState executes on a BATCH Dataset too (one batch,
+    // per-group state folded over the full group) — this runs the very
+    // same EventStreams.userProfiles code the streaming specs cover and
+    // gates its final profile table against a plain GROUP BY oracle:
+    // the "state fold ≡ aggregate" parity that makes arbitrary state
+    // trustworthy. Event values are pre-quantized to integral cent
+    // doubles so the fold's running double sum is exact regardless of
+    // per-group iteration order (integral doubles are exact to 2⁵³;
+    // a raw double fold would be accumulation-order-dependent and not
+    // hash-gateable).
+    GQuery(
+      "q136_stateful_batch_parity",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("value", round(col("value") * 100))
+        graft.streaming.EventStreams.userProfiles(ev)
+          .select(col("user_id"), col("n_events"), col("n_purchases"),
+            col("total_value").cast("long").as("total_cents"))
+          .orderBy(col("user_id").asc)
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_purchases,
+             |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |         AS total_cents
+             |FROM events GROUP BY user_id
+             |ORDER BY user_id ASC""".stripMargin),
+      "arbitrary-state fold == GROUP BY aggregate: batch-parity for userProfiles"),
+  )
+}
