@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * typed metadata struct; decode/feature steps run per-partition over the
   * binary batch.
   *
-  * The decode itself is STUBBED — this container has no image/audio codecs —
-  * behind [[FakeCodec]], a deterministic stand-in (dimensions derived from
-  * md5 bytes) so the plumbing (schema, partitioning, batch shape, typed
-  * mapPartitions signature) is real and testable end-to-end. Swapping in a
-  * real codec is a one-function change.
+  * Image decode is REAL for the formats the JDK ships codecs for —
+  * PNG/JPEG/GIF/BMP via `javax.imageio` ([[ImageCodec]]), dispatched on the
+  * payload's magic bytes. Payloads of any other type (audio/video — no
+  * codec libs in this container) fall back to [[FakeCodec]], a
+  * deterministic stand-in (dimensions derived from md5 bytes) that keeps
+  * the plumbing (schema, partitioning, batch shape, typed mapPartitions
+  * signature) testable end-to-end. Swapping in further codecs is a
+  * one-function change.
   *
   * Scale notes: binary payloads make row sizes large — keep
   * `spark.sql.files.maxPartitionBytes` small enough that a partition of
@@ -37,17 +40,49 @@ object Multimodal {
       n_frames: Int)
 
   /** Deterministic fake codec: "dimensions" from the payload digest,
-    * "frame count" from the payload size. Replace with a real decoder
-    * (libjpeg/ffmpeg/...) without touching any Spark plumbing.
+    * "frame count" from the payload size. Covers the payload types the
+    * JVM has no decoder for (audio/video) without touching any Spark
+    * plumbing.
     */
   object FakeCodec {
     def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
-      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
-      val hex = md.map("%02x".format(_)).mkString
+      val hex = md5Hex(payload)
       val w = 64 + (java.lang.Long.parseLong(hex.substring(0, 7), 16) % 1856L).toInt
       val h = 64 + (java.lang.Long.parseLong(hex.substring(7, 14), 16) % 1856L).toInt
       val frames = (payload.length / 64) + 1
       (hex, w, h, frames)
+    }
+  }
+
+  private def md5Hex(payload: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(payload)
+      .map("%02x".format(_)).mkString
+
+  /** Real still-image codec over the JDK's built-in `javax.imageio` readers
+    * (PNG/JPEG/GIF/BMP — zero extra jars). A payload whose magic matches a
+    * supported format but fails to decode is CORRUPT media: reported as
+    * 0×0 with 0 frames (the contract [[sampleFrames]] already documents —
+    * corrupt media fans out to no frame rows) rather than failing the job
+    * or silently falling back to fake dimensions.
+    */
+  object ImageCodec {
+    private def startsWith(p: Array[Byte], magic: Int*): Boolean =
+      p.length >= magic.length &&
+        magic.zipWithIndex.forall { case (m, i) => p(i) == m.toByte }
+
+    /** Magic-byte sniff for the formats `javax.imageio` decodes. */
+    def isSupportedImage(p: Array[Byte]): Boolean =
+      startsWith(p, 0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) || // PNG
+        startsWith(p, 0xff, 0xd8, 0xff) ||                          // JPEG
+        startsWith(p, 'G', 'I', 'F', '8') ||                        // GIF
+        startsWith(p, 'B', 'M')                                     // BMP
+
+    def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) (md5Hex(payload), 0, 0, 0) // corrupt: decodes to nothing
+      else (md5Hex(payload), img.getWidth, img.getHeight, 1)
     }
   }
 
@@ -59,10 +94,14 @@ object Multimodal {
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codecs would init native contexts here, once per partition;
-      // null payloads (nullable binary columns) are skipped, not decoded
+      // native codec contexts init here, once per partition; null payloads
+      // (nullable binary columns) are skipped, not decoded. Dispatch per
+      // row on magic bytes: JDK-decodable images go through the REAL
+      // ImageIO path, everything else through the deterministic stand-in.
       rows.filter(_.payload != null).map { r =>
-        val (hex, w, h, frames) = FakeCodec.decode(r.payload)
+        val (hex, w, h, frames) =
+          if (ImageCodec.isSupportedImage(r.payload)) ImageCodec.decode(r.payload)
+          else FakeCodec.decode(r.payload)
         MediaMeta(r.media_id, r.payload.length.toLong, hex, w, h, frames)
       }
     }

@@ -58,6 +58,40 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(meta.map(_.content_hash).toSeq == again.map(_.content_hash).toSeq)
   }
 
+  test("real PNG/BMP payloads decode to true dimensions via javax.imageio") {
+    import spark.implicits._
+    // construct real images in memory: dimensions are ground truth the
+    // codec must recover, not derive from a digest
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF8800) // non-uniform content, defeats trivial encoders
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK lacks $fmt writer")
+      out.toByteArray
+    }
+    val png = encode(123, 45, "png")
+    val bmp = encode(31, 17, "bmp")
+    // corrupt: valid PNG magic, garbage body — must report 0x0/0 frames,
+    // not throw and not fall back to fake dimensions
+    val corrupt = png.take(8) ++ Array.fill[Byte](32)(99)
+    val media = Seq(
+      Multimodal.MediaRow(1L, png, "image/png"),
+      Multimodal.MediaRow(2L, bmp, "image/bmp"),
+      Multimodal.MediaRow(3L, corrupt, "image/png"),
+      Multimodal.MediaRow(4L, "plain text".getBytes("UTF-8"), "text/plain")).toDS()
+    val meta = Multimodal.decodeMeta(media.repartition(2)).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta(1L).width == 123 && meta(1L).height == 45 && meta(1L).n_frames == 1)
+    assert(meta(2L).width == 31 && meta(2L).height == 17 && meta(2L).n_frames == 1)
+    assert(meta(3L).width == 0 && meta(3L).height == 0 && meta(3L).n_frames == 0)
+    // corrupt media must fan out to zero frame rows downstream
+    assert(Multimodal.sampleFrames(
+      Multimodal.decodeMeta(media).toDF().filter(col("media_id") === 3L), 1).count() == 0L)
+    // non-image payloads keep the deterministic stand-in (q45's oracle)
+    assert(meta(4L).width >= 64 && meta(4L).n_frames == 1)
+  }
+
   test("binaryFile source ingests opaque payloads with file metadata") {
     // the ingestion front door for the multimodal (§2.11) pipeline: raw
     // image/audio bytes land as (path, modificationTime, length, content)
