@@ -2,20 +2,43 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every gated query at SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Protocol notes:
-  *   - Every query is executed once UNTIMED first: whole-stage-codegen
-  *     compilation is cached per plan shape, so a cold first execution
-  *     charges one-time JIT/codegen cost (~50 s for the MinHash pipeline)
-  *     to whichever query runs first. The recorded baseline in BASELINE.md
-  *     was measured warm; warming all queries keeps the protocol symmetric.
-  *   - A query that throws is reported with time -1.0 and listed under
-  *     "failed" (never a wall-clock value a consumer could mistake for a
-  *     fast pass); its time is excluded from the total.
+  * prints one JSON line.
+  *
+  * Measurement protocol (round-4 rework — the round-3 single-timed-pass
+  * protocol had run-to-run variance larger than the driver's 2× regression
+  * gate, so a real regression on a heavy query was invisible):
+  *
+  *  - One UNTIMED warmup pass first: whole-stage-codegen compilation is
+  *    cached per plan shape, so a cold first execution charges one-time
+  *    JIT/codegen cost (~50 s for the MinHash pipeline) to whichever query
+  *    runs first.
+  *  - Then REPS (default 5) INTERLEAVED timed rounds: the full suite runs
+  *    in a fixed order each round, and each query reports the MEDIAN of its
+  *    per-round times. Interleaving — rather than timing one query 5× back
+  *    to back — spreads every query's repeats across the whole run, so
+  *    suite-context effects (C2 re-tiering, code-cache churn, ContextCleaner
+  *    GC cycles) land on all queries alike instead of whichever ran last;
+  *    the median then discards the JIT-outlier repeats that made r3's
+  *    single-pass numbers swing 1.4↔12 s on identical plans.
+  *  - Per-query spread (max/min across rounds) is emitted alongside the
+  *    medians: a consumer can tell a noisy measurement from a regression
+  *    without re-running.
+  *  - Sink/round-trip queries rewrite their outputs every round
+  *    (mode=overwrite, deterministic content) — repetition is safe, the
+  *    extra writes are part of the measured work by design.
+  *  - A query that throws is reported with time -1.0 and listed under
+  *    "failed" (never a wall-clock value a consumer could mistake for a
+  *    fast pass); its time is excluded from the total and it is skipped in
+  *    later rounds (a deterministic failure would just repeat REPS times).
+  *
+  * "value" = Σ per-query medians — directly comparable to BASELINE.md's
+  * median tables and to previous rounds' totals.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,58 +46,85 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // ContextCleaner frees shuffle files, broadcasts, and checkpoint RDD
       // blocks only when a GC runs; with a large mostly-idle heap the JVM
-      // may not GC for the whole bench, so ~160 query executions accumulate
-      // state and progressively slow the later ones (measured: 2nd half of
-      // the run 3.5× the 1st). Default periodicGC is 30min — far longer
-      // than the bench.
+      // may not GC for the whole bench, so ~800 query executions accumulate
+      // state and progressively slow the later ones (measured in r2: 2nd
+      // half of the run 3.5× the 1st). Default periodicGC is 30min — far
+      // longer than the bench.
       .config("spark.cleaner.periodicGC.interval", "30s")
       // the whole-stage-codegen class cache holds only 100 entries by
-      // default; ~80 queries × several codegen stages each overflow it
-      // between a query's warmup execution and its timed one, so the timed
-      // pass silently recompiles everything (measured: timed pass 119 s vs
-      // 53 s when executions are adjacent). Size it for the full suite.
+      // default; ~136 queries × several codegen stages each overflow it
+      // between rounds, so every round would silently recompile everything
+      // (measured in r3: 119 s vs 53 s for adjacent executions). Size it
+      // for the full suite.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries.foreach { case (_, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        // steady-state warmup: one pass compiles the codegen classes but
-        // leaves C2 JIT half-tiered on the heavy pipelines — their timed
-        // run then lands anywhere between warm cost and ~5× it (measured
-        // on q36/q81: 12 s → 7 s → 2 s over identical replans). Re-run
-        // only queries whose first pass was slow until they stop
-        // improving materially (≤3 extra passes bounds added wall-clock
-        // to the few multi-second queries).
-        var prev = (System.nanoTime() - t0) / 1e9
-        var extra = 0
-        while (prev > 1.0 && extra < 3) {
-          val t1 = System.nanoTime()
-          fn(spark, sfDir).count()
-          val cur = (System.nanoTime() - t1) / 1e9
-          extra += 1
-          if (cur > prev * 0.7) extra = 3 // converged — stop early
-          prev = cur
-        }
-      } catch { case _: Throwable => () }
-    }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+
+    // optional regex over query names (builder-side scaling runs time just
+    // the heavy pipelines at multiple SFs); the driver sets no filter and
+    // gets the full suite
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val queries = SparkEntry.queries.toSeq
+      .filter { case (n, _) => filter.forall(_.findFirstIn(n).isDefined) }
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+
+    // warmup: compile every plan's codegen classes, untimed
+    queries.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count(); () }
+      catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+          System.err.println(s"[bench] $name FAILED (warmup): ${e.getMessage}")
+          failed += name
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v else -1.0)
+
+    val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    for (r <- 1 to reps) {
+      queries.foreach { case (name, fn) =>
+        if (!failed.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            times(name) = times.getOrElse(name, Vector.empty) :+ dt
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED (round $r): ${e.getMessage}")
+              failed += name
+          }
+        }
+      }
+    }
+
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+    val medians = queries.map { case (name, _) =>
+      name -> (if (failed.contains(name) || !times.contains(name)) -1.0
+               else median(times(name)))
+    }
+    val qs = medians.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1.0" else fmt(v))
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // spread = slowest/fastest round; 1.0 means perfectly stable. Only
+    // meaningful for queries that completed all rounds.
+    val spreads = medians.collect { case (k, v) if v >= 0 && times(k).nonEmpty =>
+      val t = times(k)
+      "\"" + k + "\":" + fmt(if (t.min > 0) t.max / t.min else 1.0)
+    }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+    // per-round suite totals (queries that completed all rounds): the
+    // round-to-round stability evidence — a healthy run has these within
+    // ±10% of each other
+    val complete = times.filter(_._2.length == reps)
+    val roundTotals = (0 until reps)
+      .map(r => fmt(complete.values.map(_(r)).sum)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spreads,"reps":$reps,"round_totals":$roundTotals,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

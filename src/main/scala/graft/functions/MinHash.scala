@@ -128,6 +128,17 @@ object MinHash {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("band_id"), col("band_key"))
       bdAll.withColumn("_bsz", count(lit(1)).over(w))
+        // Telemetry (piggybacked, no extra scan): at 100 TB an operator
+        // that silently drops hot-bucket docs hides its own precision
+        // loss — CollectMetrics rides the same pass, BEFORE the filter so
+        // it sees what the filter removes. Read post-run via
+        // queryExecution.observedMetrics("minhash_cap") or a
+        // QueryExecutionListener.
+        .observe("minhash_cap",
+          sum(when(col("_bsz") > maxBucket, 1L).otherwise(0L))
+            .as("dropped_band_rows"),
+          max(col("_bsz")).as("max_bucket_size"),
+          count(lit(1)).as("band_rows"))
         .filter(col("_bsz") <= maxBucket).drop("_bsz")
     }
 

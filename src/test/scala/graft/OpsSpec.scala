@@ -210,6 +210,28 @@ class OpsSpec extends SparkTestBase {
     assert(uncapped.size == 66 + 1, s"uncapped run returned ${uncapped.size} pairs")
   }
 
+  test("minhash cap reports its own precision loss via observe()") {
+    import spark.implicits._
+    // same planted-boilerplate shape as above: 12 identical docs make every
+    // one of their 16 band buckets size-12 (> maxBucket=8), so the capped
+    // side drops exactly 12 docs x 16 bands = 192 band rows — the operator
+    // must REPORT that, not just silently drop (at 100 TB the metric is the
+    // only way to see the cap's recall cost without a second full scan)
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 59) "CHANGED" else s"w$i").mkString(" ")
+    val boiler = (1 to 60).map(i => s"b$i").mkString(" ")
+    val docs = (Seq((1L, base), (2L, nearDup)) ++ (10L to 21L).map(i => (i, boiler)))
+      .toDF("doc_id", "text")
+    val pairs = MinHash.nearDuplicatePairs(docs, "doc_id", "text", 3, 0.5, maxBucket = 8)
+    pairs.collect()
+    val metrics = pairs.queryExecution.observedMetrics("minhash_cap")
+    assert(metrics.getAs[Long]("dropped_band_rows") == 192L,
+      s"expected 12 docs x 16 bands dropped, got $metrics")
+    assert(metrics.getAs[Long]("max_bucket_size") == 12L)
+    // 14 docs x 16 bands total band rows observed on the same pass
+    assert(metrics.getAs[Long]("band_rows") == 14L * 16)
+  }
+
   test("approx quantiles land within rank-error bounds of exact percentiles") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val approx = li.select(
