@@ -457,5 +457,38 @@ object ExtraQueries {
       },
       None,
       "approximate quantiles (GK sketch, mergeable)"),
+
+    // ------------------------------------------------------------------
+    // q137: dynamic partition overwrite, gated end-to-end (upgrades the r2
+    // spec-only BucketingSpec row). Seed a source-partitioned table from
+    // documents, then overwrite JUST the src3 partition with its
+    // quality-filtered subset using partitionOverwriteMode=dynamic — the
+    // daily-recompute shape of a 100 TB curation pipeline (rewrite today's
+    // partition in place, never touch the others). Under the default
+    // STATIC mode the second write would have deleted every other
+    // partition — the oracle's rows for all other sources make that
+    // regression a red gate, not a silent data loss.
+    GQuery(
+      "q137_dynamic_overwrite",
+      (s, d) => {
+        val tmp = s"/tmp/graft_dpo_${d.replaceAll("[^0-9.]", "")}_${ProcessHandle.current.pid}"
+        val docs = Tables.documents(s, d)
+        docs.write.mode("overwrite").partitionBy("source").parquet(tmp)
+        docs.filter(col("source") === "src3" && col("n_chars") >= 100)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("source").parquet(tmp)
+        s.read.parquet(tmp)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("source").asc)
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+             |FROM documents
+             |WHERE source <> 'src3' OR n_chars >= 100
+             |GROUP BY source ORDER BY source ASC""".stripMargin),
+      "dynamic partition overwrite: rewrite one partition in place, others intact"),
   )
 }

@@ -396,5 +396,39 @@ object NorthStarQueries {
       },
       None,
       "IVF ANN over k-means-learned cells (relational Lloyd's iterations)"),
+
+    // ------------------------------------------------------------------
+    // q138: semantic dedup GROUPS over embeddings — the q41 blocked cosine
+    // pairs closed into connected components (exactly the MinHash→clusters
+    // composition q81 gates on text, here on the embedding modality): the
+    // output a curation pipeline actually consumes (pick one exemplar per
+    // cluster) rather than raw pairs. Same scale shape as q81: pair
+    // generation is label-blocked (never all-pairs), clustering is the
+    // O(log n)-round label propagation. Oracle: naive all-pairs cosine
+    // within label blocks + recursive-CTE closure (q117's oracle pattern).
+    GQuery(
+      "q138_embed_clusters",
+      (s, d) => {
+        val pairs = Similarity.blockedNearDupPairs(Tables.embeddings(s, d),
+            "vec_id", "embedding", "label", threshold = 0.3)
+          .select(col("id_a"), col("id_b"))
+        graft.functions.Components.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("vec_id"), col("comp").as("cluster"))
+          .orderBy(col("vec_id").asc)
+      },
+      Some("""WITH RECURSIVE edges AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.label = b.label AND a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                               CAST(b.embedding AS DOUBLE[])) >= 0.3),
+             |bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+             |reach(id, comp) AS (
+             |  SELECT src, src FROM bi
+             |  UNION
+             |  SELECT b.dst, r.comp FROM reach r JOIN bi b ON b.src = r.id)
+             |SELECT id AS vec_id, MIN(comp) AS cluster
+             |FROM reach GROUP BY id ORDER BY vec_id ASC""".stripMargin),
+      "embedding-modality dedup clusters: blocked cosine pairs -> components"),
   )
 }

@@ -109,5 +109,33 @@ object TypeAndStateQueries {
              |FROM events GROUP BY user_id
              |ORDER BY user_id ASC""".stripMargin),
       "arbitrary-state fold == GROUP BY aggregate: batch-parity for userProfiles"),
+
+    // ------------------------------------------------------------------
+    // q139: batch-parity gate for the bounded-state stream-stream join.
+    // EventStreams.purchaseClickJoin (purchases ⋈ same-user clicks in the
+    // trailing window, both sides watermarked) runs on batch DataFrames
+    // too — watermarks are no-ops there, the join predicate is identical —
+    // so the very operator the streaming specs drive gets a DuckDB
+    // interval-join oracle: the "streaming result == batch result over the
+    // same data" contract that makes a lambda-architecture migration safe.
+    GQuery(
+      "q139_stream_join_parity",
+      (s, d) => {
+        graft.streaming.EventStreams.purchaseClickJoin(
+            Tables.events(s, d), windowSeconds = 600,
+            watermarkDelay = "10 minutes", joinType = "inner")
+          .select(col("p_id"), col("p_user"), col("c_id"),
+            round(col("c_value") * 100).cast("long").as("c_cents"))
+          .orderBy(col("p_id").asc, col("c_id").asc)
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id AS p_user, c.event_id AS c_id,
+             |       CAST(round(c.value * 100) AS BIGINT) AS c_cents
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON c.user_id = p.user_id
+             | AND c.ts >= p.ts - INTERVAL 600 SECONDS
+             | AND c.ts <= p.ts
+             |ORDER BY p_id ASC, c_id ASC""".stripMargin),
+      "stream-stream interval join == batch interval join over the same events"),
   )
 }

@@ -104,11 +104,20 @@ object Tables {
     val df =
       if (table == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/$table.parquet")
-          .withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts DIV 1000"))
+        val raw = spark.read.parquet(s"$sfDir/$table.parquet")
+        raw.schema("ts").dataType match {
+          // driver fixture encoding: TIMESTAMP(NANOS) surfaced as raw longs
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr("ts DIV 1000"))
+                .cast(TimestampNTZType))
+          // scaled datasets (GenScale) write plain µs timestamps — accept
+          // both encodings so the loader isn't coupled to the quirk
+          case _ =>
+            raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
               .cast(TimestampNTZType))
+        }
       } else spark.read.parquet(s"$sfDir/$table.parquet")
     val got = df.schema
     expected.attrs.foreach { a =>

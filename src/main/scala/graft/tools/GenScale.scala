@@ -47,6 +47,12 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events.ts is TIMESTAMP(NANOS), which the parquet reader rejects;
+    // surface it as raw nanos longs (Tables.events' own convention) and
+    // write it back as plain BIGINT nanos — Tables.events converts either
+    // encoding to µs NTZ identically. Only NANOS-annotated columns are
+    // affected; every other timestamp reads normally.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     new java.io.File(dest).mkdirs()
 
     /** K replicas of `df`, transformed per replica, single-file parquet. */
@@ -88,7 +94,13 @@ object GenScale {
       .withColumn("l_suppkey", shift("l_suppkey", 1000L, i)))
     gen("events")((df, i) => df
       .withColumn("event_id", shift("event_id", 1000000L, i))
-      .withColumn("user_id", shift("user_id", 10000L, i)))
+      .withColumn("user_id", shift("user_id", 10000L, i))
+      // the fixture's TIMESTAMP(NANOS) surfaces as raw nanos longs (conf
+      // above); write back as plain µs NTZ — the same ns→µs truncation
+      // Tables.events applies — so DuckDB oracles over ts work against
+      // the scaled dataset too
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType)))
     gen("documents")((df, i) => {
       // 10000 % 50 == 0 keeps the q117 chain structure per replica
       val shifted = df.withColumn("doc_id", shift("doc_id", 10000L, i))
