@@ -64,25 +64,55 @@ object Multimodal {
     * 0×0 with 0 frames (the contract [[sampleFrames]] already documents —
     * corrupt media fans out to no frame rows) rather than failing the job
     * or silently falling back to fake dimensions.
+    *
+    * Deliberately HEADER-ONLY: `ImageReader.getWidth/getHeight(0)` parse
+    * image metadata without allocating the raster. A full `ImageIO.read`
+    * would (a) decode every pixel of every image just to emit metadata —
+    * pure waste at corpus scale — and (b) allocate whatever the header
+    * DECLARES: a 38-byte payload claiming 40000×40000 is a 6.4 GB
+    * allocation and an executor-killing OutOfMemoryError on attacker- or
+    * crawler-supplied bytes. The input stream is a MemoryCacheImageInputStream
+    * — ImageIO's default path round-trips every payload through a disk
+    * temp file, which is both slow and a spurious failure mode.
     */
   object ImageCodec {
     private def startsWith(p: Array[Byte], magic: Int*): Boolean =
       p.length >= magic.length &&
         magic.zipWithIndex.forall { case (m, i) => p(i) == m.toByte }
 
-    /** Magic-byte sniff for the formats `javax.imageio` decodes. */
+    /** Magic-byte sniff for the formats `javax.imageio` decodes. Kept
+      * strict (full GIF87a/GIF89a signature; BMP requires a known DIB
+      * header size at offset 14) because payloads are untyped bytes and a
+      * 2-byte "BM" prefix matches ordinary text ("BM25 ...") — a false
+      * positive would route a non-image through the corrupt-media path.
+      * JPEG's 0xFF lead byte cannot appear in UTF-8 text.
+      */
     def isSupportedImage(p: Array[Byte]): Boolean =
-      startsWith(p, 0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) || // PNG
-        startsWith(p, 0xff, 0xd8, 0xff) ||                          // JPEG
-        startsWith(p, 'G', 'I', 'F', '8') ||                        // GIF
-        startsWith(p, 'B', 'M')                                     // BMP
+      startsWith(p, 0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ||  // PNG
+        startsWith(p, 0xff, 0xd8, 0xff) ||                           // JPEG
+        startsWith(p, 'G', 'I', 'F', '8', '7', 'a') ||               // GIF87a
+        startsWith(p, 'G', 'I', 'F', '8', '9', 'a') ||               // GIF89a
+        (startsWith(p, 'B', 'M') && p.length > 14 &&                 // BMP +
+          Set(12, 40, 52, 56, 64, 108, 124).contains(p(14).toInt))   // DIB size
 
     def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
-      if (img == null) (md5Hex(payload), 0, 0, 0) // corrupt: decodes to nothing
-      else (md5Hex(payload), img.getWidth, img.getHeight, 1)
+      val hex = md5Hex(payload)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) (hex, 0, 0, 0)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            (hex, r.getWidth(0), r.getHeight(0), 1)
+          } catch {
+            // corrupt header: decodes to nothing, never fails the task
+            case scala.util.control.NonFatal(_) => (hex, 0, 0, 0)
+          } finally r.dispose()
+        }
+      } finally iis.close()
     }
   }
 
@@ -95,12 +125,20 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // native codec contexts init here, once per partition; null payloads
-      // (nullable binary columns) are skipped, not decoded. Dispatch per
-      // row on magic bytes: JDK-decodable images go through the REAL
-      // ImageIO path, everything else through the deterministic stand-in.
+      // (nullable binary columns) are skipped, not decoded. Dispatch:
+      // media_type is the schema-level truth — declared images go through
+      // the REAL ImageIO path, declared non-images (text/audio/video)
+      // through the deterministic stand-in even if their bytes happen to
+      // start with an image magic ("BM25 ..." is text, not a bitmap);
+      // only UNTYPED payloads (empty / octet-stream, e.g. binaryFile
+      // ingestion) fall back to the magic-byte sniff.
       rows.filter(_.payload != null).map { r =>
+        val declaredImage = r.media_type != null && r.media_type.startsWith("image/")
+        val untyped = r.media_type == null || r.media_type.isEmpty ||
+          r.media_type == "application/octet-stream"
         val (hex, w, h, frames) =
-          if (ImageCodec.isSupportedImage(r.payload)) ImageCodec.decode(r.payload)
+          if (declaredImage || (untyped && ImageCodec.isSupportedImage(r.payload)))
+            ImageCodec.decode(r.payload)
           else FakeCodec.decode(r.payload)
         MediaMeta(r.media_id, r.payload.length.toLong, hex, w, h, frames)
       }

@@ -468,13 +468,23 @@ object ExtraQueries {
     // STATIC mode the second write would have deleted every other
     // partition — the oracle's rows for all other sources make that
     // regression a red gate, not a silent data loss.
+    // The rewritten subset is a top-k (20 longest docs of src3), not a
+    // value filter: dynamic overwrite is a NO-OP for partitions absent
+    // from the written data, so a filter that matched zero rows would
+    // leave the old partition fully intact while the oracle dropped rows
+    // — a red gate with a misleading cause. Top-k is non-empty whenever
+    // the partition exists at all, closing that edge at every SF.
     GQuery(
       "q137_dynamic_overwrite",
       (s, d) => {
         val tmp = s"/tmp/graft_dpo_${d.replaceAll("[^0-9.]", "")}_${ProcessHandle.current.pid}"
         val docs = Tables.documents(s, d)
         docs.write.mode("overwrite").partitionBy("source").parquet(tmp)
-        docs.filter(col("source") === "src3" && col("n_chars") >= 100)
+        val wCap = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        docs.filter(col("source") === "src3")
+          .withColumn("rn", row_number().over(wCap)).filter(col("rn") <= 20).drop("rn")
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("source").parquet(tmp)
         s.read.parquet(tmp)
@@ -483,12 +493,17 @@ object ExtraQueries {
             min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
           .orderBy(col("source").asc)
       },
-      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      Some("""WITH kept AS (
+             |  SELECT doc_id, source, n_chars FROM documents WHERE source <> 'src3'
+             |  UNION ALL
+             |  SELECT doc_id, source, n_chars FROM (
+             |    SELECT doc_id, source, n_chars,
+             |           row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+             |    FROM documents WHERE source = 'src3') WHERE rn <= 20)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
              |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-             |FROM documents
-             |WHERE source <> 'src3' OR n_chars >= 100
-             |GROUP BY source ORDER BY source ASC""".stripMargin),
+             |FROM kept GROUP BY source ORDER BY source ASC""".stripMargin),
       "dynamic partition overwrite: rewrite one partition in place, others intact"),
   )
 }

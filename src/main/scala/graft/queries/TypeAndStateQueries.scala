@@ -137,5 +137,67 @@ object TypeAndStateQueries {
              | AND c.ts <= p.ts
              |ORDER BY p_id ASC, c_id ASC""".stripMargin),
       "stream-stream interval join == batch interval join over the same events"),
+
+    // ------------------------------------------------------------------
+    // q140: batch-parity for the stream-static enrichment join — the same
+    // EventStreams.enrichWithCustomer (broadcast dim, left join) the
+    // streaming specs drive, gated against a plain LEFT JOIN oracle.
+    // Aggregated per segment so the gate pins both the match rate and the
+    // null-padding of unmatched users (user ids beyond the customer range).
+    // The dim is restricted to EVEN customer keys on BOTH engines: every
+    // fixture user_id has a matching customer at every SF, so an
+    // unrestricted left join never exercises its null path and a
+    // regression to an inner join (dropping unmatched events) would be
+    // invisible. Parity of the key is scale-invariant — odd-user events
+    // land in the NULL segment at any SF, and that oracle row pins the
+    // padding.
+    GQuery(
+      "q140_stream_static_parity",
+      (s, d) => {
+        graft.streaming.EventStreams.enrichWithCustomer(
+            Tables.events(s, d),
+            Tables.customer(s, d).filter(pmod(col("c_custkey"), lit(2)) === 0))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(round(col("value") * 100).cast("long")).as("total_cents"))
+          .orderBy(col("segment").asc_nulls_first)
+      },
+      Some("""SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+             |       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             |         AS total_cents
+             |FROM events e
+             |LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+             |  ON e.user_id = c.c_custkey
+             |GROUP BY 1 ORDER BY segment ASC NULLS FIRST""".stripMargin),
+      "stream-static broadcast enrichment == batch left join, null padding pinned"),
+
+    // ------------------------------------------------------------------
+    // q141: batch-parity for the OUTER stream-stream join — the leftOuter
+    // variant of purchaseClickJoin, whose null-padded rows streaming may
+    // emit only after the watermark closes the window; in batch they are
+    // immediate, but the SET of rows must be identical, which is exactly
+    // what this gate proves against a LEFT JOIN oracle. Purchases with no
+    // click in the trailing 600 s window appear exactly once, null-padded.
+    GQuery(
+      "q141_outer_stream_join_parity",
+      (s, d) => {
+        graft.streaming.EventStreams.purchaseClickJoin(
+            Tables.events(s, d), windowSeconds = 600,
+            watermarkDelay = "10 minutes", joinType = "leftOuter")
+          .select(col("p_id"), col("p_user"), col("c_id"),
+            round(col("c_value") * 100).cast("long").as("c_cents"))
+          .orderBy(col("p_id").asc, col("c_id").asc_nulls_first)
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id AS p_user, c.event_id AS c_id,
+             |       CAST(round(c.value * 100) AS BIGINT) AS c_cents
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON c.user_id = p.user_id
+             | AND c.ts >= p.ts - INTERVAL 600 SECONDS
+             | AND c.ts <= p.ts
+             |ORDER BY p_id ASC, c_id ASC NULLS FIRST""".stripMargin),
+      "outer stream-stream join == batch left interval join (null padding equal)"),
   )
 }

@@ -92,15 +92,26 @@ object GenScale {
       // aligned with the shifted dimension keys
       .withColumn("l_partkey", shift("l_partkey", 100000L, i))
       .withColumn("l_suppkey", shift("l_suppkey", 1000L, i)))
-    gen("events")((df, i) => df
-      .withColumn("event_id", shift("event_id", 1000000L, i))
-      .withColumn("user_id", shift("user_id", 10000L, i))
+    gen("events")((df, i) => {
+      val shifted = df
+        .withColumn("event_id", shift("event_id", 1000000L, i))
+        // SAME pad as c_custkey: events.user_id joins customer.c_custkey
+        // (q140's enrichment), so replica-k users must land on replica-k
+        // customers — a misaligned pad would silently change the join's
+        // match rate at scale
+        .withColumn("user_id", shift("user_id", 100000L, i))
       // the fixture's TIMESTAMP(NANOS) surfaces as raw nanos longs (conf
       // above); write back as plain µs NTZ — the same ns→µs truncation
-      // Tables.events applies — so DuckDB oracles over ts work against
-      // the scaled dataset too
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))
-        .cast(org.apache.spark.sql.types.TimestampNTZType)))
+      // Tables.events applies — so DuckDB oracles over ts work against the
+      // scaled dataset. A chained run (scaling a GenScale output again)
+      // reads ts already converted; pass it through like Tables.events.
+      shifted.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          shifted.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+        case _ => shifted
+      }
+    })
     gen("documents")((df, i) => {
       // 10000 % 50 == 0 keeps the q117 chain structure per replica
       val shifted = df.withColumn("doc_id", shift("doc_id", 10000L, i))

@@ -75,11 +75,33 @@ class TextAndMultimodalSpec extends SparkTestBase {
     // corrupt: valid PNG magic, garbage body — must report 0x0/0 frames,
     // not throw and not fall back to fake dimensions
     val corrupt = png.take(8) ++ Array.fill[Byte](32)(99)
+    // a huge DECLARED size must not become a huge allocation: real PNG
+    // signature + IHDR claiming 40000x40000 with no pixel data. The
+    // header-only decode reports the declared dims without materializing
+    // the 6.4 GB raster a full ImageIO.read would attempt.
+    val hugeClaim = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(40000).putInt(40000).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val crc = new java.util.zip.CRC32()
+      crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdr)
+      out.write(java.nio.ByteBuffer.allocate(8).putInt(13)
+        .put("IHDR".getBytes("US-ASCII")).array())
+      out.write(ihdr)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      out.toByteArray
+    }
     val media = Seq(
       Multimodal.MediaRow(1L, png, "image/png"),
       Multimodal.MediaRow(2L, bmp, "image/bmp"),
       Multimodal.MediaRow(3L, corrupt, "image/png"),
-      Multimodal.MediaRow(4L, "plain text".getBytes("UTF-8"), "text/plain")).toDS()
+      Multimodal.MediaRow(4L, "plain text".getBytes("UTF-8"), "text/plain"),
+      // declared text whose bytes START with image magic: media_type wins,
+      // so the deterministic stand-in is used, not the image codec
+      Multimodal.MediaRow(5L, "BM25 ranking beats tf-idf".getBytes("UTF-8"), "text/plain"),
+      Multimodal.MediaRow(6L, hugeClaim, "image/png")).toDS()
     val meta = Multimodal.decodeMeta(media.repartition(2)).collect()
       .map(m => m.media_id -> m).toMap
     assert(meta(1L).width == 123 && meta(1L).height == 45 && meta(1L).n_frames == 1)
@@ -90,6 +112,10 @@ class TextAndMultimodalSpec extends SparkTestBase {
       Multimodal.decodeMeta(media).toDF().filter(col("media_id") === 3L), 1).count() == 0L)
     // non-image payloads keep the deterministic stand-in (q45's oracle)
     assert(meta(4L).width >= 64 && meta(4L).n_frames == 1)
+    assert(meta(5L).width >= 64 && meta(5L).n_frames == 1,
+      "text/plain payload with BM prefix must not route to the image codec")
+    // header-only: declared dims recovered, no raster allocation, no OOM
+    assert(meta(6L).width == 40000 && meta(6L).height == 40000)
   }
 
   test("binaryFile source ingests opaque payloads with file metadata") {
