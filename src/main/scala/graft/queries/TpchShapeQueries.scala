@@ -34,6 +34,7 @@ object TpchShapeQueries {
     Tables.region(s, d).createOrReplaceTempView("g_tpch_region")
     Tables.nation(s, d).createOrReplaceTempView("g_tpch_nation")
     Tables.supplier(s, d).createOrReplaceTempView("g_tpch_supplier")
+    Tables.customer(s, d).createOrReplaceTempView("g_tpch_customer")
     Tables.part(s, d).createOrReplaceTempView("g_tpch_part")
     Tables.orders(s, d).createOrReplaceTempView("g_tpch_orders")
     Tables.lineitem(s, d).createOrReplaceTempView("g_tpch_lineitem")
@@ -206,5 +207,56 @@ object TpchShapeQueries {
              |GROUP BY s.s_name
              |ORDER BY numwait DESC, s_name ASC""".stripMargin),
       "TPC-H Q21 shape: EXISTS semi + NOT EXISTS anti with non-equi residual"),
+
+    // ------------------------------------------------------------------
+    // q142: TPC-H Q22 shape — "global customer outlook": customers in
+    // selected key-bucket groups (phone-prefix stand-in: c_custkey % 10)
+    // with above-average positive balance and no RECENT order (every
+    // fixture customer has SOME order, so literal Q22's no-order test
+    // would be vacuously empty; dormant-since-2000 keeps the anti join
+    // doing real work — the date predicate is pushed below the join).
+    // Combines an UNCORRELATED scalar aggregate subquery (evaluated once,
+    // broadcast as a literal — never per-row) with a NOT EXISTS anti join
+    // and a group-count — the last of the hard TPC-H decorrelation
+    // shapes. The avg test runs in exact integers: cents·N > S with
+    // (S, N) from the positive-balance population, so no double
+    // averaging anywhere.
+    GQuery(
+      "q142_no_order_outlook",
+      (s, d) => {
+        views(s, d)
+        s.sql("""SELECT c_custkey % 10 AS cc, CAST(COUNT(*) AS BIGINT) AS numcust,
+                |       SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS totcents
+                |FROM g_tpch_customer c
+                |WHERE c_custkey % 10 IN (1, 3, 5, 7)
+                |  AND CAST(round(c_acctbal * 100) AS BIGINT) *
+                |      (SELECT COUNT(*) FROM g_tpch_customer
+                |       WHERE c_custkey % 10 IN (1, 3, 5, 7) AND c_acctbal > 0)
+                |    > (SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                |       FROM g_tpch_customer
+                |       WHERE c_custkey % 10 IN (1, 3, 5, 7) AND c_acctbal > 0)
+                |  AND NOT EXISTS (SELECT 1 FROM g_tpch_orders o
+                |                  WHERE o.o_custkey = c.c_custkey
+                |                    AND o.o_orderdate >= TIMESTAMP_NTZ '2000-01-01 00:00:00')
+                |GROUP BY c_custkey % 10
+                |ORDER BY cc ASC""".stripMargin)
+      },
+      Some("""SELECT c_custkey % 10 AS cc, CAST(COUNT(*) AS BIGINT) AS numcust,
+             |       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |         AS totcents
+             |FROM customer c
+             |WHERE c_custkey % 10 IN (1, 3, 5, 7)
+             |  AND CAST(round(c_acctbal * 100) AS BIGINT) *
+             |      (SELECT COUNT(*) FROM customer
+             |       WHERE c_custkey % 10 IN (1, 3, 5, 7) AND c_acctbal > 0)
+             |    > (SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |       FROM customer
+             |       WHERE c_custkey % 10 IN (1, 3, 5, 7) AND c_acctbal > 0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+             |GROUP BY c_custkey % 10
+             |ORDER BY cc ASC""".stripMargin),
+      "TPC-H Q22 shape: uncorrelated scalar agg subquery + anti join + grouping"),
   )
 }

@@ -89,6 +89,34 @@ class TpchShapeSpec extends SparkTestBase {
     assert(expected.nonEmpty, "fixture drift: share threshold selects nobody")
   }
 
+  test("q142 uncorrelated scalar subqueries evaluate once; anti join is hash") {
+    val plan = formatted("q142_no_order_outlook")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS did not become an anti join")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      "the scalar threshold re-evaluated per row or the anti went nested-loop")
+    // independent recomputation in exact cents
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .filter(pmod(col("c_custkey"), lit(10L)).isin(1L, 3L, 5L, 7L))
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val pop = cust.join(
+      graft.sources.Tables.customer(spark, sf)
+        .filter(col("c_acctbal") > 0).select(col("c_custkey")), Seq("c_custkey"))
+    val (s0, n0) = pop.agg(sum(col("cents")), count(lit(1)))
+      .as[(Long, Long)].collect().head
+    val recent = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= graft.queries.ntzLit("2000-01-01 00:00:00"))
+      .select(col("o_custkey")).distinct()
+    val expected = cust.filter(col("cents") * n0 > s0)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(pmod(col("c_custkey"), lit(10L)).as("cc"))
+      .agg(count(lit(1)).as("numcust"), sum(col("cents")).as("tot"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = q("q142_no_order_outlook").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture drift: dormancy threshold selects nobody")
+  }
+
   test("q134 EXISTS/NOT EXISTS plan as semi+anti hash joins with residuals") {
     val plan = formatted("q134_lone_returned_supplier")
     assert(plan.contains("LeftSemi"), "EXISTS did not become a semi join")
