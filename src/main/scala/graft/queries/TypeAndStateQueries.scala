@@ -199,5 +199,13 @@ object TypeAndStateQueries {
              | AND c.ts <= p.ts
              |ORDER BY p_id ASC, c_id ASC NULLS FIRST""".stripMargin),
       "outer stream-stream join == batch left interval join (null padding equal)"),
+
+    // NOT convertible to a batch-parity gate: streaming dedup
+    // (dropDuplicatesWithinWatermark) hard-rejects batch DataFrames —
+    // "not supported with batch DataFrames/DataSets" — unlike
+    // flatMapGroupsWithState / withWatermark / stream joins, which all
+    // execute in batch and are gated above (q136/q139/q140/q141). It
+    // stays spec-only by API constraint, not by choice (StreamingSpec
+    // drives it with real streams).
   )
 }
