@@ -541,5 +541,70 @@ object PipelineQueries {
              |         t -> CAST(ceil(length(t)/4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords_est
              |FROM documents ORDER BY doc_id ASC""".stripMargin),
       "BPE-ish pretokenizer counts + ceil(len/4) subword estimate"),
+
+    // ------------------------------------------------------------------
+    // q144: Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+    // — the bounded-memory frequency estimator next to Misra-Gries (q87):
+    // d=4 rows × w=256 cells of counters, est(x) = min over rows of the
+    // cell x hashes into; never undercounts, overcounts by colliding
+    // mass. Built RELATIONALLY in two phases, the 100 TB spelling:
+    // (1) exact per-token counts (one map-side-combinable shuffle over
+    // occurrences), (2) the sketch as a groupBy over (row, cell) of the
+    // DISTINCT-token relation weighted by count — identical cells to
+    // sketching raw occurrences at a fraction of the shuffle. The whole
+    // sketch is 1024 rows regardless of corpus size — the artifact a
+    // planner ships to executors as a broadcast frequency oracle. Hashes
+    // are md5-derived 60-bit (TF.md5Hash60), bit-identical in DuckDB via
+    // '0x'||substr(md5(...)), so sketch cells, estimates, AND the
+    // no-undercount invariant all gate exactly. Probes: the top-20 tokens
+    // (ties broken lexically — deterministic in both engines).
+    GQuery(
+      "q144_countmin_sketch",
+      (s, d) => {
+        val depth = 4
+        val width = 256L
+        def cell(tok: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+          pmod(TF.md5Hash60(concat(tok, lit("#"), r.cast("string"))), lit(width))
+        val counts = Tables.spread(Tables.documents(s, d), col("doc_id"))
+          .select(explode(TF.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+          .localCheckpoint(false) // sketch build + probe selection share it
+        val rs = explode(array((0 until depth).map(lit(_)): _*)).as("r")
+        val sketch = counts.select(rs, col("tok"), col("true_cnt"))
+          .select(col("r"), cell(col("tok"), col("r")).as("cell"), col("true_cnt"))
+          .groupBy(col("r"), col("cell")).agg(sum(col("true_cnt")).as("cnt"))
+        val probes = counts.orderBy(col("true_cnt").desc, col("tok").asc).limit(20)
+        probes.select(rs, col("tok"), col("true_cnt"))
+          .select(col("tok"), col("true_cnt"), col("r"),
+            cell(col("tok"), col("r")).as("cell"))
+          .join(sketch, Seq("r", "cell"))
+          .groupBy(col("tok"), col("true_cnt"))
+          .agg(min(col("cnt")).as("cm_est"))
+          .select(col("tok"), col("true_cnt"), col("cm_est"),
+            (col("cm_est") >= col("true_cnt")).as("no_undercount"))
+          .orderBy(col("tok").asc)
+      },
+      Some("""WITH counts AS (
+             |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok),
+             |rs AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+             |sketch AS (
+             |  SELECT rs.r,
+             |         CAST(('0x'||substr(md5(c.tok||'#'||rs.r),1,15)) AS BIGINT) % 256 AS cell,
+             |         CAST(SUM(c.true_cnt) AS BIGINT) AS cnt
+             |  FROM counts c CROSS JOIN rs GROUP BY 1, 2),
+             |probes AS (
+             |  SELECT tok, true_cnt FROM counts
+             |  ORDER BY true_cnt DESC, tok ASC LIMIT 20)
+             |SELECT p.tok, p.true_cnt, MIN(s.cnt) AS cm_est,
+             |       MIN(s.cnt) >= p.true_cnt AS no_undercount
+             |FROM probes p CROSS JOIN rs
+             |JOIN sketch s
+             |  ON s.r = rs.r
+             | AND s.cell = CAST(('0x'||substr(md5(p.tok||'#'||rs.r),1,15)) AS BIGINT) % 256
+             |GROUP BY p.tok, p.true_cnt
+             |ORDER BY tok ASC""".stripMargin),
+      "Count-Min sketch: 1024-cell frequency oracle, exact cross-engine cells"),
   )
 }

@@ -83,4 +83,35 @@ class PipelineSpec extends SparkTestBase {
       } else assert(!purchase)
     }
   }
+
+  test("q144 count-min: never undercounts, exact on a collision-free corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q144_countmin_sketch")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"CM undercounted ${r.getString(0)}")
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+    // ground truth on a hand corpus: rebuild the sketch with the same
+    // hash formulas over 3 tokens — 3 tokens in 256 cells collide in no
+    // row here, so every estimate must be EXACT (the deterministic
+    // special case of the CM bound), pinning the min-over-rows logic
+    // against hand-known counts
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val counts = Seq(("a", 3L), ("b", 2L), ("c", 1L)).toDF("tok", "true_cnt")
+    def cell(tok: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+      pmod(TF.md5Hash60(concat(tok, lit("#"), r.cast("string"))), lit(256L))
+    val rs = explode(array((0 until 4).map(lit(_)): _*)).as("r")
+    val sketch = counts.select(rs, col("tok"), col("true_cnt"))
+      .select(col("r"), cell(col("tok"), col("r")).as("cell"), col("true_cnt"))
+      .groupBy(col("r"), col("cell")).agg(sum(col("true_cnt")).as("cnt"))
+    val est = counts.select(rs, col("tok"), col("true_cnt"))
+      .select(col("tok"), col("true_cnt"), col("r"), cell(col("tok"), col("r")).as("cell"))
+      .join(sketch, Seq("r", "cell"))
+      .groupBy(col("tok"), col("true_cnt")).agg(min(col("cnt")).as("cm_est"))
+      .as[(String, Long, Long)].collect()
+    assert(est.length == 3)
+    est.foreach { case (tok, t, e) => assert(e == t, s"$tok: est $e != true $t (collision or logic bug)") }
+  }
 }
