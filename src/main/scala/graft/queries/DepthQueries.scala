@@ -363,5 +363,70 @@ object DepthQueries {
              |SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
              |ORDER BY id ASC""".stripMargin),
       "large-star/small-star components on a deep chain graph (log² rounds)"),
+
+    // ------------------------------------------------------------------
+    // q145: leakage-free train/val/test split — THE splitting rule for
+    // training corpora with near-duplicate structure: a plain doc-hash
+    // split leaks (near-copies of a training doc land in eval), so the
+    // split key must be the DEDUP CLUSTER, every member inheriting its
+    // cluster's split. Composition: q117's chain components → split =
+    // md5-hash(component) % 10 → join back to docs (shuffle on comp id —
+    // cluster table is corpus-scale, never broadcast). Gate: per-split
+    // doc/cluster counts PLUS the leakage invariant recomputed blind by
+    // the oracle (its own recursive closure + the same md5 split): a
+    // cluster appearing in two splits would change n_clusters vs the
+    // oracle's count. Singleton docs (no edges) form their own clusters
+    // via the id fallback — the full corpus is split, not just the
+    // clustered part.
+    GQuery(
+      "q145_leakage_free_split",
+      (s, d) => {
+        import graft.functions.Components
+        val ids = Tables.documents(s, d).select(col("doc_id"))
+        val e1 = ids.filter(pmod(col("doc_id"), lit(50L)) =!= 49)
+          .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+        val e7 = ids.filter(pmod(col("doc_id"), lit(50L)) < 43)
+          .select(col("doc_id").as("src"), (col("doc_id") + 7).as("dst"))
+        val edges = e1.union(e7)
+          .join(ids.select(col("doc_id").as("dst")), Seq("dst"))
+        val comp = Components.connectedComponentsStar(edges, "src", "dst")
+        // singletons (docs with no edge) are their own cluster
+        val clustered = ids
+          .join(comp, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+        val split = clustered.withColumn("split",
+          pmod(graft.functions.TextFunctions.md5Hash60(
+            concat(lit("split#"), col("cluster").cast("string"))), lit(10L)))
+        split.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"))
+          .orderBy(col("split").asc)
+      },
+      Some("""WITH RECURSIVE
+             |ids AS (SELECT doc_id FROM documents),
+             |edges AS (
+             |  SELECT src, dst FROM (
+             |    SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 50 <> 49
+             |    UNION ALL
+             |    SELECT doc_id AS src, doc_id + 7 AS dst FROM ids WHERE doc_id % 50 < 43) e
+             |  WHERE dst IN (SELECT doc_id FROM ids)),
+             |bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+             |reach(id, comp) AS (
+             |  SELECT src, src FROM bi
+             |  UNION
+             |  SELECT b.dst, r.comp FROM reach r JOIN bi b ON b.src = r.id),
+             |comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+             |clustered AS (
+             |  SELECT i.doc_id, COALESCE(c.comp, i.doc_id) AS cluster
+             |  FROM ids i LEFT JOIN comp c ON c.id = i.doc_id),
+             |sp AS (
+             |  SELECT doc_id, cluster,
+             |         CAST(('0x'||substr(md5('split#'||cluster),1,15)) AS BIGINT) % 10
+             |           AS split
+             |  FROM clustered)
+             |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+             |FROM sp GROUP BY split ORDER BY split ASC""".stripMargin),
+      "leakage-free split: dedup clusters inherit one split, never span two"),
   )
 }

@@ -186,4 +186,28 @@ class DepthSpec extends SparkTestBase {
     }
     assert(q("q112_mixture_sample").collect().sameElements(rows), "not reproducible")
   }
+
+  test("q145: the split partitions the FULL corpus and conserves clusters") {
+    val rows = q("q145_leakage_free_split").collect()
+    assert(rows.nonEmpty)
+    // every document lands in exactly one split (a singleton-dropping
+    // inner join or a cluster in two splits would break conservation)
+    val totalDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == totalDocs, "docs lost or duplicated")
+    // cluster count conservation: Σ per-split clusters == distinct
+    // clusters globally — a cluster spanning two splits would be counted
+    // twice on the left side only
+    val ids = graft.sources.Tables.documents(spark, sf).select(col("doc_id"))
+    val e1 = ids.filter(pmod(col("doc_id"), lit(50L)) =!= 49)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+    val e7 = ids.filter(pmod(col("doc_id"), lit(50L)) < 43)
+      .select(col("doc_id").as("src"), (col("doc_id") + 7).as("dst"))
+    val edges = e1.union(e7).join(ids.select(col("doc_id").as("dst")), Seq("dst"))
+    val comp = graft.functions.Components.connectedComponents(edges, "src", "dst")
+    val nClusters = ids.join(comp, col("doc_id") === col("id"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("cluster"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nClusters,
+      "a cluster appears in more than one split (leakage)")
+  }
 }
