@@ -36,7 +36,8 @@ object QueryRegistry {
       graft.queries.DepthQueries.all ++
       graft.queries.GraphTemporalQueries.all ++
       graft.queries.TpchShapeQueries.all ++
-      graft.queries.TypeAndStateQueries.all
+      graft.queries.TypeAndStateQueries.all ++
+      graft.queries.RetrievalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GQuery
+import graft.sources.Tables
+import graft.functions.{TextFunctions => TF}
+import graft.sql.GraftSql
+
+/** Round-4 additions past the VERDICT list: membership/cardinality sketches
+  * (Bloom, KMV bottom-k) completing the sketch family (q06 HLL, q69 GK,
+  * q87 Misra-Gries, q144 Count-Min), fixed-point BM25 retrieval, and the
+  * SQL front-end gate (the reference's last unchecked roadmap item).
+  *
+  * Sketch gates here follow q144's discipline: md5-derived hashes are
+  * bit-identical in DuckDB, so the sketch ARTIFACT itself (not just a
+  * behavioural invariant) is compared exactly across engines.
+  */
+object RetrievalQueries {
+
+  /** 60-bit md5 hash as DuckDB SQL, mirroring [[TF.md5Hash60]]. */
+  private def duckHash(expr: String): String =
+    s"CAST(('0x'||substr(md5($expr),1,15)) AS BIGINT)"
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q146: Bloom filter (Bloom, CACM 1970) — the membership sketch next
+    // to the frequency sketches (q87/q144) and cardinality sketches
+    // (q06/q70, q147): m=1024 bits, k=4 hashes, built RELATIONALLY as a
+    // groupBy-bit_or over the DISTINCT-token relation — one shuffle of
+    // ≤4·|vocab| tiny rows, and the artifact is ≤32 words regardless of
+    // corpus size (the broadcastable membership oracle a planner ships to
+    // executors to pre-filter a semi join — Spark's own runtime
+    // InSubqueryExec/bloom pushdown does exactly this shape). Bits live
+    // in 32 words × 32 bits so no engine touches the BIGINT sign bit
+    // (DuckDB's `<<` hard-errors on 1<<63). Probes: the top-20 corpus
+    // tokens must ALL hit (no false negatives — the Bloom guarantee), and
+    // 50 synthetic non-members measure the false-positive count; both
+    // scalars and all 32 filter words gate exactly cross-engine.
+    GQuery(
+      "q146_bloom_filter",
+      (s, d) => {
+        val m = 1024L // bits
+        val depth = 4
+        def bitIdx(tok: Column, r: Column): Column =
+          pmod(TF.md5Hash60(concat(tok, lit("#b"), r.cast("string"))), lit(m))
+        val rs = explode(array((0 until depth).map(lit(_)): _*)).as("r")
+        val counts = Tables.spread(Tables.documents(s, d), col("doc_id"))
+          .select(explode(TF.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(false) // filter build + member probes share it
+        val cells = counts.select(col("tok")).select(col("tok"), rs)
+          .select(col("tok"), bitIdx(col("tok"), col("r")).as("idx"))
+          .select((col("idx") / 32).cast("long").as("word_id"),
+            expr("shiftleft(1L, CAST(idx % 32 AS INT))").as("contrib"))
+        val words = cells.groupBy(col("word_id"))
+          .agg(expr("bit_or(contrib)").as("word_val"))
+        // dense 0..31 spine so unset words appear as explicit zeros
+        val spine = s.range(32).select(col("id").as("word_id"))
+        val filterWords = spine.join(words, Seq("word_id"), "left")
+          .select(col("word_id"), coalesce(col("word_val"), lit(0L)).as("word_val"))
+          .localCheckpoint(false) // consumed by output + both probe joins
+        def probe(probes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          probes.select(col("tok"), rs)
+            .select(col("tok"), bitIdx(col("tok"), col("r")).as("idx"))
+            .select(col("tok"), (col("idx") / 32).cast("long").as("word_id"),
+              (col("idx") % 32).cast("int").as("bit"))
+            .join(broadcast(filterWords), Seq("word_id"))
+            .groupBy(col("tok"))
+            .agg(min(expr("shiftright(word_val, bit) & 1L")).as("all_set"))
+        val members = counts.orderBy(col("cnt").desc, col("tok").asc).limit(20)
+          .select(col("tok"))
+        val nonMembers = s.range(50)
+          .select(concat(lit("absent#"), col("id").cast("string")).as("tok"))
+        val memberHits = probe(members)
+          .agg(sum(col("all_set")).as("n_member_hits"))
+        val fp = probe(nonMembers)
+          .agg(sum(col("all_set")).as("n_nonmember_fp"))
+        filterWords
+          .crossJoin(broadcast(memberHits)) // 1-row side
+          .crossJoin(broadcast(fp)) // 1-row side
+          .orderBy(col("word_id").asc)
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT tok, COUNT(*) AS cnt
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok),
+             |rs AS (SELECT unnest(range(4)) AS r),
+             |cells AS (
+             |  SELECT ${duckHash("t.tok||'#b'||rs.r")} % 1024 AS idx
+             |  FROM toks t CROSS JOIN rs),
+             |words AS (
+             |  SELECT idx // 32 AS word_id,
+             |         bit_or(1::BIGINT << CAST(idx % 32 AS INTEGER)) AS word_val
+             |  FROM cells GROUP BY 1),
+             |filter_words AS (
+             |  SELECT s.word_id, COALESCE(w.word_val, 0) AS word_val
+             |  FROM (SELECT unnest(range(32)) AS word_id) s
+             |  LEFT JOIN words w USING (word_id)),
+             |member_probe AS (
+             |  SELECT p.tok,
+             |         MIN((fw.word_val >> CAST(c.idx % 32 AS INTEGER)) & 1) AS all_set
+             |  FROM (SELECT tok FROM toks ORDER BY cnt DESC, tok ASC LIMIT 20) p
+             |  CROSS JOIN rs
+             |  JOIN LATERAL (SELECT ${duckHash("p.tok||'#b'||rs.r")} % 1024 AS idx) c ON true
+             |  JOIN filter_words fw ON fw.word_id = c.idx // 32
+             |  GROUP BY p.tok),
+             |nonmember_probe AS (
+             |  SELECT p.tok,
+             |         MIN((fw.word_val >> CAST(c.idx % 32 AS INTEGER)) & 1) AS all_set
+             |  FROM (SELECT 'absent#'||unnest(range(50)) AS tok) p
+             |  CROSS JOIN rs
+             |  JOIN LATERAL (SELECT ${duckHash("p.tok||'#b'||rs.r")} % 1024 AS idx) c ON true
+             |  JOIN filter_words fw ON fw.word_id = c.idx // 32
+             |  GROUP BY p.tok)
+             |SELECT fw.word_id, fw.word_val,
+             |       CAST((SELECT SUM(all_set) FROM member_probe) AS BIGINT) AS n_member_hits,
+             |       CAST((SELECT SUM(all_set) FROM nonmember_probe) AS BIGINT) AS n_nonmember_fp
+             |FROM filter_words fw
+             |ORDER BY fw.word_id ASC""".stripMargin),
+      "Bloom filter: 1024-bit membership sketch, exact cross-engine words + probes"),
+
+    // ------------------------------------------------------------------
+    // q147: KMV / bottom-k sketch (Bar-Yossef et al., RANDOM 2002) — ONE
+    // artifact that is simultaneously (a) a deterministic uniform sample
+    // of the keyspace (hash order is sampling order — reservoir sampling
+    // without randomness, reproducible across runs AND engines) and
+    // (b) a distinct-count estimator: est = (k−1)·2⁶⁰ div h_k from the
+    // k-th smallest 60-bit hash. The 100 TB spelling is Spark's own
+    // TakeOrderedAndProject: per-partition bounded heap of k, merged at
+    // the driver — no global sort, no full shuffle; the artifact is k
+    // rows at any scale. All integer math (decimal div → floor on
+    // positives in both engines), so sample, h_k, and the estimate gate
+    // exactly; true distinct count rides along for the error story.
+    GQuery(
+      "q147_bottomk_sample",
+      (s, d) => {
+        val k = 64
+        val vals = Tables.orders(s, d).select(col("o_custkey")).distinct()
+          .localCheckpoint(false) // sketch + true-count share it
+        val hashed = vals.select(col("o_custkey"),
+          TF.md5Hash60(concat(lit("ck#"), col("o_custkey").cast("string"))).as("h"))
+        // TakeOrderedAndProject: per-partition heap of k, merge — never a
+        // global sort. The window below runs over the k survivors only.
+        val bot = hashed.orderBy(col("h").asc, col("o_custkey").asc).limit(k)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("h").asc, col("o_custkey").asc)).cast("long"))
+          .localCheckpoint(false) // rows + kth-hash aggregate share it
+        val est = bot.agg(max(col("h")).as("hk"))
+          .select((lit(k - 1).cast(DecimalType(38, 0)) *
+            lit(1152921504606846976L).cast(DecimalType(38, 0)))
+            .as("num"), col("hk"))
+          .select(expr("CAST(num div hk AS BIGINT)").as("est_distinct"))
+        val truth = vals.agg(count(lit(1)).as("true_distinct"))
+        bot.select(col("rank"), col("o_custkey").as("sample_key"), col("h"))
+          .crossJoin(broadcast(est)) // 1-row side
+          .crossJoin(broadcast(truth)) // 1-row side
+          .orderBy(col("rank").asc)
+      },
+      Some(s"""WITH vals AS (SELECT DISTINCT o_custkey FROM orders),
+             |hashed AS (
+             |  SELECT o_custkey, ${duckHash("'ck#'||o_custkey")} AS h FROM vals),
+             |bot AS (
+             |  SELECT o_custkey, h,
+             |         row_number() OVER (ORDER BY h ASC, o_custkey ASC) AS rank
+             |  FROM hashed ORDER BY h ASC, o_custkey ASC LIMIT 64)
+             |SELECT rank, o_custkey AS sample_key, h,
+             |       CAST((63::HUGEINT * 1152921504606846976::HUGEINT)
+             |            // (SELECT MAX(h) FROM bot) AS BIGINT) AS est_distinct,
+             |       (SELECT COUNT(*) FROM vals) AS true_distinct
+             |FROM bot ORDER BY rank ASC""".stripMargin),
+      "KMV bottom-k: deterministic uniform sample + distinct estimate, exact"),
+
+    // ------------------------------------------------------------------
+    // q148: BM25 ranked retrieval (Robertson & Zaragoza, FnTIR 2009;
+    // Lucene's idf = ln(1 + (N−df+0.5)/(df+0.5)) so weights stay
+    // positive) — THE missing piece between TF-IDF scoring (q85) and the
+    // embedding retrieval family (q39/q40/q54): lexical top-k search over
+    // an inverted-postings shape. Plan: the query set is broadcast into
+    // the df relation (tiny), postings (doc,term,tf) join the surviving
+    // query terms map-side, doc lengths join on doc_id, and per-query
+    // top-10 runs as a rank window per query_id (WindowGroupLimit: a
+    // bounded heap per query, never a global sort). At 100 TB the corpus
+    // shuffles ONCE to build tf; everything query-side is broadcast.
+    // Determinism: per-term weights are floor-quantized to 1e-6 BEFORE
+    // the sum, so the aggregate is integer addition (order-free —
+    // summing raw doubles in a distributed agg is order-DEPENDENT and
+    // non-deterministic run to run); ln/double products are identical
+    // IEEE expressions on both engines and the quantizer margin is
+    // checked in RetrievalSpec.
+    GQuery(
+      "q148_bm25_topk",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+          .localCheckpoint(false) // stats + per-doc join share it
+        val tf = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+          .localCheckpoint(false) // df + postings share it
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val dfRel = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val queries = Seq(
+          ("ql1", "customer"), ("ql1", "join"),
+          ("ql2", "slow"), ("ql2", "merge"),
+          ("ql3", "spark"), ("ql3", "window")).toDF("query_id", "tok")
+        val qterms = dfRel.join(broadcast(queries), Seq("tok"))
+        val idf = log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        // literals spelled EXACTLY as the oracle text spells them — a
+        // Scala-side k1+1.0 can round to a different double than the
+        // parsed literal 2.2 (the exact sum lands halfway between
+        // neighboring doubles)
+        val tfnorm = (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * ((col("dl").cast("double") * col("n_docs")) / col("sum_dl"))))
+        val termFp = floor(lit(1000000.0) * idf * tfnorm).cast("long")
+        val scored = tf.join(broadcast(qterms), Seq("tok"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats)) // 1-row side
+          .select(col("query_id"), col("doc_id"), termFp.as("term_fp"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("term_fp")).as("score_fp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score_fp").desc, col("doc_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp"))
+          .orderBy(col("query_id").asc, col("rank").asc)
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+             |tf AS (
+             |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+             |  GROUP BY doc_id, tok),
+             |stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+             |dfrel AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+             |queries(query_id, tok) AS (VALUES
+             |  ('ql1','customer'),('ql1','join'),
+             |  ('ql2','slow'),('ql2','merge'),
+             |  ('ql3','spark'),('ql3','window')),
+             |scored AS (
+             |  SELECT q.query_id, t.doc_id,
+             |         CAST(SUM(CAST(floor(1000000.0 *
+             |           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) *
+             |           ((t.tf * 2.2) /
+             |            (t.tf + 1.2 * (0.25 +
+             |              0.75 * ((CAST(l.dl AS DOUBLE) * s.n_docs) / s.sum_dl))))
+             |         ) AS BIGINT)) AS BIGINT) AS score_fp
+             |  FROM tf t
+             |  JOIN queries q ON q.tok = t.tok
+             |  JOIN dfrel d ON d.tok = t.tok
+             |  JOIN dl l ON l.doc_id = t.doc_id
+             |  CROSS JOIN stats s
+             |  GROUP BY q.query_id, t.doc_id)
+             |SELECT query_id, rank, doc_id, score_fp FROM (
+             |  SELECT query_id, doc_id, score_fp,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY score_fp DESC, doc_id ASC) AS rank
+             |  FROM scored)
+             |WHERE rank <= 10
+             |ORDER BY query_id ASC, rank ASC""".stripMargin),
+      "BM25 top-10 per query: inverted-postings retrieval, 1e-6 fixed-point"),
+
+    // ------------------------------------------------------------------
+    // q149: SQL front-end (reference README.md:33, the last unchecked
+    // roadmap item). The gated artifact is a query that enters the engine
+    // as TEXT — graft.sql.GraftSql binds the table catalog and Catalyst
+    // parses/analyzes/optimizes it into the same physical plan the typed
+    // API would produce (broadcast dims, pushed filters, exact-cents
+    // money math per the q104/q131 discipline). The oracle is the same
+    // ANSI text in DuckDB's dialect — two independent SQL engines parsing
+    // equivalent SQL to identical results.
+    GQuery(
+      "q149_sql_frontend",
+      (s, d) => GraftSql.run(s, d,
+        """SELECT n.n_name,
+          |       COUNT(*) AS n_items,
+          |       SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+          |           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+          |         AS revenue_microcents
+          |FROM lineitem l
+          |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+          |WHERE o.o_orderstatus = 'F'
+          |GROUP BY n.n_name
+          |HAVING COUNT(*) > 10
+          |ORDER BY revenue_microcents DESC, n_name ASC""".stripMargin),
+      Some("""SELECT n.n_name,
+             |       COUNT(*) AS n_items,
+             |       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             |           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             |         AS revenue_microcents
+             |FROM lineitem l
+             |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+             |WHERE o.o_orderstatus = 'F'
+             |GROUP BY n.n_name
+             |HAVING COUNT(*) > 10
+             |ORDER BY revenue_microcents DESC, n_name ASC""".stripMargin),
+      "SQL front-end: textual query through Catalyst vs the same text in DuckDB"),
+  )
+}

@@ -1,0 +1,37 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** SQL front-end over the engine's table catalog — the reference's own
+  * unchecked roadmap item ("SQL AST / front-end", reference README.md:33).
+  *
+  * Spark-first means we do NOT build a parser: Catalyst's ANSI SQL parser,
+  * analyzer, and optimizer ARE the front-end; this object supplies the
+  * catalog binding (every fixture table registered as a temp view over its
+  * parquet) so a user can run textual SQL against the same tables every
+  * DataFrame-API operator in this library uses. Queries entering here get
+  * the identical logical plans — and therefore the identical pushdown,
+  * pruning, join-strategy, and AQE treatment — as the typed API: the two
+  * surfaces converge in Catalyst, which is the whole point of choosing
+  * Spark over a hand-built executor.
+  *
+  * At 100 TB the temp-view indirection costs nothing: a view is a named
+  * logical plan, resolution happens at analysis time, and the physical scan
+  * is the same pruned/pushed parquet scan the DataFrame path produces.
+  */
+object GraftSql {
+
+  /** Register every fixture table as a temp view named after itself. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    Tables.names.foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+
+  /** Bind the catalog, then run one SQL text through Catalyst. */
+  def run(spark: SparkSession, sfDir: String, sqlText: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(sqlText)
+  }
+}

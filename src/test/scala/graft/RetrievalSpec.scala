@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+import graft.sql.GraftSql
+
+/** Specs for the q146–q149 family: the Bloom guarantee over the FULL vocab
+  * (the gate only probes top-20), KMV estimator error, and SQL-front-end ≡
+  * DataFrame-API parity (the two surfaces must converge in Catalyst).
+  */
+class RetrievalSpec extends SparkTestBase {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q146 Bloom filter has NO false negatives over the entire vocabulary") {
+    val words = q("q146_bloom_filter").select("word_id", "word_val")
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(TF.tokens(col("text"))).as("tok")).distinct()
+    val nVocab = vocab.count()
+    val rs = explode(array((0 until 4).map(lit(_)): _*)).as("r")
+    val misses = vocab.select(col("tok"), rs)
+      .select(col("tok"),
+        pmod(TF.md5Hash60(concat(col("tok"), lit("#b"), col("r").cast("string"))),
+          lit(1024L)).as("idx"))
+      .select(col("tok"), (col("idx") / 32).cast("long").as("word_id"),
+        (col("idx") % 32).cast("int").as("bit"))
+      .join(broadcast(words), Seq("word_id"))
+      .groupBy(col("tok"))
+      .agg(min(expr("shiftright(word_val, bit) & 1L")).as("all_set"))
+      .filter(col("all_set") === 0)
+      .count()
+    assert(nVocab > 0)
+    assert(misses === 0, "a member token tested negative — Bloom guarantee broken")
+  }
+
+  test("q146 probe scalars: all 20 members hit; FP count within the m/n bound") {
+    val row = q("q146_bloom_filter").select("n_member_hits", "n_nonmember_fp").head()
+    assert(row.getLong(0) === 20L)
+    // 31 distinct tokens * 4 hashes in 1024 bits -> fill ~11%, k=4 =>
+    // fp ~ 0.11^4 ~ 1.6e-4; 50 probes should essentially never collide,
+    // but the spec only pins the loose bound (exactness is the gate's job)
+    assert(row.getLong(1) <= 5L)
+  }
+
+  test("q147 sample is a subset of the keyspace and the estimate is tight") {
+    val out = q("q147_bottomk_sample")
+    val keys = Tables.orders(spark, sf).select(col("o_custkey")).distinct()
+    val truth = keys.count()
+    val foreign = out.join(keys,
+      out("sample_key") === keys("o_custkey"), "left_anti").count()
+    assert(foreign === 0, "sampled a key that is not in the keyspace")
+    val r = out.select("est_distinct", "true_distinct").head()
+    assert(r.getLong(1) === truth)
+    // KMV relative error ~ 1/sqrt(k) = 12.5% at k=64; allow 3 sigma
+    val (est, tru) = (r.getLong(0).toDouble, truth.toDouble)
+    assert(est > tru * 0.6 && est < tru * 1.6, s"est=$est true=$tru")
+  }
+
+  test("q147 ranks follow hash order exactly") {
+    val rows = q("q147_bottomk_sample").select("rank", "h").collect()
+    val sorted = rows.sortBy(_.getLong(0))
+    assert(sorted.map(_.getLong(1)).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("q148 every retrieved doc contains a query term; ranks are contiguous") {
+    val out = q("q148_bm25_topk").cache()
+    try {
+      val qterms = Map(
+        "ql1" -> Set("customer", "join"),
+        "ql2" -> Set("slow", "merge"),
+        "ql3" -> Set("spark", "window"))
+      val docToks = Tables.documents(spark, sf)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      out.collect().foreach { r =>
+        val (qid, doc, score) = (r.getString(0), r.getLong(2), r.getLong(3))
+        assert(docToks(doc).intersect(qterms(qid)).nonEmpty,
+          s"$qid retrieved doc $doc with no query term")
+        assert(score > 0)
+      }
+      val ranks = out.groupBy("query_id")
+        .agg(collect_list(col("rank")).as("rs")).collect()
+      ranks.foreach { r =>
+        assert(r.getSeq[Long](1).sorted === (1L to r.getSeq[Long](1).length))
+      }
+    } finally { out.unpersist(): Unit }
+  }
+
+  test("q148 fixed-point quantizer has a safe margin to every floor boundary") {
+    // the gate floors 1e6·idf·tfnorm; a value within ~1e-9 of an integer
+    // could flip under a 1-ulp cross-engine ln() difference — assert the
+    // actual fixture stays ≥1e-6 away from every boundary
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfRel = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val terms = Set("customer", "join", "slow", "merge", "spark", "window")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfnorm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) +
+        lit(0.75) * ((col("dl").cast("double") * col("n_docs")) / col("sum_dl"))))
+    val raw = lit(1000000.0) * idf * tfnorm
+    val minMargin = tf
+      .filter(col("tok").isin(terms.toSeq.map(x => x: Any): _*))
+      .join(dl, Seq("doc_id")).join(dfRel, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(least(raw - floor(raw), floor(raw) + 1 - raw).as("margin"))
+      .agg(min(col("margin"))).head().getDouble(0)
+    assert(minMargin > 1e-6, s"quantizer margin $minMargin too tight")
+  }
+
+  test("q149 SQL text and the typed DataFrame API produce identical results") {
+    val viaSql = q("q149_sql_frontend").collect().toSeq
+    val cents = (c: org.apache.spark.sql.Column) => round(c * 100).cast("long")
+    val li = Tables.lineitem(spark, sf)
+    val viaApi = li
+      .join(Tables.orders(spark, sf).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sf)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))).as("revenue_microcents"))
+      .filter(col("n_items") > 10)
+      .orderBy(col("revenue_microcents").desc, col("n_name").asc)
+      .collect().toSeq
+    assert(viaSql === viaApi)
+  }
+
+  test("q149 front-end pushes the status filter into the orders scan") {
+    val plan = GraftSql.run(spark, sf,
+      "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("o_orderstatus"), plan)
+  }
+}
