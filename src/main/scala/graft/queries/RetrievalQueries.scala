@@ -310,5 +310,122 @@ object RetrievalQueries {
              |HAVING COUNT(*) > 10
              |ORDER BY revenue_microcents DESC, n_name ASC""".stripMargin),
       "SQL front-end: textual query through Catalyst vs the same text in DuckDB"),
+
+    // ------------------------------------------------------------------
+    // q150: BPE merge training (Sennrich et al., ACL 2016) — learn the
+    // first 5 byte-pair merges over the corpus word-frequency dictionary,
+    // RELATIONALLY. Each round: (1) adjacent-symbol pair counts weighted
+    // by word frequency (lead() per word — words are short, the window
+    // partition is per-word), (2) argmax pair (count desc, pair lexical —
+    // deterministic both engines), (3) greedy LEFT-TO-RIGHT non-
+    // overlapping replacement: island-detect runs of consecutive matches
+    // (pos − match-index), take odd positions within each run (a taken
+    // match consumes pos+1, so the 2nd of two adjacent matches must not
+    // fire — the "aaa"→("aa","a") case), drop consumed positions,
+    // renumber. The 100 TB story: BPE trains on the DICTIONARY (|vocab|
+    // rows), not the corpus — the single corpus-sized shuffle is the
+    // word-count agg; each merge round shuffles ≤ Σ|word| symbol rows.
+    // Constant rounds, localCheckpoint per round (q68's plan-depth
+    // pattern). The oracle replays the identical 5 rounds as stacked
+    // window CTEs — merges AND their counts gate exactly.
+    GQuery(
+      "q150_bpe_merges",
+      (s, d) => {
+        val nRounds = 5
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("word")).orderBy(col("pos"))
+        val words = Tables.spread(Tables.documents(s, d), col("doc_id"))
+          .select(explode(TF.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(false) // pair weights reuse it every round
+        var syms = words.select(col("word"),
+          posexplode(expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+          .select(col("word"), (col("pos") + 1).cast("long").as("pos"),
+            col("col").as("sym"))
+        var bests = Vector.empty[org.apache.spark.sql.DataFrame]
+        for (r <- 1 to nRounds) {
+          val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+          val best = withNext.filter(col("nxt").isNotNull)
+            .join(words, Seq("word"))
+            .groupBy(col("sym"), col("nxt")).agg(sum(col("cnt")).as("c"))
+            .select(col("sym").as("a"), col("nxt").as("b"), col("c"))
+            .orderBy(col("c").desc, col("a").asc, col("b").asc).limit(1)
+            .localCheckpoint(false) // consumed by the merge AND the output
+          bests :+= best.select(lit(r.toLong).as("round"),
+            col("a"), col("b"), col("c"))
+          val marked = withNext
+            .crossJoin(broadcast(best.select(col("a"), col("b")))) // 1-row side
+            .withColumn("m",
+              coalesce(col("sym") === col("a") && col("nxt") === col("b"), lit(false)))
+            .withColumn("rnm",
+              sum(when(col("m"), 1L).otherwise(0L)).over(wOrd))
+            .withColumn("island", when(col("m"), col("pos") - col("rnm")))
+            .withColumn("irn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("word"), col("island")).orderBy(col("pos"))))
+            .withColumn("take", col("m") && col("irn") % 2 === 1)
+            .withColumn("consumed",
+              coalesce(lag(col("take"), 1).over(wOrd), lit(false)))
+          syms = marked.filter(!col("consumed"))
+            .select(col("word"), col("pos"),
+              when(col("take"), concat(col("sym"), col("nxt")))
+                .otherwise(col("sym")).as("sym"))
+            .withColumn("pos2", row_number().over(wOrd).cast("long"))
+            .select(col("word"), col("pos2").as("pos"), col("sym"))
+            .localCheckpoint(false) // constant plan depth per round
+        }
+        bests.reduce(_ unionAll _).orderBy(col("round").asc)
+      },
+      Some {
+        def roundSql(r: Int): String = {
+          val prev = if (r == 1) "syms0" else s"syms${r - 1}"
+          s"""wn$r AS (
+             |  SELECT word, pos, sym,
+             |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+             |  FROM $prev),
+             |best$r AS (
+             |  SELECT sym AS a, nxt AS b, CAST(SUM(cnt) AS BIGINT) AS c
+             |  FROM wn$r JOIN words USING (word)
+             |  WHERE nxt IS NOT NULL GROUP BY 1, 2
+             |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+             |mk$r AS (
+             |  SELECT w.word, w.pos, w.sym, w.nxt,
+             |         COALESCE(w.sym = b.a AND w.nxt = b.b, false) AS m
+             |  FROM wn$r w CROSS JOIN best$r b),
+             |rn$r AS (
+             |  SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+             |              OVER (PARTITION BY word ORDER BY pos) AS rnm
+             |  FROM mk$r),
+             |ir$r AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY word, island ORDER BY pos) AS irn
+             |  FROM (SELECT *, CASE WHEN m THEN pos - rnm END AS island FROM rn$r)),
+             |cs$r AS (
+             |  SELECT *, COALESCE(LAG(take) OVER (PARTITION BY word ORDER BY pos),
+             |                     false) AS consumed
+             |  FROM (SELECT *, (m AND irn % 2 = 1) AS take FROM ir$r)),
+             |syms$r AS (
+             |  SELECT word,
+             |         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+             |         CASE WHEN take THEN sym || nxt ELSE sym END AS sym
+             |  FROM cs$r WHERE NOT consumed)""".stripMargin
+        }
+        val rounds = (1 to 5).map(roundSql).mkString(",\n")
+        val out = (1 to 5)
+          .map(r => s"SELECT CAST($r AS BIGINT) AS round, a, b, c FROM best$r")
+          .mkString("\nUNION ALL\n")
+        s"""WITH words AS (
+           |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |  GROUP BY word),
+           |syms0 AS (
+           |  SELECT word, CAST(i AS BIGINT) AS pos,
+           |         substr(word, CAST(i AS INTEGER), 1) AS sym
+           |  FROM words, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) t),
+           |$rounds
+           |$out
+           |ORDER BY round ASC""".stripMargin
+      },
+      "BPE trainer: 5 relational merge rounds over the word-frequency dict"),
   )
 }

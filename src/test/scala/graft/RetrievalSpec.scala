@@ -115,6 +115,32 @@ class RetrievalSpec extends SparkTestBase {
     assert(minMargin > 1e-6, s"quantizer margin $minMargin too tight")
   }
 
+  test("q150 BPE merges on a hand corpus: exact counts + greedy non-overlap") {
+    import spark.implicits._
+    // "ababab"x2 + "ababx"x1. Round 1 must take the NON-consecutive (a,b)
+    // matches at 1/3/5 all at once; round 2 hits the consecutive-run case
+    // ((ab)(ab)(ab) -> take 1st, skip overlapping 2nd) — the "aaa" shape.
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq((1L, "ababab ababab ababx", "en", "test", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q150_bpe_merges")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val want = Seq(
+      (1L, "a", "b", 8L), (2L, "ab", "ab", 5L),
+      (3L, "abab", "ab", 2L), (4L, "abab", "x", 1L))
+    assert(got.toSeq === want, "pair-merge trace diverged")
+    // round 5 has no pairs left (both words fully merged) — and that must
+    // degrade to an absent row, never a crash or a phantom merge
+    assert(got.length === 4)
+  }
+
+  test("q150 max pair count is non-increasing across merge rounds") {
+    val cs = q("q150_bpe_merges").collect().map(_.getLong(3))
+    assert(cs.nonEmpty)
+    assert(cs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("q149 SQL text and the typed DataFrame API produce identical results") {
     val viaSql = q("q149_sql_frontend").collect().toSeq
     val cents = (c: org.apache.spark.sql.Column) => round(c * 100).cast("long")
