@@ -37,7 +37,8 @@ object QueryRegistry {
       graft.queries.GraphTemporalQueries.all ++
       graft.queries.TpchShapeQueries.all ++
       graft.queries.TypeAndStateQueries.all ++
-      graft.queries.RetrievalQueries.all
+      graft.queries.RetrievalQueries.all ++
+      graft.queries.IndexStatsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)
