@@ -87,14 +87,24 @@ object IndexStatsQueries {
     GQuery(
       "q152_equidepth_histogram",
       (s, d) => {
+        // composite key: the 2^30 multiplier dominates o_orderkey up to
+        // ~1e9 keys (sf100-scale fixtures), so okey is unique AND strictly
+        // monotone in (cents, key) — a multiplier below max(o_orderkey)
+        // would rank rows out of price order and overlap bucket ranges.
+        // cents_max·2^30 ≈ 5.4e16 stays far under Long.MaxValue.
         val o = Tables.orders(s, d)
           .select(col("o_orderkey"),
             round(col("o_totalprice") * 100).cast("long").as("cents"))
           .withColumn("okey",
-            col("cents") * lit(1048576L) + col("o_orderkey"))
+            col("cents") * lit(1073741824L) + col("o_orderkey"))
           .withColumn("one", lit(1L))
-        val ranked = Packing.prefixSum(o, "okey", "one", 1L << 33, out = "rank")
-        val n = ranked.agg(count(lit(1)).as("n"))
+          .localCheckpoint(false) // count + rank pass share it
+        // n is invariant under ranking — count the INPUT, never a second
+        // evaluation of the prefix-sum pass
+        val n = o.agg(count(lit(1)).as("n"))
+        // bucketWidth 2^43: okey spans cents·2^30 ≈ 5.4e16 → ~6e3 level-2
+        // offset rows (metadata-sized) independent of SF
+        val ranked = Packing.prefixSum(o, "okey", "one", 1L << 43, out = "rank")
         ranked.crossJoin(broadcast(n)) // 1-row side
           .withColumn("bucket", expr("CAST(((rank - 1) * 16) div n AS BIGINT)"))
           .groupBy(col("bucket"))
@@ -106,7 +116,7 @@ object IndexStatsQueries {
       Some("""WITH ranked AS (
              |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
              |         row_number() OVER (
-             |           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) * 1048576
+             |           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) * 1073741824
              |                    + o_orderkey ASC) AS rank
              |  FROM orders),
              |n AS (SELECT COUNT(*) AS n FROM ranked)

@@ -149,11 +149,15 @@ object RetrievalQueries {
             org.apache.spark.sql.expressions.Window
               .orderBy(col("h").asc, col("o_custkey").asc)).cast("long"))
           .localCheckpoint(false) // rows + kth-hash aggregate share it
-        val est = bot.agg(max(col("h")).as("hk"))
+        // under-filled sketch (fewer than k distinct keys): the k-th-hash
+        // formula does not apply — the sketch holds the WHOLE keyspace and
+        // reports the exact count instead
+        val est = bot.agg(max(col("h")).as("hk"), count(lit(1)).as("nbot"))
           .select((lit(k - 1).cast(DecimalType(38, 0)) *
             lit(1152921504606846976L).cast(DecimalType(38, 0)))
-            .as("num"), col("hk"))
-          .select(expr("CAST(num div hk AS BIGINT)").as("est_distinct"))
+            .as("num"), col("hk"), col("nbot"))
+          .select(when(col("nbot") < k, col("nbot"))
+            .otherwise(expr("CAST(num div hk AS BIGINT)")).as("est_distinct"))
         val truth = vals.agg(count(lit(1)).as("true_distinct"))
         bot.select(col("rank"), col("o_custkey").as("sample_key"), col("h"))
           .crossJoin(broadcast(est)) // 1-row side
@@ -168,8 +172,11 @@ object RetrievalQueries {
              |         row_number() OVER (ORDER BY h ASC, o_custkey ASC) AS rank
              |  FROM hashed ORDER BY h ASC, o_custkey ASC LIMIT 64)
              |SELECT rank, o_custkey AS sample_key, h,
-             |       CAST((63::HUGEINT * 1152921504606846976::HUGEINT)
-             |            // (SELECT MAX(h) FROM bot) AS BIGINT) AS est_distinct,
+             |       CASE WHEN (SELECT COUNT(*) FROM bot) < 64
+             |            THEN (SELECT COUNT(*) FROM bot)
+             |            ELSE CAST((63::HUGEINT * 1152921504606846976::HUGEINT)
+             |                      // (SELECT MAX(h) FROM bot) AS BIGINT) END
+             |         AS est_distinct,
              |       (SELECT COUNT(*) FROM vals) AS true_distinct
              |FROM bot ORDER BY rank ASC""".stripMargin),
       "KMV bottom-k: deterministic uniform sample + distinct estimate, exact"),
@@ -334,8 +341,13 @@ object RetrievalQueries {
         val nRounds = 5
         val wOrd = org.apache.spark.sql.expressions.Window
           .partitionBy(col("word")).orderBy(col("pos"))
+        // empty-token guard: Spark's sequence(1, 0) yields DESCENDING
+        // [1, 0] (two phantom '' symbols) while DuckDB's range(1, 1) is
+        // empty — an empty word (double space in a future fixture) would
+        // silently diverge the pair counts. Filter identically both sides.
         val words = Tables.spread(Tables.documents(s, d), col("doc_id"))
           .select(explode(TF.tokens(col("text"))).as("word"))
+          .filter(length(col("word")) >= 1)
           .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
           .localCheckpoint(false) // pair weights reuse it every round
         var syms = words.select(col("word"),
@@ -417,6 +429,7 @@ object RetrievalQueries {
         s"""WITH words AS (
            |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
            |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |  WHERE len(word) >= 1
            |  GROUP BY word),
            |syms0 AS (
            |  SELECT word, CAST(i AS BIGINT) AS pos,

@@ -25,13 +25,24 @@ object GraftSql {
 
   /** Register every fixture table as a temp view named after itself. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    Tables.names.foreach { t =>
+    registerViews(spark, sfDir, Tables.names)
+
+  def registerViews(spark: SparkSession, sfDir: String, names: Seq[String]): Unit =
+    names.foreach { t =>
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
     }
 
-  /** Bind the catalog, then run one SQL text through Catalyst. */
+  /** Bind the catalog, then run one SQL text through Catalyst.
+    *
+    * Only tables whose name appears in the text are registered — a cheap
+    * over-approximation (a name inside a string literal also registers)
+    * that is always safe, and it matters: registering a table costs a
+    * parquet footer read, and loading `events` in particular flips the
+    * session-wide nanosAsLong conf (Tables.scala) — a side effect no
+    * query that never mentions events should pay.
+    */
   def run(spark: SparkSession, sfDir: String, sqlText: String): DataFrame = {
-    registerViews(spark, sfDir)
+    registerViews(spark, sfDir, Tables.names.filter(sqlText.contains(_)))
     spark.sql(sqlText)
   }
 }
