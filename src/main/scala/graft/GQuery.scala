@@ -38,7 +38,8 @@ object QueryRegistry {
       graft.queries.TpchShapeQueries.all ++
       graft.queries.TypeAndStateQueries.all ++
       graft.queries.RetrievalQueries.all ++
-      graft.queries.IndexStatsQueries.all
+      graft.queries.IndexStatsQueries.all ++
+      graft.queries.LmQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

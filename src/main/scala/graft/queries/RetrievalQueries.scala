@@ -1,12 +1,12 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.GQuery
 import graft.sources.Tables
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{Bpe, TextFunctions => TF}
 import graft.sql.GraftSql
 
 /** Round-4 additions past the VERDICT list: membership/cardinality sketches
@@ -338,107 +338,72 @@ object RetrievalQueries {
     GQuery(
       "q150_bpe_merges",
       (s, d) => {
-        val nRounds = 5
-        val wOrd = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("word")).orderBy(col("pos"))
-        // empty-token guard: Spark's sequence(1, 0) yields DESCENDING
-        // [1, 0] (two phantom '' symbols) while DuckDB's range(1, 1) is
-        // empty — an empty word (double space in a future fixture) would
-        // silently diverge the pair counts. Filter identically both sides.
-        val words = Tables.spread(Tables.documents(s, d), col("doc_id"))
-          .select(explode(TF.tokens(col("text"))).as("word"))
-          .filter(length(col("word")) >= 1)
-          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(false) // pair weights reuse it every round
-        var syms = words.select(col("word"),
-          posexplode(expr(
-            "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
-          .select(col("word"), (col("pos") + 1).cast("long").as("pos"),
-            col("col").as("sym"))
-        var bests = Vector.empty[org.apache.spark.sql.DataFrame]
-        for (r <- 1 to nRounds) {
-          val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-          val best = withNext.filter(col("nxt").isNotNull)
-            .join(words, Seq("word"))
-            .groupBy(col("sym"), col("nxt")).agg(sum(col("cnt")).as("c"))
-            .select(col("sym").as("a"), col("nxt").as("b"), col("c"))
-            .orderBy(col("c").desc, col("a").asc, col("b").asc).limit(1)
-            .localCheckpoint(false) // consumed by the merge AND the output
-          bests :+= best.select(lit(r.toLong).as("round"),
-            col("a"), col("b"), col("c"))
-          val marked = withNext
-            .crossJoin(broadcast(best.select(col("a"), col("b")))) // 1-row side
-            .withColumn("m",
-              coalesce(col("sym") === col("a") && col("nxt") === col("b"), lit(false)))
-            .withColumn("rnm",
-              sum(when(col("m"), 1L).otherwise(0L)).over(wOrd))
-            .withColumn("island", when(col("m"), col("pos") - col("rnm")))
-            .withColumn("irn", row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(col("word"), col("island")).orderBy(col("pos"))))
-            .withColumn("take", col("m") && col("irn") % 2 === 1)
-            .withColumn("consumed",
-              coalesce(lag(col("take"), 1).over(wOrd), lit(false)))
-          syms = marked.filter(!col("consumed"))
-            .select(col("word"), col("pos"),
-              when(col("take"), concat(col("sym"), col("nxt")))
-                .otherwise(col("sym")).as("sym"))
-            .withColumn("pos2", row_number().over(wOrd).cast("long"))
-            .select(col("word"), col("pos2").as("pos"), col("sym"))
-            .localCheckpoint(false) // constant plan depth per round
-        }
-        bests.reduce(_ unionAll _).orderBy(col("round").asc)
+        Bpe.train(RetrievalQueries.bpeWords(s, d), 5).merges
+          .reduce(_ unionAll _).orderBy(col("round").asc)
       },
       Some {
-        def roundSql(r: Int): String = {
-          val prev = if (r == 1) "syms0" else s"syms${r - 1}"
-          s"""wn$r AS (
-             |  SELECT word, pos, sym,
-             |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-             |  FROM $prev),
-             |best$r AS (
-             |  SELECT sym AS a, nxt AS b, CAST(SUM(cnt) AS BIGINT) AS c
-             |  FROM wn$r JOIN words USING (word)
-             |  WHERE nxt IS NOT NULL GROUP BY 1, 2
-             |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
-             |mk$r AS (
-             |  SELECT w.word, w.pos, w.sym, w.nxt,
-             |         COALESCE(w.sym = b.a AND w.nxt = b.b, false) AS m
-             |  FROM wn$r w CROSS JOIN best$r b),
-             |rn$r AS (
-             |  SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
-             |              OVER (PARTITION BY word ORDER BY pos) AS rnm
-             |  FROM mk$r),
-             |ir$r AS (
-             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY word, island ORDER BY pos) AS irn
-             |  FROM (SELECT *, CASE WHEN m THEN pos - rnm END AS island FROM rn$r)),
-             |cs$r AS (
-             |  SELECT *, COALESCE(LAG(take) OVER (PARTITION BY word ORDER BY pos),
-             |                     false) AS consumed
-             |  FROM (SELECT *, (m AND irn % 2 = 1) AS take FROM ir$r)),
-             |syms$r AS (
-             |  SELECT word,
-             |         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
-             |         CASE WHEN take THEN sym || nxt ELSE sym END AS sym
-             |  FROM cs$r WHERE NOT consumed)""".stripMargin
-        }
-        val rounds = (1 to 5).map(roundSql).mkString(",\n")
         val out = (1 to 5)
           .map(r => s"SELECT CAST($r AS BIGINT) AS round, a, b, c FROM best$r")
           .mkString("\nUNION ALL\n")
-        s"""WITH words AS (
-           |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
-           |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-           |  WHERE len(word) >= 1
-           |  GROUP BY word),
-           |syms0 AS (
-           |  SELECT word, CAST(i AS BIGINT) AS pos,
-           |         substr(word, CAST(i AS INTEGER), 1) AS sym
-           |  FROM words, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) t),
-           |$rounds
+        s"""${Bpe.oracle.withPrefix(5)}
            |$out
            |ORDER BY round ASC""".stripMargin
       },
       "BPE trainer: 5 relational merge rounds over the word-frequency dict"),
+
+    // ------------------------------------------------------------------
+    // q156: BPE ENCODING with the q150-trained merges — the apply half of
+    // the tokenizer pair. BPE merges are word-internal, so encoding the
+    // corpus reduces to encoding the DICTIONARY (each word type once) and
+    // weighting by word frequency: per-word subword counts after the 5
+    // merges, plus the corpus totals Σ cnt·|syms(word)| vs Σ cnt·len(word)
+    // — the compression the learned merges actually buy. The oracle
+    // replays training through syms5 (same shared template as q150) and
+    // aggregates identically; gates exactly.
+    GQuery(
+      "q156_bpe_encode",
+      (s, d) => {
+        val words = RetrievalQueries.bpeWords(s, d)
+        val trained = Bpe.train(words, 5)
+        val perWord = trained.syms.groupBy(col("word"))
+          .agg(count(lit(1)).as("n_syms"))
+          .join(words, Seq("word"))
+          .select(col("word"), col("n_syms"), col("cnt"),
+            length(col("word")).cast("long").as("n_chars"))
+          .localCheckpoint(false) // rows + totals share it
+        val totals = perWord.agg(
+          sum(col("cnt") * col("n_syms")).as("total_subwords"),
+          sum(col("cnt") * col("n_chars")).as("total_chars"))
+        perWord.crossJoin(broadcast(totals)) // 1-row side
+          .orderBy(col("word").asc)
+      },
+      Some {
+        s"""${Bpe.oracle.withPrefix(5)},
+           |per_word AS (
+           |  SELECT w.word, CAST(COUNT(*) AS BIGINT) AS n_syms, w.cnt,
+           |         CAST(len(w.word) AS BIGINT) AS n_chars
+           |  FROM syms5 s JOIN words w USING (word)
+           |  GROUP BY w.word, w.cnt)
+           |SELECT word, n_syms, cnt, n_chars,
+           |       CAST((SELECT SUM(cnt * n_syms) FROM per_word) AS BIGINT)
+           |         AS total_subwords,
+           |       CAST((SELECT SUM(cnt * n_chars) FROM per_word) AS BIGINT)
+           |         AS total_chars
+           |FROM per_word ORDER BY word ASC""".stripMargin
+      },
+      "BPE encode: per-word subword counts + corpus compression totals"),
   )
+
+  /** Word-frequency dictionary for the BPE gates. Empty-token guard:
+    * Spark's sequence(1, 0) yields DESCENDING [1, 0] (two phantom ''
+    * symbols) while DuckDB's range(1, 1) is empty — an empty word (double
+    * space in a future fixture) would silently diverge the pair counts.
+    * Filtered identically in [[Bpe.oracle.baseCtes]].
+    */
+  private def bpeWords(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d), col("doc_id"))
+      .select(explode(TF.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // pair weights reuse it every round
 }

@@ -141,6 +141,57 @@ class RetrievalSpec extends SparkTestBase {
     assert(cs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("q156 BPE encoding conserves words and fully merges the hand corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_enc").toString
+    Seq((1L, "ababab ababab ababx", "en", "test", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q156_bpe_encode")(spark, dir).collect()
+    val byWord = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merges (a,b),(ab,ab),(abab,ab),(abab,x) collapse BOTH words fully
+    assert(byWord === Map("ababab" -> 1L, "ababx" -> 1L))
+    assert(rows.head.getLong(4) === 3L, "total_subwords = 2*1 + 1*1")
+    assert(rows.head.getLong(5) === 17L, "total_chars = 2*6 + 1*5")
+  }
+
+  test("q156 fixture encoding: 1 <= n_syms <= n_chars and totals reconcile") {
+    val rows = q("q156_bpe_encode").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(3), s"bad n_syms: $r")
+    }
+    val total = rows.map(r => r.getLong(2) * r.getLong(1)).sum
+    assert(total === rows.head.getLong(4), "total_subwords mismatch vs rows")
+    assert(rows.head.getLong(4) <= rows.head.getLong(5), "merges cannot expand")
+  }
+
+  test("q155 KN scores are negative log-likelihoods with safe quantizer margins") {
+    val out = q("q155_kn_doc_score").collect()
+    out.foreach { r =>
+      val (np, ll) = (r.getLong(1), r.getLong(2))
+      assert(ll <= 0L, s"positive log-likelihood: $r")
+      if (np == 0L) assert(r.getBoolean(3), s"empty doc must be kept: $r")
+    }
+    assert(out.exists(_.getLong(1) > 0), "fixture should have multi-token docs")
+    // model-level margin check (q148 pattern): distance of 1e6·log2(P) to
+    // its floor boundary, over all bigram types, excluding exact values
+    val pairs = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.bigramPairs(col("text"))).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_l"))
+    val nr = big.groupBy(col("w2")).agg(count(lit(1)).as("n1p_r"))
+    val t = big.agg(count(lit(1)).as("t"))
+    val p = greatest(col("c12").cast("double") - lit(0.75), lit(0.0)) / col("c1") +
+      ((lit(0.75) * col("n1p_l")) / col("c1")) * (col("n1p_r").cast("double") / col("t"))
+    val raw = lit(1000000.0) * log2(p)
+    val margin = big.join(c1, Seq("w1")).join(nr, Seq("w2")).crossJoin(broadcast(t))
+      .select(least(raw - floor(raw), floor(raw) + 1 - raw).as("m"))
+      .filter(col("m") > 0.0)
+      .agg(min(col("m"))).head().getDouble(0)
+    assert(margin > 1e-6, s"KN quantizer margin $margin too tight")
+  }
+
   test("q149 SQL text and the typed DataFrame API produce identical results") {
     val viaSql = q("q149_sql_frontend").collect().toSeq
     val cents = (c: org.apache.spark.sql.Column) => round(c * 100).cast("long")
