@@ -39,7 +39,8 @@ object QueryRegistry {
       graft.queries.TypeAndStateQueries.all ++
       graft.queries.RetrievalQueries.all ++
       graft.queries.IndexStatsQueries.all ++
-      graft.queries.LmQueries.all
+      graft.queries.LmQueries.all ++
+      graft.queries.MiningQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

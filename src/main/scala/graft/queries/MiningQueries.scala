@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** Round-4 (post-closing) mining/audit operators: Apriori-pruned frequent
+  * pair mining (q157), a distributed 2-D skyline / Pareto frontier (q158),
+  * and a Deequ-style data-quality assertion audit (q159).
+  *
+  * Scale shapes: q157 never materialises the unpruned pair space (candidate
+  * pairs come only from baskets after the frequent-item semi join, and the
+  * per-basket expansion is C(|basket|,2) with TPC-H-bounded basket size);
+  * q158 replaces the textbook single-partition sorted scan with the
+  * two-level bucket prefix-max (the only global structure is the
+  * bucket-summary relation, domain/width rows at any SF); q159 is a
+  * constant number of single-pass aggregates plus two key anti joins.
+  */
+object MiningQueries {
+
+  /** The q159 audit core over caller-supplied relations, so specs can plant
+    * violations (the gated query binds the fixture tables). Single aggregate
+    * pass per table (stack-unpivoted conditional sums) + two key anti joins.
+    */
+  private[graft] def dqAudit(li: DataFrame, ord: DataFrame, cust: DataFrame): DataFrame = {
+    val liChecks = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("v_domain"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("v_range"))
+      .select(expr(
+        """stack(3,
+          |  'completeness_l_quantity', v_null, n,
+          |  'domain_l_returnflag',     v_domain, n,
+          |  'range_l_quantity',        v_range, n)
+          |AS (check_name, violations, n_checked)""".stripMargin))
+    val ordChecks = ord.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"))
+      .select(expr(
+        """stack(1, 'uniqueness_o_orderkey', v_dup, n)
+          |AS (check_name, violations, n_checked)""".stripMargin))
+    val orphanLi = li.join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("ref_lineitem_orders").as("check_name"), col("violations"))
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("n_checked")))) // 1-row side
+    val orphanOrd = ord.join(
+        cust.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("ref_orders_customer").as("check_name"), col("violations"))
+      .crossJoin(broadcast(ord.agg(count(lit(1)).as("n_checked")))) // 1-row side
+    liChecks.unionByName(ordChecks).unionByName(orphanLi).unionByName(orphanOrd)
+      .withColumn("pass", when(col("violations") === 0L, 1).otherwise(0))
+      .orderBy(col("check_name").asc)
+  }
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q157: frequent pair mining (Agrawal & Srikant, VLDB 1994 — the
+    // Apriori candidate prune). Baskets = orders, items = parts. The
+    // pair self-join runs AFTER (a) per-basket item dedup and (b) the
+    // frequent-item semi join (downward closure: a pair can reach minsup
+    // only if both members do), and it co-shuffles both sides on the
+    // basket key, so the work is Σ C(|basket|,2) over surviving baskets
+    // — never |items|² and never an unpartitioned cross. At 100 TB the
+    // same plan holds: the prune is what keeps candidate generation
+    // proportional to basket content rather than vocabulary size (plus,
+    // for adversarial basket-size skew, the documented per-basket cap —
+    // TPC-H baskets are ≤7 lines so the fixture never triggers one).
+    GQuery(
+      "q157_frequent_pairs",
+      (s, d) => {
+        val minsup = 3
+        val items = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+          .localCheckpoint(false) // consumed by the prune build AND both join sides
+        val freqItems = items.groupBy(col("pk"))
+          .agg(count(lit(1)).as("item_sup"))
+          .filter(col("item_sup") >= minsup)
+          .select(col("pk"))
+        val pruned = items.join(freqItems, Seq("pk"), "left_semi")
+        val a = pruned.select(col("ok"), col("pk").as("p1"))
+        val b = pruned.select(col("ok").as("ok2"), col("pk").as("p2"))
+        a.join(b, col("ok") === col("ok2") && col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= minsup)
+          .orderBy(col("support").desc, col("p1").asc, col("p2").asc)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |fi AS (SELECT pk FROM items GROUP BY pk HAVING COUNT(*) >= 3),
+             |pruned AS (SELECT i.ok, i.pk FROM items i JOIN fi USING (pk)),
+             |pairs AS (
+             |  SELECT a.pk AS p1, b.pk AS p2
+             |  FROM pruned a JOIN pruned b ON a.ok = b.ok AND a.pk < b.pk)
+             |SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS support
+             |FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= 3
+             |ORDER BY support DESC, p1 ASC, p2 ASC""".stripMargin),
+      doc = "Apriori-pruned frequent pair mining over order baskets"),
+
+    // ------------------------------------------------------------------
+    // q158: 2-D skyline (Börzsönyi ICDE 2001) — customers not dominated
+    // on (total spend, recency). The textbook sorted scan needs a GLOBAL
+    // cumulative max (a single-partition window — the one Spark shape
+    // this engine bans); instead: collapse to distinct-x maxima, then a
+    // two-level strict prefix-max (within-bucket window partitioned by
+    // bucket + a bucket-summary window whose row count is domain/width —
+    // an artifact, not data, at any SF; same decomposition as
+    // Packing.prefixSum). A point survives iff its y strictly exceeds
+    // the max y over all strictly-greater x; joining back on
+    // (x, best_y) re-admits every tied attaining row, which is exactly
+    // strict-dominance semantics (equal (x,y) duplicates all survive,
+    // equal-x lower-y rows are dominated). Oracle = the O(n²)
+    // NOT-EXISTS dominance definition — an independent formulation, so
+    // equality proves the distributed scan, not just determinism.
+    // Money exact: cents via round-then-cast on both engines.
+    GQuery(
+      "q158_skyline",
+      (s, d) => {
+        val bucketW = 10000000L // cents per bucket; spend-domain/width buckets
+        val pts = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend_cents"),
+            max(floor(epochSec(col("o_orderdate")) / 86400).cast("long")).as("last_day"))
+          .localCheckpoint(false) // consumed by the frontier scan AND the join-back
+        val byX = pts.groupBy(col("spend_cents"))
+          .agg(max(col("last_day")).as("best_day"))
+          .withColumn("bucket", floor(col("spend_cents") / lit(bucketW.toDouble)).cast("long"))
+        val bucketOver = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val higher = byX.groupBy(col("bucket"))
+          .agg(max(col("best_day")).as("bmax"))
+          .withColumn("higher_max", max(col("bmax")).over(bucketOver))
+          .select(col("bucket").as("bo"), col("higher_max"))
+        val inner = Window.partitionBy(col("bucket"))
+          .orderBy(col("spend_cents").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = byX
+          .withColumn("inner_max", max(col("best_day")).over(inner))
+          .join(broadcast(higher), col("bucket") === col("bo"))
+          .withColumn("gt_max",
+            greatest(
+              coalesce(col("inner_max"), lit(Long.MinValue)),
+              coalesce(col("higher_max"), lit(Long.MinValue))))
+          .filter(col("best_day") > col("gt_max"))
+          .select(col("spend_cents").as("sx"), col("best_day"))
+        pts.join(frontier,
+            pts("spend_cents") === col("sx") && pts("last_day") === col("best_day"))
+          .select(col("custkey"), col("spend_cents"), col("last_day"))
+          .orderBy(col("spend_cents").desc, col("custkey").asc)
+      },
+      Some("""WITH c AS (
+             |  SELECT o_custkey AS custkey,
+             |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+             |         CAST(floor(epoch(MAX(o_orderdate)) / 86400) AS BIGINT) AS last_day
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT custkey, spend_cents, last_day
+             |FROM c p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM c q
+             |  WHERE q.spend_cents >= p.spend_cents AND q.last_day >= p.last_day
+             |    AND (q.spend_cents > p.spend_cents OR q.last_day > p.last_day))
+             |ORDER BY spend_cents DESC, custkey ASC""".stripMargin),
+      doc = "distributed 2-D skyline (Pareto frontier) via two-level strict prefix-max"),
+
+    // ------------------------------------------------------------------
+    // q159: data-quality audit (the Deequ shape, Schelter VLDB 2018) —
+    // completeness, uniqueness, domain, range, and referential checks as
+    // ONE artifact-sized result. All metric math is exact integer counts;
+    // the per-table checks fold into a single aggregate pass each
+    // (conditional sums unpivoted via stack, so lineitem is scanned once
+    // for three checks, not three times), and the two referential checks
+    // are key anti joins — the whole audit is 4 scans + 2 shuffles at
+    // any SF. pass is a deterministic function of the metric (==0), so
+    // the gate locks both the measured violation counts and the verdicts.
+    GQuery(
+      "q159_dq_audit",
+      (s, d) => dqAudit(
+        Tables.spread(Tables.lineitem(s, d), col("l_orderkey")),
+        Tables.orders(s, d),
+        Tables.customer(s, d)),
+      Some("""WITH li AS (
+             |  SELECT COUNT(*) AS n,
+             |         SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS v_null,
+             |         SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS v_domain,
+             |         SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_range
+             |  FROM lineitem),
+             |ord AS (
+             |  SELECT COUNT(*) AS n,
+             |         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup
+             |  FROM orders),
+             |checks AS (
+             |  SELECT 'completeness_l_quantity' AS check_name, v_null AS violations, n AS n_checked FROM li
+             |  UNION ALL
+             |  SELECT 'domain_l_returnflag', v_domain, n FROM li
+             |  UNION ALL
+             |  SELECT 'range_l_quantity', v_range, n FROM li
+             |  UNION ALL
+             |  SELECT 'uniqueness_o_orderkey', v_dup, n FROM ord
+             |  UNION ALL
+             |  SELECT 'ref_lineitem_orders',
+             |         (SELECT COUNT(*) FROM lineitem l
+             |          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+             |         (SELECT n FROM li)
+             |  UNION ALL
+             |  SELECT 'ref_orders_customer',
+             |         (SELECT COUNT(*) FROM orders o
+             |          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+             |         (SELECT n FROM ord))
+             |SELECT check_name,
+             |       CAST(violations AS BIGINT) AS violations,
+             |       CAST(n_checked AS BIGINT) AS n_checked,
+             |       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass
+             |FROM checks
+             |ORDER BY check_name ASC""".stripMargin),
+      doc = "Deequ-style data-quality audit: completeness/uniqueness/domain/range/referential checks")
+  )
+}
