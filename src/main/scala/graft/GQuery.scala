@@ -40,7 +40,8 @@ object QueryRegistry {
       graft.queries.RetrievalQueries.all ++
       graft.queries.IndexStatsQueries.all ++
       graft.queries.LmQueries.all ++
-      graft.queries.MiningQueries.all
+      graft.queries.MiningQueries.all ++
+      graft.queries.MatrixQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GQuery
+import graft.functions.{TextFunctions => TF}
 import graft.sources.Tables
 
 /** Round-4 (post-closing) mining/audit operators: Apriori-pruned frequent
@@ -20,6 +21,38 @@ import graft.sources.Tables
   * constant number of single-pass aggregates plus two key anti joins.
   */
 object MiningQueries {
+
+  /** q162 parameters: peel to the K-core in a FIXED number of rounds (the
+    * gate compares the exact R-round state in both engines whether or not
+    * the peel has converged; MiningSpec asserts the fixture reaches its
+    * fixpoint well inside R, so the gated output IS the k-core there).
+    */
+  private val KcoreK = 3
+  private val KcoreRounds = 12
+
+  /** q162 oracle: replay the identical peel rounds as stacked CTEs (the
+    * q150/q161 fixed-point discipline — the trace is the contract).
+    */
+  private def kcoreOracle: String = {
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT u AS node FROM e${r - 1} UNION ALL SELECT v AS node FROM e${r - 1})
+         |  GROUP BY node),
+         |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $KcoreK),
+         |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN k$r a ON e.u = a.node JOIN k$r b ON e.v = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.pk AS u, b.pk AS v
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+       |$rounds,
+       |dfin AS (SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT u AS node FROM e$KcoreRounds UNION ALL SELECT v AS node FROM e$KcoreRounds)
+       |  GROUP BY node)
+       |SELECT node, CAST(deg AS BIGINT) AS deg FROM dfin ORDER BY node ASC""".stripMargin
+  }
 
   /** The q159 audit core over caller-supplied relations, so specs can plant
     * violations (the gated query binds the fixture tables). Single aggregate
@@ -221,6 +254,95 @@ object MiningQueries {
              |       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass
              |FROM checks
              |ORDER BY check_name ASC""".stripMargin),
-      doc = "Deequ-style data-quality audit: completeness/uniqueness/domain/range/referential checks")
+      doc = "Deequ-style data-quality audit: completeness/uniqueness/domain/range/referential checks"),
+
+    // ------------------------------------------------------------------
+    // q162: k-core decomposition (Seidman 1983; Batagelj-Zaveršnik peel)
+    // of the part co-purchase graph (edges = part pairs sharing ≥2 order
+    // baskets). Each peel round is degree-count + two semi joins on the
+    // CURRENT edge set, all shuffled on the vertex/edge keys — the
+    // standard distributed peel, monotone shrinking, localCheckpoint per
+    // round for constant plan depth. Fixed R=12 rounds so both engines
+    // compute the identical state (the fixture converges in far fewer —
+    // MiningSpec proves round R is a fixpoint, so the output here IS the
+    // 3-core). At 100 TB: peel depth, not graph size, bounds the rounds;
+    // each round's shuffle shrinks with the surviving edge set.
+    GQuery(
+      "q162_kcore",
+      (s, d) => {
+        val items = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        var edges = items.select(col("ok"), col("pk").as("u"))
+          .join(items.select(col("ok").as("ok2"), col("pk").as("v")),
+            col("ok") === col("ok2") && col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("u"), col("v"))
+          .localCheckpoint(false) // round 1 reads it twice (degrees + semi joins)
+        for (_ <- 1 to KcoreRounds) {
+          val keep = edges.select(col("u").as("node"))
+            .unionByName(edges.select(col("v").as("node")))
+            .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= KcoreK)
+            .select(col("node"))
+            .localCheckpoint(false) // consumed by both semi joins
+          edges = edges
+            .join(keep, edges("u") === keep("node"), "left_semi")
+            .join(keep, edges("v") === keep("node"), "left_semi")
+            .localCheckpoint(false) // constant plan depth across rounds
+        }
+        edges.select(col("u").as("node"))
+          .unionByName(edges.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .orderBy(col("node").asc)
+      },
+      Some(kcoreOracle),
+      doc = "k-core decomposition of the co-purchase graph by fixed-round distributed peel"),
+
+    // ------------------------------------------------------------------
+    // q163: weighted sampling without replacement (Efraimidis & Spirakis,
+    // IPL 2006): each key draws u ~ U(0,1] deterministically from md5 and
+    // ranks by ln(u)/w — the top-k under that key IS a weighted sample
+    // without replacement. One aggregation + TakeOrderedAndProject
+    // (per-partition heap + merge, never a global sort) — the shape that
+    // samples 20 of 10⁹ customers without moving the corpus. Both engines
+    // compute the identical IEEE double chain (int→double of the hash,
+    // one divide, one multiply — same left-associated order), and the
+    // floor-quantized key makes the gate integer-exact; MiningSpec
+    // asserts the quantizer margin on the real fixture (q148 discipline).
+    GQuery(
+      "q163_weighted_sample",
+      (s, d) => {
+        val two60 = 1152921504606846976.0 // 2^60
+        val pts = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("w_cents"))
+        pts
+          .withColumn("u",
+            (TF.md5Hash60(concat(lit("ws#"), col("custkey").cast("string"))) + 1)
+              .cast("double") / lit(two60))
+          .withColumn("qs",
+            floor(log(col("u")) / col("w_cents").cast("double") * lit(1e9)).cast("long"))
+          .orderBy(col("qs").desc, col("custkey").asc)
+          .limit(20)
+          .select(col("custkey"), col("w_cents"), col("qs"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT o_custkey AS custkey,
+             |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS w_cents
+             |  FROM orders GROUP BY o_custkey),
+             |keyed AS (
+             |  SELECT custkey, w_cents,
+             |         CAST(floor(
+             |           ln((CAST(('0x' || substr(md5('ws#' || custkey), 1, 15)) AS BIGINT) + 1)
+             |              / 1152921504606846976.0)
+             |           / CAST(w_cents AS DOUBLE) * 1000000000.0) AS BIGINT) AS qs
+             |  FROM pts)
+             |SELECT custkey, w_cents, qs
+             |FROM keyed
+             |ORDER BY qs DESC, custkey ASC
+             |LIMIT 20""".stripMargin),
+      doc = "Efraimidis-Spirakis weighted sample without replacement via deterministic keys")
   )
 }

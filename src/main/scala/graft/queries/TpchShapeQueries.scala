@@ -258,5 +258,84 @@ object TpchShapeQueries {
              |GROUP BY c_custkey % 10
              |ORDER BY cc ASC""".stripMargin),
       "TPC-H Q22 shape: uncorrelated scalar agg subquery + anti join + grouping"),
+
+    // ------------------------------------------------------------------
+    // q164: TPC-H Q17 shape — small-quantity-order revenue. TWO correlated
+    // scalar aggregate subqueries over the same correlated relation
+    // (per-part line count and quantity sum): Catalyst must decorrelate
+    // both into per-part aggregates joined back (and may merge them into
+    // one aggregate — MergeScalarSubqueries); per-outer-row re-execution
+    // would be O(n·m) at 100 TB. The classic `< 0.2*avg(qty)` predicate is
+    // spelled as the integer cross-multiplication qty·5·cnt < sum —
+    // quantities are integral doubles, so both engines compare exact
+    // BIGINTs and the float-boundary hazard of 0.2·avg never exists.
+    GQuery(
+      "q164_small_qty_revenue",
+      (s, d) => {
+        views(s, d)
+        s.sql("""SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                |         AS rev_cents,
+                |       CAST(COUNT(*) AS BIGINT) AS n_lines
+                |FROM g_tpch_lineitem l
+                |JOIN g_tpch_part p ON p.p_partkey = l.l_partkey
+                |WHERE p.p_brand = 'Brand#4'
+                |  AND CAST(l.l_quantity AS BIGINT) * 5 *
+                |      (SELECT COUNT(*) FROM g_tpch_lineitem l2
+                |       WHERE l2.l_partkey = l.l_partkey)
+                |    < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM g_tpch_lineitem l2
+                |       WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+      },
+      Some("""SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS rev_cents,
+             |       CAST(COUNT(*) AS BIGINT) AS n_lines
+             |FROM lineitem l
+             |JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE p.p_brand = 'Brand#4'
+             |  AND CAST(l.l_quantity AS BIGINT) * 5 *
+             |      (SELECT COUNT(*) FROM lineitem l2
+             |       WHERE l2.l_partkey = l.l_partkey)
+             |    < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+             |       WHERE l2.l_partkey = l.l_partkey)""".stripMargin),
+      "TPC-H Q17 shape: correlated avg-quantity predicate decorrelated, integer-exact"),
+
+    // ------------------------------------------------------------------
+    // q165: TPC-H Q18 shape — large-volume customers. IN over a grouped
+    // HAVING subquery: the qualifying-order set is an aggregate, so the
+    // rewrite is aggregate → LeftSemi on o_orderkey, then the 3-way
+    // customer⋈orders⋈lineitem join re-aggregates per (customer, order).
+    // The semi join's build side is the filtered aggregate (tiny), and
+    // every join is an equi hash join on its natural key — the plan a
+    // 100 TB run needs. Quantities integral → exact BIGINT totals.
+    GQuery(
+      "q165_large_volume_customers",
+      (s, d) => {
+        views(s, d)
+        s.sql("""SELECT c.c_custkey, o.o_orderkey,
+                |       CAST(floor(CAST(CAST(o.o_orderdate AS TIMESTAMP) AS BIGINT) / 86400)
+                |         AS BIGINT) AS order_day,
+                |       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+                |FROM g_tpch_customer c
+                |JOIN g_tpch_orders o ON o.o_custkey = c.c_custkey
+                |JOIN g_tpch_lineitem l ON l.l_orderkey = o.o_orderkey
+                |WHERE o.o_orderkey IN (
+                |  SELECT l2.l_orderkey FROM g_tpch_lineitem l2
+                |  GROUP BY l2.l_orderkey
+                |  HAVING SUM(CAST(l2.l_quantity AS BIGINT)) > 300)
+                |GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate
+                |ORDER BY total_qty DESC, o_orderkey ASC""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey,
+             |       CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) AS order_day,
+             |       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+             |FROM customer c
+             |JOIN orders o ON o.o_custkey = c.c_custkey
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_orderkey IN (
+             |  SELECT l2.l_orderkey FROM lineitem l2
+             |  GROUP BY l2.l_orderkey
+             |  HAVING SUM(CAST(l2.l_quantity AS BIGINT)) > 300)
+             |GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate
+             |ORDER BY total_qty DESC, o_orderkey ASC""".stripMargin),
+      "TPC-H Q18 shape: IN over grouped HAVING rewritten to aggregate + semi join"),
   )
 }

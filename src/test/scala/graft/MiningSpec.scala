@@ -89,4 +89,45 @@ class MiningSpec extends SparkTestBase {
     assert(audit("ref_lineitem_orders") === ((1L, 4L, 0)))
     assert(audit("ref_orders_customer") === ((1L, 3L, 0)))
   }
+
+  test("q162 12-round peel reaches the 3-core fixpoint on the fixture") {
+    val rows = q("q162_kcore").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // min degree >= k IS the fixpoint condition: the next peel round would
+    // keep every node, so the 12-round state is the true 3-core here
+    assert(rows.map(_._2).min >= 3L, "peel did not converge within 12 rounds")
+  }
+
+  test("q163 weighted sample: valid members, heavy-weight bias, quantizer margin") {
+    val sample = q("q163_weighted_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sample.length === 20)
+    assert(sample.map(_._1).distinct.length === 20, "sample must be without replacement")
+    val weights = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sample.foreach { case (ck, w, _) =>
+      assert(weights(ck) === w, s"sampled customer $ck carries a wrong weight")
+    }
+    // Efraimidis-Spirakis favors heavy keys: P[i in sample] ∝ monotone in w,
+    // so the sample's mean weight must exceed the population's
+    val sampleMean = sample.map(_._2).sum.toDouble / sample.length
+    val popMean = weights.values.sum.toDouble / weights.size
+    assert(sampleMean > popMean,
+      s"weighted sample lighter than the population ($sampleMean <= $popMean)")
+    // quantizer margin: the double chain ln(u)/w·1e9 must not sit on a
+    // floor boundary anywhere in the population, or a 1-ulp libm skew
+    // could flip a bucket cross-engine (q148/q154 discipline)
+    val margins = weights.map { case (ck, w) =>
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws#$ck".getBytes("UTF-8"))
+      val hex = dig.map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 1152921504606846976.0
+      val s0 = math.log(u) / w.toDouble * 1e9
+      math.abs(s0 - math.floor(s0) - 0.5) // distance from the cell center, max 0.5
+    }
+    val minEdge = margins.map(m => 0.5 - m).min // distance from nearest boundary
+    assert(minEdge > 1e-6, s"a quantized key sits $minEdge from a floor boundary")
+  }
 }

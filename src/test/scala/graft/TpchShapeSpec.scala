@@ -41,6 +41,48 @@ class TpchShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q164 correlated quantity predicate decorrelates; result is integer-consistent") {
+    val plan = formatted("q164_small_qty_revenue")
+    assert(plan.contains("HashAggregate"), "per-part aggregates missing")
+    assert(!plan.contains("BroadcastNestedLoop"), "correlated scalar left per-row")
+    assert(!plan.contains("CartesianProduct"))
+    val row = q("q164_small_qty_revenue").head()
+    // recompute blind from the decorrelated join spelling
+    val stats = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sq"))
+    val exp = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.part(spark, sf).filter(col("p_brand") === "Brand#4"),
+        col("l_partkey") === col("p_partkey"))
+      .join(stats, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sq"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rc"),
+        count(lit(1)).as("n"))
+      .head()
+    assert(row.getLong(0) === exp.getLong(0))
+    assert(row.getLong(1) === exp.getLong(1))
+  }
+
+  test("q165 IN-over-HAVING rewrites to aggregate + semi join") {
+    val plan = formatted("q165_large_volume_customers")
+    assert(plan.contains("LeftSemi"), "IN subquery did not become a semi join")
+    assert(!plan.contains("BroadcastNestedLoop"))
+    assert(!plan.contains("CartesianProduct"))
+    val rows = q("q165_large_volume_customers").collect()
+    assert(rows.nonEmpty)
+    // every emitted total really exceeds the threshold, and totals agree
+    // with an independent per-order aggregate
+    val totals = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("t"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { r =>
+      val (ok, tq) = (r.getLong(1), r.getLong(3))
+      assert(tq > 300L)
+      assert(totals(ok) === tq)
+    }
+  }
+
   test("q132 max-of-aggregate keeps every tied top supplier, exact cents") {
     val plan = formatted("q132_top_revenue_supplier")
     assert(!plan.contains("BroadcastNestedLoop"))
