@@ -41,7 +41,8 @@ object QueryRegistry {
       graft.queries.IndexStatsQueries.all ++
       graft.queries.LmQueries.all ++
       graft.queries.MiningQueries.all ++
-      graft.queries.MatrixQueries.all
+      graft.queries.MatrixQueries.all ++
+      graft.queries.IncrementalStatsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)
