@@ -42,7 +42,8 @@ object QueryRegistry {
       graft.queries.LmQueries.all ++
       graft.queries.MiningQueries.all ++
       graft.queries.MatrixQueries.all ++
-      graft.queries.IncrementalStatsQueries.all
+      graft.queries.IncrementalStatsQueries.all ++
+      graft.queries.RecsAndInfoQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)
