@@ -52,6 +52,13 @@ case class GramAggregate(
       val arr = v.asInstanceOf[ArrayData]
       require(arr.numElements() == d,
         s"GramAggregate: expected $d-dim vector, got ${arr.numElements()}")
+      // fail fast on null components: getLong on a null slot silently
+      // yields garbage, corrupting every cell touching that dimension
+      var c = 0
+      while (c < d) {
+        require(!arr.isNullAt(c), s"GramAggregate: null component at index $c")
+        c += 1
+      }
       var i = 0
       var t = 0
       while (i < d) {

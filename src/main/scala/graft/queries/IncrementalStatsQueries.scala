@@ -77,8 +77,15 @@ object IncrementalStatsQueries {
           .select(floor(epochSec(col("ts")) / 86400).cast("long").as("day"),
             col("user_id"))
           .distinct()
+          .localCheckpoint(false) // consumed by the fan-out AND the horizon scalar
+        val horizon = du.agg(max(col("day")).as("max_day"))
         du.select(explode(sequence(col("day"), col("day") + 6)).as("window_day"),
             col("user_id"))
+          // clamp to the data horizon: a (day, user) fans into anchors
+          // day..day+6, but anchors PAST the last observed day would
+          // report "active users" for days that never happened
+          .crossJoin(broadcast(horizon)) // 1-row side
+          .filter(col("window_day") <= col("max_day"))
           .groupBy(col("window_day"))
           .agg(countDistinct(col("user_id")).as("users"))
           .orderBy(col("window_day").asc)
@@ -88,7 +95,8 @@ object IncrementalStatsQueries {
              |  FROM events),
              |wd AS (
              |  SELECT du.day + o.o AS window_day, du.user_id
-             |  FROM du CROSS JOIN (SELECT unnest(range(7)) AS o) o)
+             |  FROM du CROSS JOIN (SELECT unnest(range(7)) AS o) o
+             |  WHERE du.day + o.o <= (SELECT MAX(day) FROM du))
              |SELECT window_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
              |FROM wd GROUP BY window_day
              |ORDER BY window_day ASC""".stripMargin),
@@ -120,6 +128,14 @@ object IncrementalStatsQueries {
             sum(col("y")).as("sy"),
             sum(col("x") * col("y")).as("sxy"),
             sum(col("x") * col("x")).as("sxx"))
+          // den = n·Σx² − (Σx)² = 0 iff the group's x values are all
+          // identical (one distinct order date) — the slope is undefined
+          // there, so such groups are excluded rather than emitting a
+          // silent NULL (both engines filter identically, in decimal so
+          // the guard itself cannot overflow)
+          .filter(expr("""CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0)) -
+                         |CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))""".stripMargin)
+            =!= lit(0))
           .select(col("n_name"), col("n"),
             expr("""CAST(
                    |  (CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0)) -
@@ -147,6 +163,7 @@ object IncrementalStatsQueries {
              |            // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
              |         AS BIGINT) AS slope_fp
              |FROM agg
+             |WHERE CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0
              |ORDER BY n_name ASC""".stripMargin),
       doc = "grouped least-squares slope from decomposable sums, exact fixed point"),
 

@@ -76,7 +76,9 @@ object MatrixQueries {
          |  SELECT g.gi AS dim, CAST(SUM(g.gram * v.v) AS BIGINT) AS w
          |  FROM sym g JOIN v${r - 1} v ON g.gj = v.dim GROUP BY g.gi),
          |v$r AS (
-         |  SELECT dim, CAST((w * 1000) // (SELECT MAX(ABS(w)) FROM w$r) AS BIGINT) AS v
+         |  SELECT dim,
+         |         CAST(CAST(w AS HUGEINT) * 1000 // (SELECT MAX(ABS(w)) FROM w$r)
+         |           AS BIGINT) AS v
          |  FROM w$r)""".stripMargin
     }.mkString(",\n")
     s"""WITH $gramCtes,
@@ -116,10 +118,14 @@ object MatrixQueries {
     // localCheckpoint (the KMeans discipline). Normalization is L∞ at
     // scale 1000: v′ = trunc(1000·w / max|w|) — integer div truncates
     // identically in both engines (max|w| > 0 always: the Gram matrix
-    // is PSD with positive diagonal and v₀ > 0). Overflow bound:
-    // |w| ≤ d·max|gram|·1000 ≈ 3·10¹⁷ at sf1 — ×1000 stays under 2⁶³;
-    // at truly extreme SF the multiply moves to DECIMAL(38,0)
-    // (documented, not needed at any fixture scale).
+    // is PSD with positive diagonal and v₀ > 0). The w·1000 multiply
+    // runs in DECIMAL(38,0) (HUGEINT in DuckDB), so the post-aggregate
+    // ×1000 can never overflow at any SF and `div` still truncates to
+    // BIGINT. w's own BIGINT accumulation is bounded by d·max|gram|·1000
+    // (measured ~2·10¹³ at sf1; the bound grows linearly with corpus
+    // size toward the 9·10¹⁸ limit around ~10⁹ input rows) — if a corpus
+    // ever crosses it, Spark ANSI and DuckDB both fail LOUDLY and the
+    // gram terms move to DECIMAL the same way.
     GQuery(
       "q161_pca_power",
       (s, d) => {
@@ -137,10 +143,10 @@ object MatrixQueries {
           v = w.crossJoin(broadcast(mx)) // 1-row side
             .select(col("gi").as("dim"),
               // INTEGER division truncates toward zero in BOTH engines
-              // (Spark `div`, DuckDB `//` on BIGINT — verified: -7//2
-              // = -3; DuckDB only floors on the double `/`+floor path),
-              // so plain div is the cross-engine-exact spelling here.
-              expr("(w * 1000) div mx").cast("long").as("v"))
+              // (Spark `div`, DuckDB `//` on BIGINT/HUGEINT — verified:
+              // -7//2 = -3; DuckDB only floors on the double `/`+floor
+              // path), so plain div is the cross-engine-exact spelling.
+              expr("(CAST(w AS DECIMAL(38,0)) * 1000) div mx").cast("long").as("v"))
             .localCheckpoint(false) // constant plan depth across rounds
         }
         v.orderBy(col("dim").asc)

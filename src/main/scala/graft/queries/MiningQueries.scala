@@ -22,6 +22,44 @@ import graft.sources.Tables
   */
 object MiningQueries {
 
+  /** The shared co-purchase candidate core (q157 / q162 / q170 — one
+    * implementation so the semantics cannot drift, the Bpe-trainer
+    * precedent): distinct (basket, item) pairs → Apriori item prune
+    * (lossless for ANY minSupport by downward closure) → basket-key
+    * co-shuffled pair self-join → support filter. Output (p1, p2,
+    * support) with p1 < p2.
+    */
+  private[graft] def copurchasePairs(
+      s: org.apache.spark.sql.SparkSession, d: String, minSupport: Int): DataFrame = {
+    val items = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(false) // consumed by the prune build AND both join sides
+    val freqItems = items.groupBy(col("pk"))
+      .agg(count(lit(1)).as("item_sup"))
+      .filter(col("item_sup") >= minSupport)
+      .select(col("pk"))
+    val pruned = items.join(freqItems, Seq("pk"), "left_semi")
+    pruned.select(col("ok"), col("pk").as("p1"))
+      .join(pruned.select(col("ok").as("ok2"), col("pk").as("p2")),
+        col("ok") === col("ok2") && col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** The oracle side of [[copurchasePairs]] — deliberately UNPRUNED (the
+    * blind all-candidate recompute), so every gate that consumes it also
+    * proves the Apriori prune lossless cross-engine. MATERIALIZED because
+    * q162's stacked rounds reference it through a deep CTE chain.
+    */
+  private[graft] def pairCtes(minSupport: Int): String =
+    s"""items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= $minSupport)""".stripMargin
+
   /** q162 parameters: peel to the K-core in a FIXED number of rounds (the
     * gate compares the exact R-round state in both engines whether or not
     * the peel has converged; MiningSpec asserts the fixture reaches its
@@ -42,11 +80,8 @@ object MiningQueries {
          |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
          |  JOIN k$r a ON e.u = a.node JOIN k$r b ON e.v = b.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-       |e0 AS MATERIALIZED (
-       |  SELECT a.pk AS u, b.pk AS v
-       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-       |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+    s"""WITH ${pairCtes(2)},
+       |e0 AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM pairs),
        |$rounds,
        |dfin AS (SELECT node, COUNT(*) AS deg FROM (
        |    SELECT u AS node FROM e$KcoreRounds UNION ALL SELECT v AS node FROM e$KcoreRounds)
@@ -59,34 +94,39 @@ object MiningQueries {
     * pass per table (stack-unpivoted conditional sums) + two key anti joins.
     */
   private[graft] def dqAudit(li: DataFrame, ord: DataFrame, cust: DataFrame): DataFrame = {
-    val liChecks = li.agg(
+    // one aggregate pass per table, checkpointed so the referential checks
+    // reuse the row counts instead of re-scanning (li is read exactly
+    // twice in total: this aggregate + the orphan anti join; same for ord)
+    val liAgg = li.agg(
         count(lit(1)).as("n"),
         sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("v_null"),
         sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("v_domain"),
         sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("v_range"))
-      .select(expr(
-        """stack(3,
-          |  'completeness_l_quantity', v_null, n,
-          |  'domain_l_returnflag',     v_domain, n,
-          |  'range_l_quantity',        v_range, n)
-          |AS (check_name, violations, n_checked)""".stripMargin))
-    val ordChecks = ord.agg(
+      .localCheckpoint(false) // 1 row; consumed by the stack AND ref_lineitem_orders
+    val ordAgg = ord.agg(
         count(lit(1)).as("n"),
         (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"))
-      .select(expr(
-        """stack(1, 'uniqueness_o_orderkey', v_dup, n)
-          |AS (check_name, violations, n_checked)""".stripMargin))
+      .localCheckpoint(false) // 1 row; consumed by the stack AND ref_orders_customer
+    val liChecks = liAgg.select(expr(
+      """stack(3,
+        |  'completeness_l_quantity', v_null, n,
+        |  'domain_l_returnflag',     v_domain, n,
+        |  'range_l_quantity',        v_range, n)
+        |AS (check_name, violations, n_checked)""".stripMargin))
+    val ordChecks = ordAgg.select(expr(
+      """stack(1, 'uniqueness_o_orderkey', v_dup, n)
+        |AS (check_name, violations, n_checked)""".stripMargin))
     val orphanLi = li.join(ord.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit("ref_lineitem_orders").as("check_name"), col("violations"))
-      .crossJoin(broadcast(li.agg(count(lit(1)).as("n_checked")))) // 1-row side
+      .crossJoin(broadcast(liAgg.select(col("n").as("n_checked")))) // 1-row side
     val orphanOrd = ord.join(
         cust.select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit("ref_orders_customer").as("check_name"), col("violations"))
-      .crossJoin(broadcast(ord.agg(count(lit(1)).as("n_checked")))) // 1-row side
+      .crossJoin(broadcast(ordAgg.select(col("n").as("n_checked")))) // 1-row side
     liChecks.unionByName(ordChecks).unionByName(orphanLi).unionByName(orphanOrd)
       .withColumn("pass", when(col("violations") === 0L, 1).otherwise(0))
       .orderBy(col("check_name").asc)
@@ -107,34 +147,11 @@ object MiningQueries {
     // TPC-H baskets are ≤7 lines so the fixture never triggers one).
     GQuery(
       "q157_frequent_pairs",
-      (s, d) => {
-        val minsup = 3
-        val items = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-          .localCheckpoint(false) // consumed by the prune build AND both join sides
-        val freqItems = items.groupBy(col("pk"))
-          .agg(count(lit(1)).as("item_sup"))
-          .filter(col("item_sup") >= minsup)
-          .select(col("pk"))
-        val pruned = items.join(freqItems, Seq("pk"), "left_semi")
-        val a = pruned.select(col("ok"), col("pk").as("p1"))
-        val b = pruned.select(col("ok").as("ok2"), col("pk").as("p2"))
-        a.join(b, col("ok") === col("ok2") && col("p1") < col("p2"))
-          .groupBy(col("p1"), col("p2"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= minsup)
-          .orderBy(col("support").desc, col("p1").asc, col("p2").asc)
-      },
-      Some("""WITH items AS (
-             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-             |fi AS (SELECT pk FROM items GROUP BY pk HAVING COUNT(*) >= 3),
-             |pruned AS (SELECT i.ok, i.pk FROM items i JOIN fi USING (pk)),
-             |pairs AS (
-             |  SELECT a.pk AS p1, b.pk AS p2
-             |  FROM pruned a JOIN pruned b ON a.ok = b.ok AND a.pk < b.pk)
-             |SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS support
-             |FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= 3
+      (s, d) => copurchasePairs(s, d, minSupport = 3)
+        .orderBy(col("support").desc, col("p1").asc, col("p2").asc),
+      Some(s"""WITH ${pairCtes(3)}
+             |SELECT p1, p2, CAST(support AS BIGINT) AS support
+             |FROM pairs
              |ORDER BY support DESC, p1 ASC, p2 ASC""".stripMargin),
       doc = "Apriori-pruned frequent pair mining over order baskets"),
 
@@ -270,15 +287,8 @@ object MiningQueries {
     GQuery(
       "q162_kcore",
       (s, d) => {
-        val items = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        var edges = items.select(col("ok"), col("pk").as("u"))
-          .join(items.select(col("ok").as("ok2"), col("pk").as("v")),
-            col("ok") === col("ok2") && col("u") < col("v"))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select(col("u"), col("v"))
+        var edges = copurchasePairs(s, d, minSupport = 2)
+          .select(col("p1").as("u"), col("p2").as("v"))
           .localCheckpoint(false) // round 1 reads it twice (degrees + semi joins)
         for (_ <- 1 to KcoreRounds) {
           val keep = edges.select(col("u").as("node"))

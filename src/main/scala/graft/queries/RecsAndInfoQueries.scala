@@ -33,14 +33,9 @@ object RecsAndInfoQueries {
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
           .distinct()
           .localCheckpoint(false) // consumed by ownership, scoring, and the anti join
-        val items = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val tri = items.select(col("ok"), col("pk").as("pa"))
-          .join(items.select(col("ok").as("ok2"), col("pk").as("pb")),
-            col("ok") === col("ok2") && col("pa") < col("pb"))
-          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
+        // the shared candidate core (q157/q162 — one implementation)
+        val tri = MiningQueries.copurchasePairs(s, d, minSupport = 2)
+          .select(col("p1").as("pa"), col("p2").as("pb"), col("support").as("w"))
         val graph = tri.select(col("pa"), col("pb"), col("w"))
           .unionByName(tri.select(col("pb").as("pa"), col("pa").as("pb"), col("w")))
         val topCust = Tables.orders(s, d)
@@ -63,14 +58,11 @@ object RecsAndInfoQueries {
             col("rn").cast("int").as("rn"))
           .orderBy(col("custkey").asc, col("rn").asc)
       },
-      Some("""WITH purch AS (
+      Some(s"""WITH purch AS (
              |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
              |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-             |items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-             |tri AS (
-             |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS w
-             |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-             |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+             |${MiningQueries.pairCtes(2)},
+             |tri AS (SELECT p1 AS pa, p2 AS pb, support AS w FROM pairs),
              |graph AS (
              |  SELECT pa, pb, w FROM tri
              |  UNION ALL

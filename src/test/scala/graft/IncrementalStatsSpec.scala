@@ -34,17 +34,23 @@ class IncrementalStatsSpec extends SparkTestBase {
     assert(full.count() === out.count())
   }
 
-  test("q167 sliding distinct equals the naive per-window recompute") {
+  test("q167 sliding distinct equals the naive per-window recompute on an INDEPENDENT day set") {
     val out = q("q167_sliding_distinct").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val du = Tables.events(spark, sf)
       .select(floor(epochSecT(col("ts")) / 86400).cast("long").as("day"), col("user_id"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
-    val naive = out.keys.map { wd =>
-      wd -> du.filter { case (day, _) => day >= wd - 6 && day <= wd }.map(_._2).distinct.length.toLong
+    // expected day set derived from the DATA, not from the query output:
+    // every day in [minDay, maxDay+?] whose trailing window is nonempty —
+    // and nothing past the horizon (the phantom-day regression trap)
+    val (minDay, maxDay) = (du.map(_._1).min, du.map(_._1).max)
+    val naive = (minDay to maxDay).flatMap { wd =>
+      val users = du.filter { case (day, _) => day >= wd - 6 && day <= wd }.map(_._2).distinct
+      if (users.nonEmpty) Some(wd -> users.length.toLong) else None
     }.toMap
     assert(out === naive)
     assert(out.nonEmpty)
+    assert(out.keys.max === maxDay, "output must stop at the data horizon")
   }
 
   private def epochSecT(c: org.apache.spark.sql.Column) =

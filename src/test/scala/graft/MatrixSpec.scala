@@ -32,6 +32,16 @@ class MatrixSpec extends SparkTestBase {
     assert(out.size === 6)
   }
 
+  test("GramAggregate fails fast on null vector components") {
+    val df = spark.createDataset(Seq(1))(org.apache.spark.sql.Encoders.scalaInt)
+      .toDF("one")
+      .select(array(lit(1L), lit(null).cast("long"), lit(3L)).as("qv"))
+    val ex = intercept[Exception] {
+      df.agg(GramAggregate(col("qv"), 3).as("g")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("q160 matches a naive per-cell recompute and aggregates with object-hash buffers") {
     val out = q("q160_gram_matrix")
     val rows = out.collect()
