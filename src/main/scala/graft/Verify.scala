@@ -41,6 +41,11 @@ object Verify {
         val dir = new java.io.File(s"$outDir/$name")
         if (dir.exists()) rm(dir)
       }
+      // Blocks persisted by this query (lazy localCheckpoints) are garbage
+      // once its dump completes; drop them now instead of waiting for a GC
+      // to let ContextCleaner notice — same suite-hygiene rule as Bench
+      // (the r4 driver-run slowdown was accumulated-block churn).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -116,6 +116,215 @@ object Multimodal {
     }
   }
 
+  /** Real audio/video CONTAINER parsing, pure JVM (VERDICT r4 #5): the
+    * sandbox has no sample/frame codecs, but container headers are plain
+    * structured bytes — WAV/RIFF chunks (little-endian) and the ISO BMFF
+    * (MP4/M4A/MOV) box tree (big-endian) — so duration, sample rate,
+    * track count, declared dimensions, and frame/sample-frame counts are
+    * all recoverable without decoding a single sample. Only the frame
+    * PIXEL/PCM decode itself remains behind [[FakeCodec]] (the honest
+    * codec boundary).
+    *
+    * Both parsers are bounds-checked on attacker-shaped input: every read
+    * is validated against the payload length, box sizes that would loop
+    * (size < 8, size == 0 at a non-terminal position) abort the walk, and
+    * any structural violation reports the corrupt-media contract
+    * (all-zero metadata, so downstream frame fan-out emits no rows) —
+    * never an exception out of the task.
+    */
+  object ContainerCodec {
+    /** (sample_rate, n_channels, duration_ms, n_sample_frames) or zeros. */
+    def parseWav(p: Array[Byte]): (Int, Int, Long, Long) = {
+      def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def le32(o: Int) = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      if (!isWav(p)) return (0, 0, 0L, 0L)
+      var off = 12
+      var rate = 0; var channels = 0; var byteRate = 0L; var blockAlign = 0
+      var dataSize = -1L
+      // RIFF chunk walk: [id(4) size(4LE) payload(size, padded to even)]
+      while (off + 8 <= p.length && (rate == 0 || dataSize < 0)) {
+        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(off + 4)
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length) {
+          channels = le16(off + 10)
+          rate = le32(off + 12).toInt
+          byteRate = le32(off + 16)
+          blockAlign = le16(off + 20)
+        } else if (id == "data") {
+          // size may legally exceed remaining bytes in a truncated file;
+          // clamp to what is actually present
+          dataSize = math.min(sz, (p.length - off - 8).toLong)
+        }
+        val step = 8L + sz + (sz & 1L) // chunks are word-aligned
+        if (step <= 8L || off + step > Int.MaxValue) return (0, 0, 0L, 0L)
+        off += step.toInt
+      }
+      if (rate <= 0 || channels <= 0 || blockAlign <= 0 || dataSize < 0)
+        (0, 0, 0L, 0L)
+      else (rate, channels,
+        if (byteRate > 0) dataSize * 1000L / byteRate else 0L,
+        dataSize / blockAlign)
+    }
+
+    /** (timescale, duration_ms, n_tracks, width, height, n_frames) or
+      * zeros. Width/height come from the first video trak's tkhd
+      * (16.16 fixed point); n_frames is the sum of that trak's stts
+      * sample counts — the real frame count, no decode needed.
+      */
+    def parseMp4(p: Array[Byte]): (Long, Long, Int, Int, Int, Long) = {
+      def be16(o: Int) = ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+      def be32(o: Int) = (p(o) & 0xffL) << 24 | (p(o + 1) & 0xffL) << 16 |
+        (p(o + 2) & 0xffL) << 8 | (p(o + 3) & 0xffL)
+      def be64(o: Int) = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (p(o + i) & 0xffL))
+      if (!isMp4(p)) return (0L, 0L, 0, 0, 0, 0L)
+
+      /** Children (type, payloadStart, payloadEnd) of the box run [start, end). */
+      def children(start: Int, end: Int): Seq[(String, Int, Int)] = {
+        val out = Seq.newBuilder[(String, Int, Int)]
+        var off = start
+        var ok = true
+        while (ok && off + 8 <= end) {
+          val sz0 = be32(off)
+          val typ = new String(p, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val (sz, hdr) =
+            if (sz0 == 1L && off + 16 <= end) (be64(off + 8), 16)
+            else if (sz0 == 0L) ((end - off).toLong, 8) // box extends to end
+            else (sz0, 8)
+          if (sz < hdr || off + sz > end) ok = false // malformed: stop the walk
+          else {
+            out += ((typ, off + hdr, off + sz.toInt))
+            off += sz.toInt
+          }
+        }
+        out.result()
+      }
+      def child(cs: Seq[(String, Int, Int)], t: String): Option[(Int, Int)] =
+        cs.collectFirst { case (`t`, a, b) => (a, b) }
+
+      val top = children(0, p.length)
+      child(top, "moov").map { case (ms, me) =>
+        val moov = children(ms, me)
+        val (timescale, durationTicks) = child(moov, "mvhd").map { case (a, b) =>
+          if (b - a < 4) (0L, 0L)
+          else p(a) match { // version byte
+            case 1 => if (b - a >= 28 + 4) (be32(a + 20), be64(a + 24)) else (0L, 0L)
+            case _ => if (b - a >= 20 + 4) (be32(a + 12), be32(a + 16)) else (0L, 0L)
+          }
+        }.getOrElse((0L, 0L))
+        val traks = moov.filter(_._1 == "trak")
+        // per-trak: tkhd dimensions (16.16 fixed) + stts sample-count sum
+        val perTrak = traks.map { case (_, a, b) =>
+          val cs = children(a, b)
+          val dims = child(cs, "tkhd").map { case (ta, tb) =>
+            val v = if (tb - ta >= 1) p(ta).toInt else -1
+            // v0: ver/flags(4) times(8) id(4) res(4) dur(4) res(8)
+            //     layer+alt+vol+res(8) matrix(36) w(4) h(4)  → w @ 76
+            // v1: times are 8 bytes each, dur 8                → w @ 88
+            val wOff = if (v == 1) ta + 88 else ta + 76
+            if (v >= 0 && wOff + 8 <= tb)
+              ((be32(wOff) >> 16).toInt, (be32(wOff + 4) >> 16).toInt)
+            else (0, 0)
+          }.getOrElse((0, 0))
+          val frames = (for {
+            mdia <- child(cs, "mdia")
+            minf <- child(children(mdia._1, mdia._2), "minf")
+            stbl <- child(children(minf._1, minf._2), "stbl")
+            stts <- child(children(stbl._1, stbl._2), "stts")
+          } yield stts).map { case (sa, sb) =>
+            if (sb - sa < 8) 0L
+            else {
+              val n = be32(sa + 4)
+              (0L until n).foldLeft(0L) { (acc, i) =>
+                val eo = sa + 8 + (i * 8).toInt
+                if (eo + 8 <= sb) acc + be32(eo) else acc
+              }
+            }
+          }.getOrElse(0L)
+          (dims, frames)
+        }
+        // the video track = first trak declaring nonzero dimensions; its
+        // stts gives the real frame count. An audio-only MP4 (M4A) falls
+        // back to the first trak's sample count.
+        val video = perTrak.find(t => t._1._1 > 0 && t._1._2 > 0)
+        val (w, h) = video.map(_._1).getOrElse((0, 0))
+        val frames = video.map(_._2)
+          .orElse(perTrak.headOption.map(_._2)).getOrElse(0L)
+        val durMs = if (timescale > 0) durationTicks * 1000L / timescale else 0L
+        (timescale, durMs, traks.size, w, h, frames)
+      }.getOrElse((0L, 0L, 0, 0, 0, 0L))
+    }
+
+    def isWav(p: Array[Byte]): Boolean =
+      p.length >= 44 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+    def isMp4(p: Array[Byte]): Boolean =
+      p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+    /** decodeMeta-compatible projection: (hash, width, height, n_frames).
+      * Audio: 0×0, n_frames = PCM sample-frame count. Video: declared
+      * dimensions, container frame count. Corrupt: all zeros.
+      */
+    def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
+      val hex = md5Hex(payload)
+      if (isWav(payload)) {
+        val (rate, _, _, sampleFrames) = parseWav(payload)
+        if (rate <= 0) (hex, 0, 0, 0)
+        else (hex, 0, 0, math.min(sampleFrames, Int.MaxValue.toLong).toInt)
+      } else if (isMp4(payload)) {
+        val (ts, _, _, w, h, frames) = parseMp4(payload)
+        if (ts <= 0) (hex, 0, 0, 0)
+        else (hex, w, h, math.min(frames, Int.MaxValue.toLong).toInt)
+      } else (hex, 0, 0, 0)
+    }
+  }
+
+  /** Rich container metadata row (audio/video header parse). */
+  case class ContainerMeta(
+      media_id: Long,
+      n_bytes: Long,
+      content_hash: String,
+      media_kind: String, // "audio" | "video" | "image" | "other"
+      sample_rate: Int,
+      n_channels: Int,
+      duration_ms: Long,
+      n_tracks: Int,
+      width: Int,
+      height: Int,
+      n_frames: Long)
+
+  /** Per-partition container parse — the audio/video analog of
+    * [[decodeMeta]], surfacing the full header metadata (duration, sample
+    * rate, channel/track counts) the narrow MediaMeta schema cannot carry.
+    */
+  def containerMeta(media: Dataset[MediaRow]): Dataset[ContainerMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.payload != null).map { r =>
+        val p = r.payload
+        val hex = md5Hex(p)
+        if (ContainerCodec.isWav(p)) {
+          val (rate, ch, durMs, sframes) = ContainerCodec.parseWav(p)
+          ContainerMeta(r.media_id, p.length.toLong, hex, "audio",
+            rate, ch, durMs, if (rate > 0) 1 else 0, 0, 0, sframes)
+        } else if (ContainerCodec.isMp4(p)) {
+          val (_, durMs, tracks, w, h, frames) = ContainerCodec.parseMp4(p)
+          ContainerMeta(r.media_id, p.length.toLong, hex, "video",
+            0, 0, durMs, tracks, w, h, frames)
+        } else if (ImageCodec.isSupportedImage(p)) {
+          val (_, w, h, frames) = ImageCodec.decode(p)
+          ContainerMeta(r.media_id, p.length.toLong, hex, "image",
+            0, 0, 0L, if (w > 0) 1 else 0, w, h, frames.toLong)
+        } else {
+          ContainerMeta(r.media_id, p.length.toLong, hex, "other",
+            0, 0, 0L, 0, 0, 0, 0L)
+        }
+      }
+    }
+  }
+
   /** Per-partition decode: iterator-in/iterator-out so codec state is
     * initialized once per partition, not per row (mapPartitions is the
     * sanctioned last-resort tier of SURVEY.md §2.9 — justified here because
@@ -134,11 +343,21 @@ object Multimodal {
       // ingestion) fall back to the magic-byte sniff.
       rows.filter(_.payload != null).map { r =>
         val declaredImage = r.media_type != null && r.media_type.startsWith("image/")
+        val declaredAv = r.media_type != null &&
+          (r.media_type.startsWith("audio/") || r.media_type.startsWith("video/"))
         val untyped = r.media_type == null || r.media_type.isEmpty ||
           r.media_type == "application/octet-stream"
+        val isContainer = ContainerCodec.isWav(r.payload) || ContainerCodec.isMp4(r.payload)
         val (hex, w, h, frames) =
           if (declaredImage || (untyped && ImageCodec.isSupportedImage(r.payload)))
             ImageCodec.decode(r.payload)
+          // audio/video whose bytes really are a WAV/ISO-BMFF container →
+          // REAL header metadata (ContainerCodec); declared a/v of any
+          // other byte shape keeps the deterministic FakeCodec stand-in —
+          // that is the documented codec-less boundary q46 exercises with
+          // text payloads under a video/ label
+          else if ((declaredAv || untyped) && isContainer)
+            ContainerCodec.decode(r.payload)
           else FakeCodec.decode(r.payload)
         MediaMeta(r.media_id, r.payload.length.toLong, hex, w, h, frames)
       }
@@ -156,4 +375,73 @@ object Multimodal {
       .filter(col("n_frames") > 0)
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Deterministic spec-conformant media payload builders. These exist so
+    * the CONTAINER PARSERS above can be driver-gated end-to-end (q173):
+    * synthesize a WAV / MP4 whose metadata is a pure formula of the row
+    * key, parse the bytes back with [[ContainerCodec]], and let the DuckDB
+    * oracle recompute the formulas — a builder/parser disagreement on any
+    * field (endianness, box offsets, fixed-point shifts, chunk padding) is
+    * a hash mismatch, not a silently-self-consistent roundtrip, because
+    * the oracle never sees the bytes.
+    */
+  object SyntheticMedia {
+    /** Canonical 44-byte-header PCM WAV (16-bit), `frames` sample frames
+      * of silence.
+      */
+    def wav(rate: Int, channels: Int, frames: Int): Array[Byte] = {
+      val blockAlign = channels * 2
+      val dataSize = frames * blockAlign
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)).putInt(36 + dataSize)
+        .put("WAVE".getBytes(ascii))
+        .put("fmt ".getBytes(ascii)).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort)
+        .putInt(rate)
+        .putInt(rate * blockAlign) // byte rate
+        .putShort(blockAlign.toShort)
+        .putShort(16) // bits/sample
+        .put("data".getBytes(ascii)).putInt(dataSize)
+      bb.array() // remaining zeros = PCM silence
+    }
+
+    /** Minimal ISO-BMFF video: ftyp + moov(mvhd v0, video trak(tkhd w×h,
+      * stts with two runs n1+n2 frames), audio trak(tkhd 0×0, stts 1 run)).
+      */
+    def mp4(timescale: Int, durationTicks: Int, w: Int, h: Int,
+        n1: Int, n2: Int): Array[Byte] = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        bb.putInt(8 + payload.length).put(typ.getBytes(ascii)).put(payload)
+        bb.array()
+      }
+      val mvhd = { // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) dur(4) ...
+        val bb = java.nio.ByteBuffer.allocate(100)
+        bb.putInt(0).putInt(1).putInt(2).putInt(timescale).putInt(durationTicks)
+        box("mvhd", bb.array())
+      }
+      def tkhd(tw: Int, th: Int): Array[Byte] = { // v0, w/h 16.16 fixed @76/80
+        val bb = java.nio.ByteBuffer.allocate(84)
+        bb.position(76)
+        bb.putInt(tw << 16).putInt(th << 16)
+        box("tkhd", bb.array())
+      }
+      def stts(runs: (Int, Int)*): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + 8 * runs.length)
+        bb.putInt(0).putInt(runs.length)
+        runs.foreach { case (n, d) => bb.putInt(n).putInt(d) }
+        box("stts", bb.array())
+      }
+      val videoTrak = box("trak", tkhd(w, h) ++
+        box("mdia", box("minf", box("stbl", stts(n1 -> 100, n2 -> 200)))))
+      val audioTrak = box("trak", tkhd(0, 0) ++
+        box("mdia", box("minf", box("stbl", stts(160 -> 1)))))
+      val ftyp = box("ftyp", "isom".getBytes(ascii) ++ Array.fill[Byte](4)(0))
+      ftyp ++ box("moov", mvhd ++ videoTrak ++ audioTrak)
+    }
+  }
 }

@@ -164,19 +164,35 @@ object ExtraQueries {
 
     // ------------------------------------------------------------------
     // q54: IVF approximate nearest neighbors (coarse-quantizer centroids via
-    // the VectorCentroid Aggregator + probed-cell exact search). Estimator-
-    // specific → rows-only gate; recall vs brute force asserted in
-    // SimilaritySpec.
+    // the VectorCentroid Aggregator + probed-cell exact search). Gated at
+    // nprobe = 10 = the label-cell count (VERDICT r4): probing EVERY cell
+    // makes IVF exact by construction — the quantizer, centroid UDAF,
+    // probe ranking, and cell-join machinery must reproduce brute-force
+    // top-5 bit-for-bit, which the q39 oracle pins. The partial-probe
+    // (nprobe=3) recall/pruning behavior — where the answer is
+    // estimator-specific — is gated by q73's invariants instead.
     GQuery(
       "q54_ivf_ann",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         graft.functions.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-            "vec_id", "embedding", "label", dims = 64, k = 5, nprobe = 3)
+            "vec_id", "embedding", "label", dims = 64, k = 5, nprobe = 10)
           .orderBy(col("query_id").asc, col("rank").asc)
       },
-      None,
-      "IVF ANN: centroid quantizer (UDAF) + probed-cell exact search"),
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+             |sims AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |         list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+             |                                CAST(e.embedding AS DOUBLE[])) AS sim,
+             |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+             |                            ORDER BY list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+             |                                     CAST(e.embedding AS DOUBLE[])) DESC,
+             |                                     e.vec_id ASC) AS rank
+             |  FROM embeddings e CROSS JOIN q
+             |  WHERE e.vec_id <> q.query_id)
+             |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim FROM sims
+             |WHERE rank <= 5 ORDER BY query_id ASC, rank ASC""".stripMargin),
+      "IVF ANN: centroid quantizer (UDAF) + probed cells; full probe == exact"),
 
     // ------------------------------------------------------------------
     // q55: right outer join (orders ⟖ customer) — completes the outer-join
@@ -442,21 +458,40 @@ object ExtraQueries {
 
     // ------------------------------------------------------------------
     // q69: approximate quantiles (Greenwald-Khanna sketch) — the mergeable
-    // quantile sketch next to HLL (q06); like all estimator-specific ops it
-    // is rows-only gated, with accuracy-vs-exact bounds in ScalaTest.
+    // quantile sketch next to HLL (q06). The returned value is
+    // sketch-specific, so the gated OUTPUT is the deterministic projection
+    // (VERDICT r4): group sizes plus booleans asserting the approx
+    // quantile's EXACT RANK lies within (q ± 2/accuracy)·n (+1 for
+    // boundary ties) — the sketch runs in this plan, its value decides the
+    // booleans via an exact rank recount. o_totalprice (near-unique
+    // doubles) rather than a low-cardinality column: heavy ties would
+    // stairstep the rank past any eps window and gate the wrong thing.
+    // Companion q71 gates accuracy=1000 p50/p95 on lineitem.
     GQuery(
       "q69_approx_quantiles",
       (s, d) => {
-        Tables.lineitem(s, d)
-          .groupBy(col("l_returnflag").as("flag"))
-          .agg(
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
-            percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"),
-            count(lit(1)).as("n"))
-          .orderBy(col("flag").asc)
+        val eps = 2.0 / 500
+        val o = Tables.orders(s, d)
+        val appr = o.groupBy(col("o_orderstatus").as("status"))
+          .agg(percentile_approx(col("o_totalprice"), lit(0.25), lit(500)).as("p25a"),
+            percentile_approx(col("o_totalprice"), lit(0.75), lit(500)).as("p75a"))
+        o.select(col("o_orderstatus").as("status"), col("o_totalprice").as("v"))
+          .join(appr, "status")
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("v") <= col("p25a"), 1L).otherwise(0L)).as("rank25"),
+            sum(when(col("v") <= col("p75a"), 1L).otherwise(0L)).as("rank75"))
+          .select(col("status"), col("n"),
+            (col("rank25") >= col("n") * (0.25 - eps) - 1 &&
+              col("rank25") <= col("n") * (0.25 + eps) + 1).as("p25_ok"),
+            (col("rank75") >= col("n") * (0.75 - eps) - 1 &&
+              col("rank75") <= col("n") * (0.75 + eps) + 1).as("p75_ok"))
+          .orderBy(col("status").asc)
       },
-      None,
-      "approximate quantiles (GK sketch, mergeable)"),
+      Some("""SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+             |       true AS p25_ok, true AS p75_ok
+             |FROM orders GROUP BY 1 ORDER BY status ASC""".stripMargin),
+      "approximate quantiles (GK sketch, mergeable), rank-error gated"),
 
     // ------------------------------------------------------------------
     // q137: dynamic partition overwrite, gated end-to-end (upgrades the r2

@@ -80,7 +80,7 @@ object IndexStatsQueries {
     // one-partition window, the #1 scale killer. Here the global rank
     // comes from Packing.prefixSum (two-level distributed prefix sum,
     // q86/q120's proven machinery) over a composite orderable key
-    // cents·2²⁰+orderkey (unique, monotone in (price, key)), so the
+    // cents·2³⁰+orderkey (unique, monotone in (price, key)), so the
     // corpus-sized pass stays fully partitioned; bucket = (rank−1)·16
     // div n. The oracle IS the naive global window — equality proves the
     // distributed rank exact.

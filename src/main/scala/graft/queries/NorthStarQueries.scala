@@ -180,18 +180,43 @@ object NorthStarQueries {
     // q40: approximate ANN via random-hyperplane LSH — the scale path.
     // Band-OR over 8 independent 4-plane tables + 1-bit multiprobe lifts
     // recall ≥0.9 vs brute force (OpsSpec) while candidates stay bucketed.
-    // No SQL oracle (estimator-specific bucketing); rows-only gate here.
+    // The neighbor SET is estimator-specific, so the gated OUTPUT is the
+    // deterministic workload summary (VERDICT r4): the LSH pipeline AND
+    // the exact top-5 both run in this plan, and the booleans assert the
+    // per-query recall floor (≥3/5, q72's proven invariant) and the
+    // aggregate recall floor (≥80% of all exact top-5 hits recovered —
+    // OpsSpec measures ≥90% at fixture SFs; 80% leaves rotation headroom
+    // for the sf1 replicas). q72 additionally pins the per-query rank/sim
+    // contract row by row.
     GQuery(
       "q40_ann_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-            "vec_id", "embedding", dims = 64, k = 5,
-            planes = 4, tables = 8, probeRadius = 1)
-          .orderBy(col("query_id").asc, col("rank").asc)
+        val queries = emb.filter(col("vec_id") < 10)
+        val lsh = Similarity.lshTopK(emb, queries,
+          "vec_id", "embedding", dims = 64, k = 5,
+          planes = 4, tables = 8, probeRadius = 1)
+        val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        // hits = |LSH top-5 ∩ exact top-5| per query; count off the QUERY
+        // set (left join) so a query with zero LSH candidates still counts
+        // — and fails the floor — instead of vanishing from the output
+        val hits = lsh.select(col("query_id"), col("neighbor_id"))
+          .join(exact.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+        queries.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(coalesce(col("hits"), lit(0L)).as("h"))
+          .agg(count(lit(1)).as("n_queries"),
+            min(col("h")).as("minh"), sum(col("h")).as("sumh"))
+          .select(col("n_queries"),
+            (col("minh") >= 3).as("per_query_floor"),
+            (col("sumh") >= col("n_queries") * 5 * 8 / 10).as("aggregate_recall"))
       },
-      None,
-      "LSH-bucketed approximate nearest neighbors (band-OR + multiprobe)"),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+             |       true AS per_query_floor, true AS aggregate_recall
+             |FROM embeddings WHERE vec_id < 10""".stripMargin),
+      "LSH ANN (band-OR + multiprobe), recall-floor gated vs in-plan exact top-5"),
 
     // ------------------------------------------------------------------
     // q41: embedding near-dup pairs, cosine ≥ 0.3, blocked by label.
@@ -328,6 +353,64 @@ object NorthStarQueries {
       "multimodal: deterministic frame sampling fan-out"),
 
     // ------------------------------------------------------------------
+    // q173: audio/video container metadata, driver-gated end-to-end
+    // (VERDICT r4 #5 follow-through). Per doc_id the plan SYNTHESIZES a
+    // spec-conformant payload — even ids a PCM WAV, odd ids an ISO-BMFF
+    // MP4 — whose header fields are pure formulas of the id, then parses
+    // the BYTES back with ContainerCodec (the real RIFF chunk walk / box
+    // tree walk). The oracle recomputes the formulas relationally without
+    // ever seeing the bytes, so any builder/parser disagreement
+    // (endianness, 16.16 fixed-point shift, box offset, integer-division
+    // duration rounding) is a red hash, not a self-consistent roundtrip.
+    // All divisions are positive-operand truncations on both engines
+    // (Spark Long `/`, DuckDB `//`).
+    GQuery(
+      "q173_container_meta",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              if (id % 2 == 0)
+                Multimodal.MediaRow(id,
+                  Multimodal.SyntheticMedia.wav(
+                    rate = (8000 * (1 + id % 3)).toInt,
+                    channels = (1 + (id / 2) % 2).toInt,
+                    frames = (200 + id % 800).toInt),
+                  "audio/wav")
+              else
+                Multimodal.MediaRow(id,
+                  Multimodal.SyntheticMedia.mp4(
+                    timescale = 600,
+                    durationTicks = (600 * (id % 50) + 10 * (id % 7)).toInt,
+                    w = (160 + 16 * (id % 20)).toInt,
+                    h = (120 + 8 * (id % 30)).toInt,
+                    n1 = (10 + id % 40).toInt, n2 = 5),
+                  "video/mp4")
+            }
+          }
+        Multimodal.containerMeta(media).toDF()
+          .select(col("media_id"), col("media_kind"),
+            col("sample_rate"), col("n_channels"), col("duration_ms"),
+            col("n_tracks"), col("width"), col("height"), col("n_frames"))
+          .orderBy(col("media_id").asc)
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END AS media_kind,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 3) ELSE 0 END AS INT) AS sample_rate,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2 ELSE 0 END AS INT) AS n_channels,
+             |  CAST(CASE WHEN doc_id % 2 = 0
+             |       THEN ((200 + doc_id % 800) * 1000) // (8000 * (1 + doc_id % 3))
+             |       ELSE ((600 * (doc_id % 50) + 10 * (doc_id % 7)) * 1000) // 600
+             |       END AS BIGINT) AS duration_ms,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS n_tracks,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 160 + 16 * (doc_id % 20) END AS INT) AS width,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 120 + 8 * (doc_id % 30) END AS INT) AS height,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 200 + doc_id % 800 ELSE 15 + doc_id % 40 END AS BIGINT) AS n_frames
+             |FROM documents ORDER BY media_id ASC""".stripMargin),
+      "audio/video container header parse (WAV chunk walk, MP4 box walk), formula-oracle gated"),
+
+    // ------------------------------------------------------------------
     // q61–q63: corpus statistics — the map/reduce backbone of tokenizer and
     // data-mix work: vocabulary, document frequency, n-gram counts. All
     // explode → partial-aggregate shapes (shuffle carries one row per
@@ -380,9 +463,12 @@ object NorthStarQueries {
     // ------------------------------------------------------------------
     // q68: IVF over a LEARNED quantizer — deterministic relational k-means
     // (lowest-id init, cosine argmax, mergeable centroid aggregate) trains
-    // the cells, then probed-cell exact search. Fully deterministic but the
-    // trainer is not SQL-expressible → rows-only gate; exactness of returned
-    // sims and determinism asserted in KMeansSpec.
+    // the cells, then probed-cell exact search. Gated at nprobe = 8 = k
+    // cells (VERDICT r4): probing every learned cell makes the search
+    // exact by construction WHATEVER the trainer converged to, so the
+    // whole trainer→quantizer→probe→cell-join path must reproduce
+    // brute-force top-5 bit-for-bit (q39's oracle). Partial-probe recall
+    // and trainer self-consistency are gated by q73/q74's invariants.
     GQuery(
       "q68_ivf_kmeans",
       (s, d) => {
@@ -391,11 +477,23 @@ object NorthStarQueries {
           emb, "vec_id", "embedding", k = 8, dims = 64, iterations = 3)
         val cells = emb.join(assigned, "vec_id")
         graft.functions.Similarity.ivfTopK(cells, cells.filter(col("vec_id") < 10),
-            "vec_id", "embedding", "cluster", dims = 64, k = 5, nprobe = 3)
+            "vec_id", "embedding", "cluster", dims = 64, k = 5, nprobe = 8)
           .orderBy(col("query_id").asc, col("rank").asc)
       },
-      None,
-      "IVF ANN over k-means-learned cells (relational Lloyd's iterations)"),
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+             |sims AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |         list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+             |                                CAST(e.embedding AS DOUBLE[])) AS sim,
+             |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+             |                            ORDER BY list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+             |                                     CAST(e.embedding AS DOUBLE[])) DESC,
+             |                                     e.vec_id ASC) AS rank
+             |  FROM embeddings e CROSS JOIN q
+             |  WHERE e.vec_id <> q.query_id)
+             |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim FROM sims
+             |WHERE rank <= 5 ORDER BY query_id ASC, rank ASC""".stripMargin),
+      "IVF ANN over k-means-learned cells; full probe == exact"),
 
     // ------------------------------------------------------------------
     // q138: semantic dedup GROUPS over embeddings — the q41 blocked cosine

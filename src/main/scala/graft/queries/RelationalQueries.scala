@@ -156,21 +156,38 @@ object RelationalQueries {
 
     // ------------------------------------------------------------------
     // q06: approximate distinct (HLL++). Sketches merge associatively, so
-    // this is single-shuffle at any scale. No oracle: estimator-specific
-    // (driver rows-only check; exactness asserted in ScalaTest vs exact
-    // counts within HLL error bounds).
+    // this is single-shuffle at any scale. The raw estimate is
+    // engine-specific (DuckDB's HLL ≠ Spark's HLL++), so the gated OUTPUT
+    // is the deterministic projection (VERDICT r4): the exact distinct
+    // counts plus booleans asserting the estimate landed within 3·rsd
+    // (rsd=0.05 → ±15%) — the sketch still runs in this plan and decides
+    // the booleans; DuckDB recomputes the exact side and expects all-true.
+    // Companion q70 gates the tighter rsd=0.02 config on a different
+    // grouping; raw-estimate inspection lives in ScalaTest.
     GQuery(
       "q06_agg_approx",
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        li.groupBy(col("l_returnflag").as("flag"))
-          .agg(
-            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-          .orderBy(col("flag").asc)
+        val approx = li.groupBy(col("l_linestatus").as("status"))
+          .agg(approx_count_distinct(col("l_orderkey"), 0.05).as("a_orders"),
+            approx_count_distinct(col("l_suppkey"), 0.05).as("a_supps"))
+        val exact = li.groupBy(col("l_linestatus").as("status"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+            countDistinct(col("l_suppkey")).as("exact_supps"))
+        approx.join(exact, "status")
+          .select(col("status"), col("exact_orders"), col("exact_supps"),
+            (abs(col("a_orders") - col("exact_orders")) <= col("exact_orders") * 0.15)
+              .as("orders_ok"),
+            (abs(col("a_supps") - col("exact_supps")) <= col("exact_supps") * 0.15)
+              .as("supps_ok"))
+          .orderBy(col("status").asc)
       },
-      None,
-      "approx_count_distinct (HLL++), mergeable sketch"),
+      Some("""SELECT l_linestatus AS status,
+             |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+             |       true AS orders_ok, true AS supps_ok
+             |FROM lineitem GROUP BY 1 ORDER BY status ASC""".stripMargin),
+      "approx_count_distinct (HLL++), mergeable sketch, error-bound gated"),
 
     // ------------------------------------------------------------------
     // q07/q08: rollup & cube (SURVEY.md §2.4): Expand node multiplies rows by

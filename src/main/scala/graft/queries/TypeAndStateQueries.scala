@@ -200,12 +200,28 @@ object TypeAndStateQueries {
              |ORDER BY p_id ASC, c_id ASC NULLS FIRST""".stripMargin),
       "outer stream-stream join == batch left interval join (null padding equal)"),
 
-    // NOT convertible to a batch-parity gate: streaming dedup
-    // (dropDuplicatesWithinWatermark) hard-rejects batch DataFrames —
-    // "not supported with batch DataFrames/DataSets" — unlike
-    // flatMapGroupsWithState / withWatermark / stream joins, which all
-    // execute in batch and are gated above (q136/q139/q140/q141). It
-    // stays spec-only by API constraint, not by choice (StreamingSpec
-    // drives it with real streams).
+    // ------------------------------------------------------------------
+    // q172: streaming dedup, driver-gated through the REAL micro-batch
+    // path (VERDICT r4 #4). dropDuplicatesWithinWatermark hard-rejects
+    // batch DataFrames ("not supported with batch DataFrames/DataSets"),
+    // so this is the one 2.10 row where batch parity is impossible —
+    // instead the query EXECUTES the stream: GraftStreamSource emits 300
+    // offset rows in 3 checkpointed micro-batches, event_id = id % 100
+    // makes batches 1-2 pure re-occurrences, and the engine's watermark-
+    // bounded dedup state suppresses them. The artifact is the surviving
+    // set — first occurrence per key — which the oracle recomputes as
+    // min(id) over the identical offset stream (DuckDB range()).
+    GQuery(
+      "q172_stream_dedup",
+      (s, _) => graft.streaming.EventStreams.streamDedupGate(s),
+      Some("""WITH stream AS (
+             |  SELECT range AS id, range % 100 AS event_id FROM range(0, 300)),
+             |kept AS (
+             |  SELECT event_id, min(id) AS first_id FROM stream GROUP BY event_id)
+             |SELECT CAST(event_id AS BIGINT) AS event_id,
+             |       CAST(first_id AS BIGINT) AS first_id,
+             |       CAST(first_id * 7 AS BIGINT) AS v
+             |FROM kept ORDER BY event_id ASC""".stripMargin),
+      "streaming dedup via the real micro-batch engine == relational first-occurrence"),
   )
 }

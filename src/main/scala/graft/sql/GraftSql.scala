@@ -39,10 +39,14 @@ object GraftSql {
     * that is always safe, and it matters: registering a table costs a
     * parquet footer read, and loading `events` in particular flips the
     * session-wide nanosAsLong conf (Tables.scala) — a side effect no
-    * query that never mentions events should pay.
+    * query that never mentions events should pay. The match is
+    * case-INsensitive because Catalyst resolves identifiers
+    * case-insensitively: `FROM Orders` is legal SQL that must bind the
+    * `orders` view (ADVICE r4).
     */
   def run(spark: SparkSession, sfDir: String, sqlText: String): DataFrame = {
-    registerViews(spark, sfDir, Tables.names.filter(sqlText.contains(_)))
+    val lower = sqlText.toLowerCase
+    registerViews(spark, sfDir, Tables.names.filter(n => lower.contains(n.toLowerCase)))
     spark.sql(sqlText)
   }
 }

@@ -217,4 +217,55 @@ object EventStreams {
     q.stop()
     df.sparkSession.table(name)
   }
+
+  // memory-sink query names must be unique per ACTIVE query; the gated
+  // dedup below runs once per Bench round in one session, so each run
+  // takes a fresh name
+  private val dedupRunN = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `dropDuplicatesWithinWatermark` through the REAL micro-batch engine,
+    * driver-gated (VERDICT r4 #4). The operator hard-rejects batch frames,
+    * so — unlike q136/q139–q141's batch-parity gates — the streaming
+    * EXECUTION itself runs here: [[graft.sources.GraftStreamSource]] emits
+    * `totalRows` offset rows in `rowsPerBatch`-sized micro-batches
+    * (offset-ordered, checkpointed, the same admission-control path
+    * ConnectorSpec restarts), each row becomes an event with
+    * `event_id = id % keySpace` and an event time inside one watermark
+    * window, and the engine's dedup state store suppresses every
+    * re-occurrence across batches. The batch-checkable ARTIFACT is the
+    * surviving set: first occurrence per key = `min(id)` over the same
+    * offsets, which the DuckDB oracle recomputes relationally.
+    *
+    * Determinism: `rowsPerBatch == keySpace`, so batch 0 carries each key
+    * exactly once (no intra-batch same-key race — arrival order inside a
+    * shuffled micro-batch is not a contract) and every later batch is all
+    * duplicates; micro-batches commit in offset order.
+    *
+    * Scale: dedup state is one entry per key in the state store, sharded
+    * by the shuffle key, and the watermark EXPIRES entries — unbounded
+    * streams hold state only for the delay window, the property that makes
+    * this the 100 TB streaming-ingest dedup primitive.
+    */
+  def streamDedupGate(
+      spark: SparkSession,
+      totalRows: Long = 300,
+      keySpace: Long = 100): DataFrame = {
+    val raw = spark.readStream.format("graft.sources.GraftStreamSource")
+      .option("maxRows", totalRows.toString)
+      .option("rowsPerBatch", keySpace.toString)
+      .load()
+    val events = raw.select(
+      col("id"),
+      (col("id") % keySpace).as("event_id"),
+      // event times all inside one watermark window: every duplicate is
+      // within-watermark, so exactly one row per key must survive
+      timestamp_seconds(lit(1700000000L) + col("id")).as("ts"))
+    val dedup = events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    runToMemory(dedup, s"stream_dedup_${dedupRunN.incrementAndGet()}", "append")
+      .select(col("event_id"), col("id").as("first_id"),
+        (col("id") * 7).as("v")) // v = id·7 is the source's row contract
+      .orderBy(col("event_id").asc)
+  }
 }

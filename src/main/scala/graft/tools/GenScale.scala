@@ -55,9 +55,24 @@ object GenScale {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     new java.io.File(dest).mkdirs()
 
-    /** K replicas of `df`, transformed per replica, single-file parquet. */
-    def gen(table: String)(replica: (DataFrame, Int) => DataFrame): Unit = {
+    /** K replicas of `df`, transformed per replica, single-file parquet.
+      * `pads` lists every (key column, replica pad) the transform shifts:
+      * replica key ranges are disjoint only while max(key) <= pad, so a
+      * chained run (re-scaling a GenScale output, whose keys span K× the
+      * original range) must fail fast instead of silently colliding
+      * replica keys (ADVICE r4 — supplier's pad of 1000 exactly equals the
+      * sf0.1 key range, the tightest of the pads).
+      */
+    def gen(table: String, pads: (String, Long)*)(replica: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
+      pads.foreach { case (c, pad) =>
+        val mx = base.agg(max(col(c).cast("long"))).head.getLong(0)
+        require(mx <= pad,
+          s"$table.$c max $mx exceeds replica pad $pad — replicating this " +
+            "input would overlap key ranges; scale from the original " +
+            "fixtures (or raise the pad, keeping it a multiple of the " +
+            "gated queries' moduli over this key)")
+      }
       val out = (0 until k).map(i => replica(base, i)).reduce(_ unionAll _)
       val tmp = s"$dest/_tmp_$table"
       out.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -79,20 +94,20 @@ object GenScale {
 
     gen("region")((df, i) => if (i == 0) df else df.limit(0))
     gen("nation")((df, i) => if (i == 0) df else df.limit(0))
-    gen("supplier")((df, i) => df.withColumn("s_suppkey", shift("s_suppkey", 1000L, i)))
-    gen("customer")((df, i) => df.withColumn("c_custkey", shift("c_custkey", 100000L, i)))
-    gen("part")((df, i) => df.withColumn("p_partkey", shift("p_partkey", 100000L, i)))
-    gen("orders")((df, i) => df
+    gen("supplier", "s_suppkey" -> 1000L)((df, i) => df.withColumn("s_suppkey", shift("s_suppkey", 1000L, i)))
+    gen("customer", "c_custkey" -> 100000L)((df, i) => df.withColumn("c_custkey", shift("c_custkey", 100000L, i)))
+    gen("part", "p_partkey" -> 100000L)((df, i) => df.withColumn("p_partkey", shift("p_partkey", 100000L, i)))
+    gen("orders", "o_orderkey" -> 1000000L, "o_custkey" -> 100000L)((df, i) => df
       .withColumn("o_orderkey", shift("o_orderkey", 1000000L, i))
       .withColumn("o_custkey", shift("o_custkey", 100000L, i)))
-    gen("lineitem")((df, i) => df
+    gen("lineitem", "l_orderkey" -> 1000000L, "l_partkey" -> 100000L, "l_suppkey" -> 1000L)((df, i) => df
       .withColumn("l_orderkey", shift("l_orderkey", 1000000L, i))
       // multiples of 100: q115's % 100 graph projection sees K× edges over
       // the SAME node set (edge-density growth), and part/supp joins stay
       // aligned with the shifted dimension keys
       .withColumn("l_partkey", shift("l_partkey", 100000L, i))
       .withColumn("l_suppkey", shift("l_suppkey", 1000L, i)))
-    gen("events")((df, i) => {
+    gen("events", "event_id" -> 1000000L, "user_id" -> 100000L)((df, i) => {
       val shifted = df
         .withColumn("event_id", shift("event_id", 1000000L, i))
         // SAME pad as c_custkey: events.user_id joins customer.c_custkey
@@ -112,7 +127,7 @@ object GenScale {
         case _ => shifted
       }
     })
-    gen("documents")((df, i) => {
+    gen("documents", "doc_id" -> 10000L)((df, i) => {
       // 10000 % 50 == 0 keeps the q117 chain structure per replica
       val shifted = df.withColumn("doc_id", shift("doc_id", 10000L, i))
       if (i == 0) shifted
@@ -121,7 +136,7 @@ object GenScale {
           s"array_join(transform(split(text, ' '), (w, p) -> IF(p % 2 = 1, concat(w, 'q$i'), w)), ' ')"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
-    gen("embeddings")((df, i) => {
+    gen("embeddings", "vec_id" -> 10000L)((df, i) => {
       val shifted = df.withColumn("vec_id", shift("vec_id", 10000L, i))
       if (i == 0) shifted
       else shifted.withColumn("embedding", expr(

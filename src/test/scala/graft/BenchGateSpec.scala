@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Bench per-query regression gate (VERDICT r4 #7): a deliberately
+  * slowed query must be flagged against its recorded baseline median; noise
+  * on sub-100ms queries and environments without a baseline must not.
+  * Pure-function tests — no SparkSession, the gate logic is exactly what
+  * Bench.main wires to its JSON output and strict exit.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("a deliberately slowed query is flagged at >3x its baseline") {
+    val baseline = Map("q125_winnow_overlap" -> 0.88, "q01_project" -> 0.10)
+    // the r4 driver anomaly, replayed: 25.5 s against a 0.88 s baseline
+    val medians = Map("q125_winnow_overlap" -> 25.5, "q01_project" -> 0.11)
+    val slow = Bench.slowQueries(medians, baseline)
+    assert(slow.keySet == Set("q125_winnow_overlap"))
+    assert(slow("q125_winnow_overlap") == ((25.5, 0.88)))
+  }
+
+  test("below the 3x factor or the 0.5s absolute floor nothing is flagged") {
+    val baseline = Map("qa" -> 2.0, "qb" -> 0.02, "qc" -> 1.0)
+    val medians = Map(
+      "qa" -> 5.9, // 2.95x < 3x
+      "qb" -> 0.4, // 20x a 20ms baseline, but under the 0.5s noise floor
+      "qc" -> -1.0) // failed marker, never compared
+    assert(Bench.slowQueries(medians, baseline).isEmpty)
+    // and just past both thresholds it IS flagged
+    assert(Bench.slowQueries(Map("qa" -> 6.1), baseline).keySet == Set("qa"))
+    assert(Bench.slowQueries(Map("qb" -> 0.6), baseline).keySet == Set("qb"))
+  }
+
+  test("queries without a baseline entry (new this round) are not flagged") {
+    val slow = Bench.slowQueries(Map("q_new" -> 99.0), Map("q_old" -> 1.0))
+    assert(slow.isEmpty)
+  }
+
+  test("loadBaseline parses the flat medians file and tolerates absence") {
+    val f = java.io.File.createTempFile("bench_baseline", ".json")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath,
+      """{"q01_project":0.0963,"q125_winnow_overlap":0.8045}""")
+    val b = Bench.loadBaseline(f.getAbsolutePath)
+    assert(b == Map("q01_project" -> 0.0963, "q125_winnow_overlap" -> 0.8045))
+    assert(Bench.loadBaseline("/nonexistent/path.json").isEmpty)
+  }
+}

@@ -204,4 +204,32 @@ class GraphTemporalSpec extends SparkTestBase {
       assert(r.getLong(4) <= r.getLong(3))
     }
   }
+
+  test("q125 winnow hot-fingerprint cap drops boilerplate pairs, keeps planted span, reports drops") {
+    import spark.implicits._
+    // Planted pair: docs 1 and 2 share one 8-word run (k+w-1 = 8, the
+    // minimum the winnowing guarantee covers) inside otherwise-disjoint
+    // filler. Boilerplate: 12 byte-identical docs — every fingerprint
+    // bucket they produce has 12 members, C(12,2)=66 pairs per bucket.
+    val span = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docA = (1 to 10).map(i => s"u$i").mkString(" ") + " " + span
+    val docB = (1 to 10).map(i => s"v$i").mkString(" ") + " " + span
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val docs = (Seq((1L, docA), (2L, docB)) ++ (10L to 21L).map(i => (i, boiler)))
+      .toDF("doc_id", "text")
+    val capped = graft.queries.GraphTemporalQueries.winnowPairs(docs, maxBucket = 8)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs == Set((1L, 2L)), s"capped run returned $cappedPairs")
+    // the cap must REPORT its precision loss on the same pass (q36's
+    // contract): 12 boilerplate docs × F shared fingerprints dropped
+    val m = capped.queryExecution.observedMetrics("winnow_cap")
+    val dropped = m.getAs[Long]("dropped_fp_rows")
+    assert(dropped > 0 && dropped % 12 == 0, s"dropped_fp_rows $dropped")
+    assert(m.getAs[Long]("max_bucket_size") == 12L)
+    // uncapped control: the same corpus yields the planted pair PLUS all
+    // 66 boilerplate pairs — proving the cap (not the corpus) removed them
+    val uncapped = graft.queries.GraphTemporalQueries.winnowPairs(docs, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 66 + 1, s"uncapped run returned ${uncapped.size} pairs")
+  }
 }

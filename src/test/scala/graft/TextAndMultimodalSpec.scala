@@ -148,4 +148,117 @@ class TextAndMultimodalSpec extends SparkTestBase {
       .select(col("frame_idx")).collect().map(_.getInt(0)).toSeq
     assert(frames == Seq(0, 2, 4)) // 300/64+1 = 5 frames → 0,2,4
   }
+
+  // ---- real audio/video container headers (VERDICT r4 #5) -------------
+
+  /** Canonical PCM WAV: 44-byte header + data. Ground truth: 8000 Hz,
+    * 2 ch, 16-bit → blockAlign 4, byteRate 32000; 1600 sample frames
+    * (6400 data bytes) → 200 ms.
+    */
+  private def wavBytes(extraChunk: Boolean = false): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(64 * 1024)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val data = Array.fill[Byte](6400)(7)
+    val listBody = "INFOsoft".getBytes("US-ASCII")
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(0 /* patched below */)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(2) // channels
+      .putInt(8000) // sample rate
+      .putInt(32000) // byte rate
+      .putShort(4) // block align
+      .putShort(16) // bits
+    if (extraChunk) // a LIST chunk BEFORE data exercises the chunk walk
+      bb.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody)
+    bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    val out = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val riffSz = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(out.length - 8).array()
+    System.arraycopy(riffSz, 0, out, 4, 4)
+    out
+  }
+
+  /** Minimal ISO-BMFF (MP4): ftyp + moov(mvhd, video trak(tkhd 320×240,
+    * stts 48·Δ100 + 2·Δ200 = 50 frames), audio trak(tkhd 0×0)). Ground
+    * truth: timescale 600, duration 1200 ticks → 2000 ms, 2 tracks.
+    */
+  private def mp4Bytes(): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val mvhd = { // v0, 100-byte payload, timescale@12=600, duration@16=1200
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(1).putInt(2).putInt(600).putInt(1200)
+      box("mvhd", bb.array())
+    }
+    def tkhd(w: Int, h: Int): Array[Byte] = { // v0, 84-byte payload
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.position(76)
+      bb.putInt(w << 16).putInt(h << 16)
+      box("tkhd", bb.array())
+    }
+    val stts = { // 2 entries: 48 samples @Δ100, 2 @Δ200 → 50 frames
+      val bb = java.nio.ByteBuffer.allocate(8 + 16)
+      bb.putInt(0).putInt(2).putInt(48).putInt(100).putInt(2).putInt(200)
+      box("stts", bb.array())
+    }
+    val videoTrak = box("trak", tkhd(320, 240) ++
+      box("mdia", box("minf", box("stbl", stts))))
+    val audioTrak = box("trak", tkhd(0, 0) ++
+      box("mdia", box("minf", box("stbl",
+        box("stts", java.nio.ByteBuffer.allocate(16)
+          .putInt(0).putInt(1).putInt(160).putInt(1).array())))))
+    val moov = box("moov", mvhd ++ videoTrak ++ audioTrak)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0))
+    ftyp ++ moov
+  }
+
+  test("WAV header parse recovers sample rate, channels, duration, sample frames") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, wavBytes(), "audio/wav"),
+      Multimodal.MediaRow(2L, wavBytes(extraChunk = true), "audio/wav"),
+      // RIFF/WAVE magic with a garbage chunk list: corrupt-media contract
+      Multimodal.MediaRow(3L, wavBytes().take(12) ++ Array.fill[Byte](40)(99), "audio/wav"))
+      .toDS()
+    val meta = Multimodal.containerMeta(media.repartition(2)).collect()
+      .map(m => m.media_id -> m).toMap
+    for (id <- Seq(1L, 2L)) {
+      val m = meta(id)
+      assert(m.media_kind == "audio" && m.sample_rate == 8000 &&
+        m.n_channels == 2 && m.duration_ms == 200L &&
+        m.n_frames == 1600L && m.n_tracks == 1, s"media $id: $m")
+    }
+    assert(meta(3L).sample_rate == 0 && meta(3L).n_frames == 0L)
+    // decodeMeta dispatch: declared audio + real container → real sample
+    // frames (not FakeCodec's size-derived count), zeros for corrupt
+    val dm = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
+    assert(dm(1L).n_frames == 1600 && dm(1L).width == 0)
+    assert(dm(3L).n_frames == 0)
+  }
+
+  test("MP4 box walk recovers duration, tracks, video dimensions, frame count") {
+    import spark.implicits._
+    val mp4 = mp4Bytes()
+    val media = Seq(
+      Multimodal.MediaRow(1L, mp4, "video/mp4"),
+      // ftyp magic, truncated box tree: corrupt-media contract
+      Multimodal.MediaRow(2L, mp4.take(20), "video/mp4"),
+      // untyped payload with container magic routes through the sniff
+      Multimodal.MediaRow(3L, mp4, "application/octet-stream")).toDS()
+    val meta = Multimodal.containerMeta(media.repartition(2)).collect()
+      .map(m => m.media_id -> m).toMap
+    val m = meta(1L)
+    assert(m.media_kind == "video" && m.duration_ms == 2000L &&
+      m.n_tracks == 2 && m.width == 320 && m.height == 240 &&
+      m.n_frames == 50L, s"$m")
+    assert(meta(2L).n_tracks == 0 && meta(2L).n_frames == 0L)
+    val dm = Multimodal.decodeMeta(media).collect().map(x => x.media_id -> x).toMap
+    assert(dm(1L).width == 320 && dm(1L).height == 240 && dm(1L).n_frames == 50)
+    assert(dm(3L).width == 320 && dm(3L).n_frames == 50)
+    assert(dm(2L).n_frames == 0)
+  }
 }
