@@ -419,6 +419,33 @@ object RelationalQueries {
       "as-of join via union+window (single shuffle, no explosion)"),
 
     // ------------------------------------------------------------------
+    // q174: the SKEW-RESISTANT as-of tier (VERDICT r4 #8). Same semantics
+    // and the same oracle as q17/q47, but windowed by (key, 1-day time
+    // bucket) with a per-bucket summary carry — a hot key splits across
+    // ~30 bounded partitions instead of one giant one. Three as-of tiers
+    // now share one oracle: union+window (q17), custom
+    // Strategy/Exec (q47), bucketed two-level scan (q174).
+    GQuery(
+      "q174_asof_bucketed",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+        AsOfJoin.backwardBucketed(purchases, clicks,
+            leftKey = "user_id", rightKey = "user_id",
+            leftTime = "ts", rightTime = "ts",
+            rightValues = Seq("value"), rightTiebreak = "event_id",
+            bucketSeconds = 86400L)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_value"), col("asof_time"))
+          .orderBy(col("event_id").asc)
+      },
+      Some(asofEventsOracleSql),
+      "skew-resistant as-of: (key, time-bucket) windows + per-bucket carry summary"),
+
+    // ------------------------------------------------------------------
     // q18: ranking window functions. Two windows: a unique total order for
     // row_number/ntile (determinism), a tied order for rank/dense_rank.
     GQuery(

@@ -25,6 +25,45 @@ class OpsSpec extends SparkTestBase {
     assert(out(2).isNullAt(1))
   }
 
+  test("bucketed as-of == plain as-of across bucket widths, incl. ties and cross-bucket carry") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 50L, "p3"),
+        (1L, 9000L, "p4"), (3L, 400L, "p5"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, 10.0, 1L), (1L, 100L, 20.0, 2L), (1L, 100L, 30.0, 3L),
+        (1L, 240L, 40.0, 4L), (2L, 60L, 50.0, 5L))
+      .toDF("k", "t", "v", "rid")
+    val expected = AsOfJoin.backward(left, right, "k", "k", "t", "t", Seq("v"), "rid")
+      .orderBy(col("tag")).select(col("tag"), col("asof_v"), col("asof_time"))
+      .collect().toSeq
+    // widths chosen to hit every regime: 7s (many empty buckets between a
+    // match and its left row — p4@9000 carries from bucket of t=240 across
+    // ~1250 empty buckets), 100s (equal-time ties split exactly at a
+    // boundary: t=100 rows share bucket 1), and 1M s (one bucket — the
+    // degenerate case must equal plain exactly)
+    for (width <- Seq(7L, 100L, 1000000L)) {
+      val got = AsOfJoin.backwardBucketed(
+          left, right, "k", "k", "t", "t", Seq("v"), "rid", width)
+        .orderBy(col("tag")).select(col("tag"), col("asof_v"), col("asof_time"))
+        .collect().toSeq
+      assert(got == expected, s"bucketSeconds=$width")
+    }
+    // the fixture events shape too: purchases×clicks at sf0.001, 1-day
+    // buckets — the q174 configuration — vs the q17 plain form
+    val ev = graft.sources.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val plain = AsOfJoin.backward(purchases, clicks,
+        "user_id", "user_id", "ts", "ts", Seq("value"), "event_id")
+      .orderBy(col("event_id")).collect().toSeq
+    val bucketed = AsOfJoin.backwardBucketed(purchases, clicks,
+        "user_id", "user_id", "ts", "ts", Seq("value"), "event_id", 86400L)
+      .orderBy(col("event_id")).collect().toSeq
+    assert(bucketed == plain)
+  }
+
   test("as-of forward: earliest right at-or-after left time, min-tiebreak") {
     import spark.implicits._
     val left = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 70L, "p3"))
