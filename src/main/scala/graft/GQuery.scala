@@ -43,7 +43,8 @@ object QueryRegistry {
       graft.queries.MiningQueries.all ++
       graft.queries.MatrixQueries.all ++
       graft.queries.IncrementalStatsQueries.all ++
-      graft.queries.RecsAndInfoQueries.all
+      graft.queries.RecsAndInfoQueries.all ++
+      graft.queries.SpanDedupQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)
