@@ -188,21 +188,31 @@ object Bench {
       factor: Double = SlowFactor): Map[String, (Double, Double)] =
     medians.flatMap { case (n, t) =>
       baseline.get(n) match {
-        case Some(b) if t >= 0 && t > math.max(b * factor, 0.5) => Some(n -> (t, b))
+        // b > 0: a failed query records -1.0 in Bench's own output — a
+        // baseline captured from such a run must not flag every healthy
+        // successor as slow
+        case Some(b) if b > 0 && t >= 0 && t > math.max(b * factor, 0.5) =>
+          Some(n -> (t, b))
         case _ => None
       }
     }
 
-  /** Flat {"name":seconds,...} JSON of recorded medians; missing or
-    * malformed file → empty (gate disabled). Hand-rolled parse: the format
-    * is Bench's own flat output and the classpath has no JSON library.
+  /** Flat {"name":seconds,...} JSON of recorded medians, OR Bench's own
+    * full printed line (in which case only the "queries" object is read —
+    * the "spread" object repeats every query name with a ratio, and a
+    * whole-line scan would last-wins-overwrite each median with it).
+    * Missing or malformed file → empty (gate disabled). Hand-rolled
+    * parse: the classpath has no JSON library.
     */
   def loadBaseline(path: String): Map[String, Double] = {
     val f = new java.io.File(path)
     if (!f.isFile) Map.empty
     else {
-      val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      val full = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
+      // a saved bench line: scope to its queries object (ends at the
+      // first '}' — it nests nothing); a plain flat map: use as-is
+      val text = """"queries"\s*:\s*\{[^}]*\}""".r.findFirstIn(full).getOrElse(full)
       """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?)""".r
         .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
     }

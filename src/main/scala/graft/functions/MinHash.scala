@@ -117,30 +117,13 @@ object MinHash {
     val sig = signatures(sh, "doc_id", "sset")
     val bdAll = bands(sig, "doc_id", "sig")
 
-    // Cap enforcement: a pair only forms when BOTH sides carry the band
-    // key, so filtering ONE self-join side suppresses every pair from a hot
-    // bucket. The bucket size comes from a window count over exactly the
-    // (band_id, band_key) partitioning the self-join shuffles on anyway —
-    // one extra in-partition sort, no second aggregation pass, no broadcast
-    // round-trip, and the bands pipeline still runs just twice (x, y) as in
+    // Cap enforcement via the shared contract (ops.Skew.capHotBuckets):
+    // filtering ONE self-join side suppresses every pair from a hot
+    // bucket, and the bands pipeline still runs just twice (x, y) as in
     // the uncapped shape.
-    val x = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band_id"), col("band_key"))
-      bdAll.withColumn("_bsz", count(lit(1)).over(w))
-        // Telemetry (piggybacked, no extra scan): at 100 TB an operator
-        // that silently drops hot-bucket docs hides its own precision
-        // loss — CollectMetrics rides the same pass, BEFORE the filter so
-        // it sees what the filter removes. Read post-run via
-        // queryExecution.observedMetrics("minhash_cap") or a
-        // QueryExecutionListener.
-        .observe("minhash_cap",
-          sum(when(col("_bsz") > maxBucket, 1L).otherwise(0L))
-            .as("dropped_band_rows"),
-          max(col("_bsz")).as("max_bucket_size"),
-          count(lit(1)).as("band_rows"))
-        .filter(col("_bsz") <= maxBucket).drop("_bsz")
-    }
+    val x = graft.ops.Skew.capHotBuckets(bdAll,
+      Seq(col("band_id"), col("band_key")), maxBucket,
+      "minhash_cap", "dropped_band_rows", "band_rows")
 
     val candidates = x.as("x")
       .join(bdAll.as("y"),

@@ -234,10 +234,15 @@ object Multimodal {
           } yield stts).map { case (sa, sb) =>
             if (sb - sa < 8) 0L
             else {
-              val n = be32(sa + 4)
+              // entry_count is attacker-controlled: clamp to the entries
+              // the box payload can actually hold, or a crafted count
+              // near 2^32 burns billions of iterations and (i*8).toInt
+              // wraps into a negative array index — the two ways this
+              // walk could violate the never-throw contract
+              val n = math.min(be32(sa + 4), ((sb - sa - 8) / 8).toLong)
               (0L until n).foldLeft(0L) { (acc, i) =>
                 val eo = sa + 8 + (i * 8).toInt
-                if (eo + 8 <= sb) acc + be32(eo) else acc
+                acc + be32(eo)
               }
             }
           }.getOrElse(0L)

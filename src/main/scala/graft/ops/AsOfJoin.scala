@@ -221,13 +221,18 @@ object AsOfJoin {
       .withColumn("_tin", last(when(col("_side") === 0, col("_t")), ignoreNulls = true).over(wb))
 
     // (3) per-(key, bucket) last right row; null tiebreaks take
-    // Long.MaxValue to reproduce the window's asc_nulls_last/last-wins rule
+    // Long.MaxValue to reproduce the window's asc_nulls_last/last-wins
+    // rule, plus an explicit null rank so a GENUINE Long.MaxValue
+    // tiebreak still loses to a null one (asc_nulls_last puts nulls
+    // after every value, including MaxValue — coalesce alone would make
+    // the two compare equal and max_by pick arbitrarily)
     val summary = taggedRight
       .withColumn("_b", bucketOf(col("_t")))
       .groupBy(col("_k"), col("_b"))
       .agg(max_by(
         struct(col("_t").as("t"), col("_rvals").as("rv")),
-        struct(col("_t"), coalesce(col("_tie"), lit(Long.MaxValue)))).as("_lastr"))
+        struct(col("_t"), coalesce(col("_tie"), lit(Long.MaxValue)),
+          when(col("_tie").isNull, 1).otherwise(0))).as("_lastr"))
 
     // every (key, bucket) present on EITHER side needs a carry-in (a left
     // bucket with no right rows still inherits from earlier buckets)

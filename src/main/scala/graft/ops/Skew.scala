@@ -38,4 +38,33 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** Hot-bucket cap for bucketed-meeting self-joins (MinHash bands,
+    * winnowing fingerprints, positional grams): drop every row of a
+    * bucket larger than `maxBucket` — a pair only forms when BOTH sides
+    * carry the bucket key, so filtering ONE self-join side suppresses
+    * every pair from a hot bucket — with observe() telemetry riding the
+    * same pass BEFORE the filter, so dropped volume is visible, never
+    * silent (read post-run via queryExecution.observedMetrics(metric)).
+    * The window count runs over exactly the partitioning the self-join
+    * shuffles on anyway: one extra in-partition sort, no second
+    * aggregation pass. Field names are per-site (specs pin them), the
+    * contract is shared here so the cap semantics cannot drift between
+    * the dedup tiers.
+    */
+  def capHotBuckets(
+      df: DataFrame,
+      bucketKeys: Seq[Column],
+      maxBucket: Int,
+      metric: String,
+      droppedField: String,
+      totalField: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(bucketKeys: _*)
+    df.withColumn("_bsz", count(lit(1)).over(w))
+      .observe(metric,
+        sum(when(col("_bsz") > maxBucket, 1L).otherwise(0L)).as(droppedField),
+        max(col("_bsz")).as("max_bucket_size"),
+        count(lit(1)).as(totalField))
+      .filter(col("_bsz") <= maxBucket).drop("_bsz")
+  }
 }

@@ -49,14 +49,8 @@ object GraphTemporalQueries {
       // the whole corpus pipeline executes twice inside one job
       // (measured 2× the stage cost — the q81 lesson)
       .localCheckpoint(false)
-    val capped = fps
-      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .observe("winnow_cap",
-        sum(when(col("_bsz") > maxBucket, 1L).otherwise(0L))
-          .as("dropped_fp_rows"),
-        max(col("_bsz")).as("max_bucket_size"),
-        count(lit(1)).as("fp_rows"))
-      .filter(col("_bsz") <= maxBucket).drop("_bsz")
+    val capped = graft.ops.Skew.capHotBuckets(fps, Seq(col("fp")), maxBucket,
+      "winnow_cap", "dropped_fp_rows", "fp_rows")
     // merge-hinted: fps is corpus-sized — at scale this join must NEVER
     // broadcast, and pinning the strategy also stops AQE from racing a
     // speculative broadcast-exchange job whose post-execution completions

@@ -59,13 +59,8 @@ object SpanDedupQueries {
       // both sides of the self-join reference grams: un-checkpointed, the
       // corpus explode executes twice inside one job (the q81 lesson)
       .localCheckpoint(false)
-    val capped = grams
-      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .observe("spans_cap",
-        sum(when(col("_bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_gram_rows"),
-        max(col("_bsz")).as("max_bucket_size"),
-        count(lit(1)).as("gram_rows"))
-      .filter(col("_bsz") <= maxBucket).drop("_bsz")
+    val capped = graft.ops.Skew.capHotBuckets(grams, Seq(col("h")), maxBucket,
+      "spans_cap", "dropped_gram_rows", "gram_rows")
     // merge-hinted: grams is corpus-sized — this join must NEVER broadcast
     val pairs = capped.as("a").hint("merge").join(grams.as("b").hint("merge"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

@@ -66,12 +66,17 @@ object GenScale {
     def gen(table: String, pads: (String, Long)*)(replica: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       pads.foreach { case (c, pad) =>
-        val mx = base.agg(max(col(c).cast("long"))).head.getLong(0)
-        require(mx <= pad,
-          s"$table.$c max $mx exceeds replica pad $pad — replicating this " +
-            "input would overlap key ranges; scale from the original " +
-            "fixtures (or raise the pad, keeping it a multiple of the " +
-            "gated queries' moduli over this key)")
+        val r = base.agg(min(col(c).cast("long")), max(col(c).cast("long"))).head
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        // replica i spans [mn + pad·i, mx + pad·i]: pairwise disjoint iff
+        // the RANGE WIDTH is under the pad — `mx <= pad` alone is off by
+        // one for 0-based keys (mn=0, mx=pad passes it, yet replica 0's
+        // key pad collides with replica 1's key 0+pad)
+        require(mx - mn < pad,
+          s"$table.$c range [$mn,$mx] is not narrower than replica pad $pad " +
+            "— replicating this input would overlap key ranges; scale from " +
+            "the original fixtures (or raise the pad, keeping it a multiple " +
+            "of the gated queries' moduli over this key)")
       }
       val out = (0 until k).map(i => replica(base, i)).reduce(_ unionAll _)
       val tmp = s"$dest/_tmp_$table"

@@ -45,4 +45,22 @@ class BenchGateSpec extends AnyFunSuite {
     assert(b == Map("q01_project" -> 0.0963, "q125_winnow_overlap" -> 0.8045))
     assert(Bench.loadBaseline("/nonexistent/path.json").isEmpty)
   }
+
+  test("loadBaseline scoped to the queries object when fed a full bench line") {
+    // the review-found hazard: every query name recurs in "spread" with a
+    // ratio ~1.0 — a whole-line scan would last-wins overwrite each median
+    // with it and flag healthy heavy queries against garbage baselines
+    val f = java.io.File.createTempFile("bench_line", ".json")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath,
+      """{"metric":"total","value":86.3,"unit":"sec","queries":{"qa":2.5431,"qb":0.1049},""" +
+        """"spread":{"qa":1.21,"qb":1.05},"reps":5,"failed":[],"sf":"/x"}""")
+    val b = Bench.loadBaseline(f.getAbsolutePath)
+    assert(b == Map("qa" -> 2.5431, "qb" -> 0.1049))
+  }
+
+  test("a -1.0 failed-marker baseline never flags a healthy successor") {
+    val slow = Bench.slowQueries(Map("qa" -> 2.0), Map("qa" -> -1.0))
+    assert(slow.isEmpty)
+  }
 }

@@ -64,6 +64,28 @@ class OpsSpec extends SparkTestBase {
     assert(bucketed == plain)
   }
 
+  test("bucketed as-of carry: a null tiebreak beats a genuine Long.MaxValue tie") {
+    import spark.implicits._
+    // Two right rows at the SAME time in one bucket, tiebreaks
+    // Long.MaxValue and null; the left row sits in a LATER bucket so the
+    // match flows through the carry summary. backward's window order
+    // (asc_nulls_last, last wins) picks the null row; the summary's
+    // max_by must agree — coalesce(tie, MaxValue) alone makes the two
+    // keys compare EQUAL and the pick nondeterministic (review finding).
+    val left = Seq((1L, 5000L, "p1")).toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 1.0, Some(Long.MaxValue)), (1L, 100L, 2.0, None))
+      .toDF("k", "t", "v", "rid")
+    val plain = AsOfJoin.backward(left, right, "k", "k", "t", "t", Seq("v"), "rid")
+      .select(col("asof_v")).head.getDouble(0)
+    assert(plain == 2.0) // nulls-last last-wins: the null-tie row
+    for (width <- Seq(7L, 1000L)) {
+      val got = AsOfJoin.backwardBucketed(
+          left, right, "k", "k", "t", "t", Seq("v"), "rid", width)
+        .select(col("asof_v")).head.getDouble(0)
+      assert(got == plain, s"bucketSeconds=$width")
+    }
+  }
+
   test("as-of forward: earliest right at-or-after left time, min-tiebreak") {
     import spark.implicits._
     val left = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 70L, "p3"))

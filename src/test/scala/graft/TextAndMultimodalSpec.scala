@@ -261,4 +261,25 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(dm(3L).width == 320 && dm(3L).n_frames == 50)
     assert(dm(2L).n_frames == 0)
   }
+
+  test("stts entry_count is clamped to the box payload (no overflow, no burn)") {
+    // Attacker-shaped stts: declared entry_count 0xFFFFFFF0 (~4.29e9) but
+    // the box holds only the 2 real entries. Unclamped, the walk burns
+    // billions of iterations and (i*8).toInt wraps into a negative array
+    // index — the clamp must read exactly the present entries instead.
+    val mp4 = mp4Bytes()
+    val sttsSig = "stts".getBytes("US-ASCII")
+    val at = mp4.indexOfSlice(sttsSig) // first stts = the video trak's
+    assert(at > 0)
+    val evil = mp4.clone()
+    // entry_count sits after type(4) + version/flags(4)
+    evil(at + 8) = 0xff.toByte; evil(at + 9) = 0xff.toByte
+    evil(at + 10) = 0xff.toByte; evil(at + 11) = 0xf0.toByte
+    val t0 = System.nanoTime()
+    val (ts, _, tracks, w, h, frames) = Multimodal.ContainerCodec.parseMp4(evil)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(ts == 600L && tracks == 2 && w == 320 && h == 240)
+    assert(frames == 50L, s"clamped walk read $frames frames")
+    assert(elapsedMs < 1000, s"stts walk took ${elapsedMs}ms — clamp not applied")
+  }
 }
