@@ -119,8 +119,8 @@ object SpanDedupQueries {
     * are bit-identical cross-engine, so the gate is exact, not
     * approximate). Shared so the two oracles cannot drift.
     */
-  private val spanCtes: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private def spanCtes(docWhere: String = ""): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents$docWhere),
       |grams AS (
       |  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
@@ -158,7 +158,7 @@ object SpanDedupQueries {
       "q175_exact_spans",
       (s, d) => exactSpans(Tables.documents(s, d), t = 8)
         .orderBy(col("id_a").asc, col("id_b").asc, col("pos_a").asc, col("pos_b").asc),
-      Some(spanCtes +
+      Some(spanCtes() +
         """
           |SELECT id_a, id_b, CAST(pos_a AS INT) AS pos_a, CAST(pos_b AS INT) AS pos_b,
           |       CAST(span_words AS INT) AS span_words
@@ -167,10 +167,17 @@ object SpanDedupQueries {
 
     // ------------------------------------------------------------------
     // q176: span-cut dedup — apply q175's spans (see [[spanCut]]).
+    // Gated on the doc_id % 3 = 0 CORPUS SUBSET (both engines, same CTE
+    // ladder): q176 must recompute [[exactSpans]] internally (queries
+    // cannot share results across gate executions), so at full size the
+    // bench paid the suite's heaviest pipeline twice per pass (VERDICT r5).
+    // The subset cuts the self-join's pair volume ~9× while still
+    // exercising every operator in the cut path — q175 remains the
+    // full-corpus gate for the span pipeline itself.
     GQuery(
       "q176_span_cut",
-      (s, d) => spanCut(Tables.documents(s, d), t = 8),
-      Some(spanCtes +
+      (s, d) => spanCut(Tables.documents(s, d).filter(col("doc_id") % 3 === 0), t = 8),
+      Some(spanCtes(" WHERE doc_id % 3 = 0") +
         """,
           |ivals AS (SELECT id_b AS doc_id, pos_b AS s, pos_b + span_words AS e FROM spans),
           |swept AS (

@@ -20,12 +20,12 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The streaming-side schema: ts arrives as raw nanos (the parquet
-    * physical type) and is converted exactly like the batch loader.
+  /** The streaming-side schema, parameterized on the fixture's physical ts
+    * encoding (raw nanos long vs plain µs timestamp) — see [[readEvents]].
     */
-  private val rawSchema = StructType(Seq(
+  private def rawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType, nullable = true),
-    StructField("ts", LongType, nullable = true),
+    StructField("ts", tsType, nullable = true),
     StructField("user_id", LongType, nullable = true),
     StructField("event_type", StringType, nullable = true),
     StructField("value", DoubleType, nullable = true),
@@ -34,13 +34,30 @@ object EventStreams {
   /** File-source stream over a directory of events parquet. Watermarks
     * require TIMESTAMP (not NTZ), so ts stays an instant here; under the
     * UTC session timezone it is value-identical to the batch loader's NTZ.
+    *
+    * The fixture's ts column has shipped in two encodings over time —
+    * TIMESTAMP(NANOS) (which Spark only reads as raw longs, via
+    * `nanosAsLong`) and plain timestamp[us]. File-source streams need an
+    * explicit schema, so peek the footer with a one-off batch read (schema
+    * inference only — no data scan) and dispatch exactly like the batch
+    * loader (`sources/Tables.scala`). Hard-coding either encoding breaks
+    * event time by 1000× when the fixture carries the other one.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val footerTs = spark.read.parquet(dir).schema("ts").dataType
+    footerTs match {
+      case LongType => // nanos-as-long fixture: truncate ns → µs like the batch loader
+        spark.readStream
+          .schema(rawSchema(LongType))
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => // timestamp[us] fixture: read NTZ natively, cast to instant (UTC session tz)
+        spark.readStream
+          .schema(rawSchema(TimestampNTZType))
+          .parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling event-time counts with a watermark (late data beyond the
@@ -263,9 +280,18 @@ object EventStreams {
     val dedup = events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    runToMemory(dedup, s"stream_dedup_${dedupRunN.incrementAndGet()}", "append")
+    val name = s"stream_dedup_${dedupRunN.incrementAndGet()}"
+    val sunk = runToMemory(dedup, name, "append")
       .select(col("event_id"), col("id").as("first_id"),
         (col("id") * 7).as("v")) // v = id·7 is the source's row contract
       .orderBy(col("event_id").asc)
+    // Detach the result from the memory sink so the temp view can be
+    // dropped immediately: a long bench session would otherwise accumulate
+    // one stream_dedup_* table per execution (6 per bench invocation),
+    // unbounded. localCheckpoint materializes ~keySpace rows into blocks
+    // that Bench.dropLeftoverBlocks reclaims after the query completes.
+    val out = sunk.localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 }

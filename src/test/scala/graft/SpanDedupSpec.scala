@@ -109,9 +109,15 @@ class SpanDedupSpec extends SparkTestBase {
       assert(r.getInt(2) >= 8 && r.getInt(3) >= 0)
       assert(r.getInt(1) == r.getInt(2) + r.getInt(3))
     }
-    // every cut doc is the LATER side of at least one span pair
+    // every cut doc is the LATER side of at least one span pair — within
+    // q176's doc_id % 3 = 0 gate subset (q175 stays full-corpus, so its
+    // b-sides are a superset; recompute spans on the same subset)
     val cutDocs = got176.map(_.getLong(0)).toSet
-    val bSides = got175.map(_.getLong(1)).toSet
+    val subsetSpans = SpanDedupQueries.exactSpans(
+      graft.sources.Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0), t = 8).collect()
+    val bSides = subsetSpans.map(_.getLong(1)).toSet
     assert(cutDocs == bSides)
+    assert(bSides.subsetOf(got175.map(_.getLong(1)).toSet))
   }
 }

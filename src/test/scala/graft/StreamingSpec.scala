@@ -254,6 +254,28 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream reader path == batch reader path (ts encoding parity)") {
+    // Guards the parity suite's foundation: readEvents and Tables.events
+    // must agree on the fixture's ts encoding. If the fixture encoding
+    // changes (r5: nanos-as-long → timestamp[us]) and only one reader
+    // adapts, every event-time test above fails with opaque subset
+    // mismatches — this test fails FIRST and names the encoding.
+    val encoding = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType.simpleString
+    val stream = EventStreams.readEvents(spark, eventsDir)
+      .select(col("event_id"), col("ts").cast("long").as("ts_s"))
+    val got = EventStreams.runToMemory(stream, "t_encoding", "append")
+      .agg(count(lit(1)), min(col("ts_s")), max(col("ts_s")), sum(col("ts_s")))
+      .collect().head
+    val want = graft.sources.Tables.events(spark, sf)
+      .select(col("ts").cast(org.apache.spark.sql.types.TimestampType).cast("long").as("ts_s"))
+      .agg(count(lit(1)), min(col("ts_s")), max(col("ts_s")), sum(col("ts_s")))
+      .collect().head
+    assert(got == want,
+      s"stream vs batch reader divergence for fixture ts encoding '$encoding': " +
+        s"stream (count,min,max,sum)=$got, batch=$want — " +
+        "readEvents and Tables.load must dispatch on the SAME footer schema")
+  }
+
   test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
     val dir = eventsDir
     // duplicate the file → every event appears twice
