@@ -30,6 +30,9 @@ import org.apache.spark.sql.SparkSession
   *    "failed" (never a wall-clock value a consumer could mistake for a
   *    fast pass); its time is excluded from the total and it is skipped in
   *    later rounds (a deterministic failure would just repeat REPS times).
+  *    A query that never got ANY observation without failing (possible
+  *    only when the wall-clock budget guard cuts both its warmup and its
+  *    first timed round) also reports -1.0 and is listed under "not_run".
   *
   * "value" = Σ per-query medians — directly comparable to BASELINE.md's
   * median tables and to previous rounds' totals.
@@ -204,14 +207,24 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
-    // per-round suite totals (queries that completed every COMPLETED
-    // round — the budget guard may have cut the protocol short): the
+    // per-round suite totals (non-failed queries that completed every
+    // COMPLETED round — the budget guard may have cut the protocol short;
+    // a query that succeeded early then failed later is excluded so these
+    // totals never disagree with its published -1.0 median): the
     // round-to-round stability evidence — a healthy run has these within
     // ±10% of each other
     val nRounds = math.max(roundsCompleted, if (times.nonEmpty) 1 else 0)
-    val complete = times.filter(_._2.length >= nRounds)
+    val complete = times.filter { case (k, v) => !failed.contains(k) && v.length >= nRounds }
     val roundTotals = (0 until nRounds)
       .map(r => fmt(complete.values.map(_(r)).sum)).mkString("[", ",", "]")
+    // a query can end with NO observation without having failed (warmup
+    // cut off by the half-budget guard, then the budget expired before
+    // its first timed round): its median prints -1.0 like a failure, so
+    // name it under "not_run" to keep "-1.0 and not in failed" diagnosable
+    val notRun = queries.collect {
+      case (n, _) if !failed.contains(n) && !times.contains(n) => n
+    }
+    val notRunJson = notRun.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // Per-query regression gate (VERDICT r4 #7): compare this run's
     // medians to the recorded baseline medians (bench_baseline.json,
@@ -232,7 +245,16 @@ object Bench {
       System.err.println(f"[bench] SLOW $n: median $t%.2fs > ${SlowFactor}x baseline $b%.2fs")
     }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spreads,"reps":$reps,"rounds_completed":$roundsCompleted,"round_totals":$roundTotals,"failed":$failedJson,"slow":$slowJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spreads,"reps":$reps,"rounds_completed":$roundsCompleted,"round_totals":$roundTotals,"failed":$failedJson,"not_run":$notRunJson,"slow":$slowJson,"sf":"$sfDir"}""")
+    // Compact trailer, printed LAST: every external capture of this run
+    // observed so far stores only the final ~2000 chars of output, and the
+    // full line above (175 queries ≈ 8 KB) loses its head — including
+    // "value" — to that truncation. This line is small enough to always
+    // survive whole and repeats the gate-relevant numbers plus the
+    // slowest queries.
+    val top = medians.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_compact","value":${fmt(total)},"unit":"sec","n_queries":${medians.count(_._2 >= 0)},"n_failed":${failed.size},"n_not_run":${notRun.length},"reps":$reps,"rounds_completed":$roundsCompleted,"round_totals":$roundTotals,"top10":$top,"sf":"$sfDir"}""")
     spark.stop()
     if (slow.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
       sys.exit(2)
@@ -264,9 +286,12 @@ object Bench {
     }
 
   /** Flat {"name":seconds,...} JSON of recorded medians, OR Bench's own
-    * full printed line (in which case only the "queries" object is read —
-    * the "spread" object repeats every query name with a ratio, and a
-    * whole-line scan would last-wins-overwrite each median with it).
+    * printed output (in which case only the FINAL line's "queries" object
+    * is read — the "spread" object repeats every query name with a ratio,
+    * and a whole-line scan would last-wins-overwrite each median with it;
+    * the "metric":"partial" lines Bench now emits during the run carry
+    * warmup/early-round numbers that would inflate every threshold, so a
+    * saved-stdout baseline must scope to the "metric":"total" line).
     * Missing or malformed file → empty (gate disabled). Hand-rolled
     * parse: the classpath has no JSON library.
     */
@@ -276,9 +301,13 @@ object Bench {
     else {
       val full = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
-      // a saved bench line: scope to its queries object (ends at the
-      // first '}' — it nests nothing); a plain flat map: use as-is
-      val text = """"queries"\s*:\s*\{[^}]*\}""".r.findFirstIn(full).getOrElse(full)
+      val queriesRe = """"queries"\s*:\s*\{[^}]*\}""".r
+      // prefer the final-summary line; else the LAST queries object (later
+      // partials supersede earlier ones); else treat the file as a flat map
+      val totalLine = full.linesIterator.filter(_.contains("\"metric\":\"total\"")).toSeq.lastOption
+      val text = totalLine.flatMap(queriesRe.findFirstIn(_))
+        .orElse(queriesRe.findAllIn(full).toSeq.lastOption)
+        .getOrElse(full)
       """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?)""".r
         .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
     }

@@ -52,15 +52,21 @@ object SpillBench {
       memSpilled.reset(); diskSpilled.reset()
       val t0 = System.nanoTime()
       // xor of per-row hashes: content checksum independent of row order
-      // and of how partial aggregation splits work across the fallback
+      // and of how partial aggregation splits work across the fallback.
+      // first/last are ORDER-SENSITIVE aggregates: without them Catalyst's
+      // EliminateSorts strips an upstream orderBy right through the
+      // projection (count/bit_xor are in its order-irrelevant whitelist)
+      // and a "sort" benchmark silently measures a plain scan.
       val r = q.select(xxhash64(struct(col("*"))).as("h"))
-        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+          first(col("h")).as("f"), last(col("h")).as("l"))
       val row = r.collect().head
       val dt = (System.nanoTime() - t0) / 1e9
       // listener events are posted async; give the bus a beat to drain
       Thread.sleep(500)
       println(f"[spill] $label heap=${heapMb}m ${dt}%.2f s rows=${row.getLong(0)} " +
-        f"checksum=${row.getLong(1)} memSpilled=${memSpilled.sum() / 1048576}%d MiB " +
+        f"checksum=${row.getLong(1)} first=${row.getLong(2)} last=${row.getLong(3)} " +
+        f"memSpilled=${memSpilled.sum() / 1048576}%d MiB " +
         f"diskSpilled=${diskSpilled.sum() / 1048576}%d MiB")
     }
 

@@ -59,6 +59,28 @@ class BenchGateSpec extends AnyFunSuite {
     assert(b == Map("qa" -> 2.5431, "qb" -> 0.1049))
   }
 
+  test("loadBaseline prefers the final total line over earlier partials") {
+    // Bench now prints "metric":"partial" lines (warmup + per round)
+    // BEFORE the final line; a baseline captured as `Bench > file` must
+    // bind to the final medians, not the codegen-inflated warmup pass —
+    // thresholds set from warmup times would never flag a regression
+    val f = java.io.File.createTempFile("bench_stdout", ".json")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath,
+      """{"metric":"partial","phase":"warmup","value":153.1,"queries":{"qa":50.1,"qb":9.7},"failed":[],"sf":"/x"}""" + "\n" +
+        """{"metric":"partial","phase":"round1","value":12.0,"queries":{"qa":10.2,"qb":1.8},"failed":[],"sf":"/x"}""" + "\n" +
+        """{"metric":"total","value":3.1,"unit":"sec","queries":{"qa":2.5,"qb":0.6},"spread":{"qa":1.2,"qb":1.1},"reps":5,"failed":[],"sf":"/x"}""")
+    assert(Bench.loadBaseline(f.getAbsolutePath) == Map("qa" -> 2.5, "qb" -> 0.6))
+    // a killed run with ONLY partials: the LAST partial wins (closest to
+    // steady state), never the warmup line
+    val g = java.io.File.createTempFile("bench_stdout_dnf", ".json")
+    g.deleteOnExit()
+    java.nio.file.Files.writeString(g.toPath,
+      """{"metric":"partial","phase":"warmup","value":153.1,"queries":{"qa":50.1,"qb":9.7},"failed":[],"sf":"/x"}""" + "\n" +
+        """{"metric":"partial","phase":"round1","value":12.0,"queries":{"qa":10.2,"qb":1.8},"failed":[],"sf":"/x"}""")
+    assert(Bench.loadBaseline(g.getAbsolutePath) == Map("qa" -> 10.2, "qb" -> 1.8))
+  }
+
   test("a -1.0 failed-marker baseline never flags a healthy successor") {
     val slow = Bench.slowQueries(Map("qa" -> 2.0), Map("qa" -> -1.0))
     assert(slow.isEmpty)

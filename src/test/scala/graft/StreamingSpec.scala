@@ -260,6 +260,11 @@ class StreamingSpec extends SparkTestBase {
     // changes (r5: nanos-as-long → timestamp[us]) and only one reader
     // adapts, every event-time test above fails with opaque subset
     // mismatches — this test fails FIRST and names the encoding.
+    // nanosAsLong first: under a TIMESTAMP(NANOS) fixture a bare read
+    // throws PARQUET_TYPE_ILLEGAL before the diagnostic below can fire,
+    // and whether some earlier test already set the session-wide conf is
+    // run-order luck — this test must hold in isolation too
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val encoding = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType.simpleString
     val stream = EventStreams.readEvents(spark, eventsDir)
       .select(col("event_id"), col("ts").cast("long").as("ts_s"))
