@@ -286,6 +286,66 @@ object Multimodal {
     }
   }
 
+  /** Real PCM SAMPLE decode (the audio half of what used to be the
+    * FakeCodec boundary): 16-bit PCM WAV needs no codec library — the data
+    * chunk IS the samples, little-endian signed 16-bit interleaved by
+    * channel — so decoding them is plain byte parsing, same as the
+    * container walk. After this, FakeCodec covers only COMPRESSED media
+    * (MP3/AAC pixels/H.264 frames — genuinely impossible without codec
+    * libs in this container).
+    *
+    * Stats are integer-exact on purpose: a downstream gate can recompute
+    * them relationally (sum/abs/max over the sample formula) with zero
+    * float drift, so the decode path is verifiable bit-for-bit
+    * cross-engine. Non-PCM or non-16-bit payloads report the corrupt-media
+    * contract (all zeros), never an exception.
+    */
+  object AudioCodec {
+    /** (n_samples, sum_v, sum_abs, peak_abs) over the decoded s16le
+      * samples of a 16-bit PCM WAV; zeros for anything else. A truncated
+      * data chunk decodes the samples actually present (same clamp rule as
+      * [[ContainerCodec.parseWav]]).
+      */
+    def pcmStats(p: Array[Byte]): (Long, Long, Long, Int) = {
+      def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def le32(o: Int) = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      if (!ContainerCodec.isWav(p)) return (0L, 0L, 0L, 0)
+      var off = 12
+      var fmtOk = false
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= p.length && (!fmtOk || dataOff < 0)) {
+        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(off + 4)
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length) {
+          // audioFormat 1 = uncompressed PCM; only 16 bits/sample decodes
+          fmtOk = le16(off + 8) == 1 && le16(off + 22) == 16
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataLen = math.min(sz, (p.length - dataOff).toLong).toInt
+        }
+        val step = 8L + sz + (sz & 1L)
+        if (step <= 8L || off + step > Int.MaxValue) return (0L, 0L, 0L, 0)
+        off += step.toInt
+      }
+      if (!fmtOk || dataOff < 0) return (0L, 0L, 0L, 0)
+      val n = dataLen / 2 // whole s16le samples only
+      var i = 0
+      var sumV = 0L; var sumAbs = 0L; var peak = 0
+      while (i < n) {
+        val o = dataOff + i * 2
+        // sign-extension is the correctness crux: high byte is signed
+        val v = (((p(o + 1) << 8) | (p(o) & 0xff)).toShort).toInt
+        sumV += v
+        val a = math.abs(v) // |Short.MinValue| fits in Int
+        sumAbs += a
+        if (a > peak) peak = a
+        i += 1
+      }
+      (n.toLong, sumV, sumAbs, peak)
+    }
+  }
+
   /** Rich container metadata row (audio/video header parse). */
   case class ContainerMeta(
       media_id: Long,
@@ -411,6 +471,41 @@ object Multimodal {
         .putShort(16) // bits/sample
         .put("data".getBytes(ascii)).putInt(dataSize)
       bb.array() // remaining zeros = PCM silence
+    }
+
+    /** 16-bit PCM WAV carrying an actual waveform: sample at frame `i`,
+      * channel `c` is `((i*k + c*997) % 2001) - 1000` — a formula a SQL
+      * oracle can replay over a generated series without seeing the bytes
+      * (all operands non-negative, so `%` truncation agrees cross-engine).
+      * Fixed 8 kHz rate; `k` varies the waveform per row key.
+      */
+    def wavWave(channels: Int, frames: Int, k: Int): Array[Byte] = {
+      val rate = 8000
+      val blockAlign = channels * 2
+      val dataSize = frames * blockAlign
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)).putInt(36 + dataSize)
+        .put("WAVE".getBytes(ascii))
+        .put("fmt ".getBytes(ascii)).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort)
+        .putInt(rate)
+        .putInt(rate * blockAlign)
+        .putShort(blockAlign.toShort)
+        .putShort(16)
+        .put("data".getBytes(ascii)).putInt(dataSize)
+      var i = 0
+      while (i < frames) {
+        var c = 0
+        while (c < channels) {
+          bb.putShort((((i * k + c * 997) % 2001) - 1000).toShort)
+          c += 1
+        }
+        i += 1
+      }
+      bb.array()
     }
 
     /** Minimal ISO-BMFF video: ftyp + moov(mvhd v0, video trak(tkhd w×h,

@@ -411,6 +411,57 @@ object NorthStarQueries {
       "audio/video container header parse (WAV chunk walk, MP4 box walk), formula-oracle gated"),
 
     // ------------------------------------------------------------------
+    // q143 (fills the registry's documented numbering gap): REAL PCM
+    // sample decode — the audio half of the former FakeCodec boundary.
+    // Per doc_id the plan synthesizes a 16-bit PCM WAV whose waveform is
+    // a pure formula of the key (SyntheticMedia.wavWave), then DECODES THE
+    // SAMPLES back from the bytes (AudioCodec.pcmStats: s16le parse,
+    // sign-extension and all) and reports integer-exact stats. The oracle
+    // replays the formula over a generated series without ever seeing the
+    // bytes, so endianness/sign/interleaving disagreements between builder
+    // and parser are a red hash. (A builder+parser SHARING one encoding
+    // bug would self-cancel here — MultimodalSpec pins the parser against
+    // independent golden bytes to close that hole.) After this gate,
+    // FakeCodec covers only compressed codecs (no codec libs in this
+    // container) — the honest boundary, now sample-level for PCM audio.
+    GQuery(
+      "q143_pcm_stats",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id,
+                Multimodal.SyntheticMedia.wavWave(
+                  channels = (1 + id % 2).toInt,
+                  frames = (200 + id % 300).toInt,
+                  k = (3 + id % 11).toInt),
+                "audio/wav")
+            }
+          }
+        media.mapPartitions { rows =>
+          rows.map { r =>
+            val (n, sumV, sumAbs, peak) = Multimodal.AudioCodec.pcmStats(r.payload)
+            (r.media_id, n, sumV, sumAbs, peak)
+          }
+        }.toDF("media_id", "n_samples", "sum_v", "sum_abs", "peak_abs")
+          .orderBy(col("media_id").asc)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, 1 + doc_id % 2 AS ch, 200 + doc_id % 300 AS frames,
+             |         3 + doc_id % 11 AS k
+             |  FROM documents),
+             |s AS (SELECT doc_id, ch, k, unnest(range(0, frames * ch)) AS j FROM m),
+             |v AS (SELECT doc_id, ((j // ch) * k + (j % ch) * 997) % 2001 - 1000 AS v FROM s)
+             |SELECT doc_id AS media_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+             |       CAST(SUM(v) AS BIGINT) AS sum_v,
+             |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+             |       CAST(MAX(ABS(v)) AS INT) AS peak_abs
+             |FROM v GROUP BY doc_id ORDER BY media_id ASC""".stripMargin),
+      "real PCM sample decode (s16le parse) with integer-exact stats, formula-oracle gated"),
+
+    // ------------------------------------------------------------------
     // q61–q63: corpus statistics — the map/reduce backbone of tokenizer and
     // data-mix work: vocabulary, document frequency, n-gram counts. All
     // explode → partial-aggregate shapes (shuffle carries one row per

@@ -282,4 +282,50 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(frames == 50L, s"clamped walk read $frames frames")
     assert(elapsedMs < 1000, s"stts walk took ${elapsedMs}ms — clamp not applied")
   }
+
+  test("PCM decode matches independent golden bytes (endianness + sign extension)") {
+    // Hand-spelled little-endian bytes, NOT built via SyntheticMedia — a
+    // shared builder/parser encoding bug cannot self-cancel against this.
+    // Samples: 1, -1, 32767 (max), -32768 (min).
+    def b(i: Int): Byte = i.toByte
+    val golden: Array[Byte] = Array[Byte](
+      'R', 'I', 'F', 'F', b(44), 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0, // PCM
+      1, 0, // mono
+      b(0x40), b(0x1f), 0, 0, // 8000 Hz
+      b(0x80), b(0x3e), 0, 0, // byte rate 16000
+      2, 0, // block align
+      16, 0, // bits
+      'd', 'a', 't', 'a', 8, 0, 0, 0,
+      b(0x01), b(0x00), // 1
+      b(0xff), b(0xff), // -1
+      b(0xff), b(0x7f), // 32767
+      b(0x00), b(0x80)) // -32768
+    val (n, sumV, sumAbs, peak) = Multimodal.AudioCodec.pcmStats(golden)
+    assert(n == 4L, s"n=$n")
+    assert(sumV == -1L, s"sumV=$sumV (sign extension broken?)")
+    assert(sumAbs == 65537L, s"sumAbs=$sumAbs")
+    assert(peak == 32768, s"peak=$peak")
+  }
+
+  test("PCM decode: synthetic roundtrip, truncation clamp, non-PCM rejection") {
+    // builder → parser roundtrip over the q143 waveform formula
+    val p = Multimodal.SyntheticMedia.wavWave(channels = 2, frames = 100, k = 7)
+    val want = for (i <- 0 until 100; c <- 0 until 2)
+      yield ((i * 7 + c * 997) % 2001) - 1000
+    val (n, sumV, sumAbs, peak) = Multimodal.AudioCodec.pcmStats(p)
+    assert(n == 200L && sumV == want.map(_.toLong).sum &&
+      sumAbs == want.map(v => math.abs(v).toLong).sum &&
+      peak == want.map(math.abs).max, s"($n,$sumV,$sumAbs,$peak)")
+    // truncated data chunk: decode the samples actually present
+    val cut = p.take(44 + 10) // 5 whole samples
+    assert(Multimodal.AudioCodec.pcmStats(cut)._1 == 5L)
+    // a float-format WAV (fmt tag 3) must not decode as s16le
+    val f32 = p.clone(); f32(20) = 3
+    assert(Multimodal.AudioCodec.pcmStats(f32) == ((0L, 0L, 0L, 0)))
+    // container walk still reads the header of a waveform-bearing WAV
+    val (rate, ch, _, frames) = Multimodal.ContainerCodec.parseWav(p)
+    assert(rate == 8000 && ch == 2 && frames == 100L)
+  }
 }
