@@ -322,5 +322,54 @@ object CurationQueries {
              |FROM st LEFT JOIN o ON st.l_returnflag = o.l_returnflag
              |ORDER BY st.l_returnflag ASC""".stripMargin),
       "±2σ group outliers: exact integer sums -> deterministic IEEE stats, sqrt-free"),
+
+    // ------------------------------------------------------------------
+    // q178: Unicode NFC canonicalization — the step web-scale curation
+    // runs FIRST (crawled text mixes precomposed é with e+combining-acute;
+    // every downstream equality — dedup keys, shingles, decontamination
+    // probes — silently misses until the corpus is canonical). Runs the
+    // custom codegen'd Expression graft.expressions.NfcNormalize over
+    // strings that exercise the real cases: combining marks that compose
+    // (e+́, A+̊, n+̃), a singleton substitution (Ω U+2126 → Ω U+03A9), and
+    // already-composed text that must pass through unchanged. The two
+    // engines CONSTRUCT the raw strings independently (Scala \u literals
+    // vs DuckDB chr()) and normalize independently (java.text.Normalizer
+    // vs nfc_normalize — two UAX #15 implementations), so the gate
+    // cross-checks the normalization itself, not a shared library.
+    GQuery(
+      "q178_unicode_nfc",
+      (s, d) => {
+        import graft.expressions.NfcNormalize
+        val m = col("doc_id") % 4
+        // escapes, never raw glyphs: source tooling could silently
+        // re-normalize a pasted decomposed sequence and break the gate
+        val prefix = when(m === 0, lit("cafe\u0301")) // e + combining acute
+          .when(m === 1, lit("A\u030Angstrom")) // A + combining ring
+          .when(m === 2, lit("\u2126ohm")) // ohm sign (singleton -> U+03A9)
+          .otherwise(lit("\u00E9\u00F1")) // precomposed: passes unchanged
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(prefix, lit(" "), expr("split_part(text, ' ', 1)")).as("raw"))
+          .select(col("doc_id"), NfcNormalize(col("raw")).as("norm"),
+            length(col("raw")).as("len_raw"))
+          .select(col("doc_id"), col("norm"), col("len_raw"),
+            length(col("norm")).as("len_norm"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id,
+             |         (CASE CAST(doc_id % 4 AS INT)
+             |            WHEN 0 THEN 'cafe' || chr(769)
+             |            WHEN 1 THEN 'A' || chr(778) || 'ngstrom'
+             |            WHEN 2 THEN chr(8486) || 'ohm'
+             |            ELSE chr(233) || chr(241) END)
+             |         || ' ' || split_part(text, ' ', 1) AS raw
+             |  FROM documents),
+             |n AS (SELECT doc_id, nfc_normalize(raw) AS norm, raw FROM r)
+             |SELECT doc_id, norm,
+             |       CAST(length(raw) AS INT) AS len_raw,
+             |       CAST(length(norm) AS INT) AS len_norm
+             |FROM n ORDER BY doc_id ASC""".stripMargin),
+      "Unicode NFC canonicalization via custom codegen Expression, dual-implementation gate"),
   )
 }

@@ -305,5 +305,80 @@ object ScaleQueries {
              |       max_abs_err <= scale*0.500001 AS err_ok
              |FROM m ORDER BY vec_id ASC""".stripMargin),
       "int8 embedding quantization: scale/error/clip contract (bit-exact oracle)"),
+
+    // ------------------------------------------------------------------
+    // q177: Bloom-filter semi-join reduction — the 100 TB shuffle-cut
+    // technique Spark's own InjectRuntimeFilter automates for shuffle
+    // joins, spelled explicitly so it composes anywhere (pre-shuffle
+    // probe pruning, multi-stage reuse of one filter, cross-job reuse).
+    // Build side: the SELECTIVE orders subset's keys fold RELATIONALLY
+    // into a 2048-word bitset (groupBy-bit_or — no driver collect,
+    // treeAggregate-equivalent); the 16 KB word array broadcasts via a
+    // 1-row crossJoin. Probe side: 3 hash bit-tests evaluate MAP-SIDE
+    // (codegen arithmetic over element_at — no explode, no shuffle, no
+    // UDF) BEFORE lineitem reaches the join shuffle, cutting shuffled
+    // probe volume to ~|match| + FPR·|probe| (m=65536, k=3, n≈1.5k keys
+    // → FPR ≈ 3e-4). The exact join then removes false positives, which
+    // is why the oracle is the PLAIN join — bloom correctness shows up
+    // as result invariance, and PlanShapeSpec pins the reduction + the
+    // no-false-negative guarantee via observe() telemetry.
+    GQuery(
+      "q177_bloom_semijoin",
+      (s, d) => {
+        import graft.functions.{TextFunctions => TF}
+        val mBits = 65536L
+        val nWords = (mBits / 32L).toInt
+        val kHash = 3
+        def idx(key: org.apache.spark.sql.Column, r: Int) =
+          pmod(TF.md5Hash60(concat(key.cast("string"), lit("#f"), lit(r.toString))),
+            lit(mBits))
+        val sel = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .localCheckpoint(false) // consumed by the build AND the exact join
+        val rs = explode(array((0 until kHash).map(lit(_)): _*)).as("r")
+        val cells = sel.select(col("o_orderkey"), rs)
+          .select(pmod(TF.md5Hash60(concat(col("o_orderkey").cast("string"),
+            lit("#f"), col("r").cast("string"))), lit(mBits)).as("idx"))
+          .select((col("idx") / 32).cast("long").as("word_id"),
+            expr("shiftleft(1L, CAST(idx % 32 AS INT))").as("contrib"))
+        val words = cells.groupBy(col("word_id"))
+          .agg(expr("bit_or(contrib)").as("w"))
+        val bf = s.range(nWords).select(col("id").as("word_id"))
+          .join(words, Seq("word_id"), "left")
+          .select(col("word_id"), coalesce(col("w"), lit(0L)).as("w"))
+          .agg(expr("transform(array_sort(collect_list(struct(word_id, w))), x -> x.w)")
+            .as("bf"))
+        val probe = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"))
+          .observe("bloom_probe_in", count(lit(1)).as("rows_in"))
+          .crossJoin(broadcast(bf)) // 1-row side
+        val hit = (0 until kHash).map { r =>
+          expr(s"(shiftright(element_at(bf, CAST(idx_$r / 32 AS INT) + 1)," +
+            s" CAST(idx_$r % 32 AS INT)) & 1L) = 1L")
+        }.reduce(_ && _)
+        val filtered = (0 until kHash)
+          .foldLeft(probe)((df, r) => df.withColumn(s"idx_$r", idx(col("l_orderkey"), r)))
+          .filter(hit)
+          .drop((0 until kHash).map(r => s"idx_$r") :+ "bf": _*)
+          .observe("bloom_probe_out", count(lit(1)).as("rows_out"))
+        filtered.join(sel, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact
+            sum(dec(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+              .cast("double").as("revenue"))
+          .orderBy(col("o_orderpriority").asc)
+      },
+      Some("""SELECT o_orderpriority,
+             |       CAST(COUNT(*) AS BIGINT) AS n_items,
+             |       SUM(l_quantity) AS sum_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_totalprice > 450000.0
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin),
+      "bloom-filter semi-join reduction: relational bitset build, map-side probe prefilter"),
   )
 }

@@ -100,4 +100,35 @@ class CurationSpec extends SparkTestBase {
         s"outlier count out of range: $r")
     }
   }
+
+  test("NfcNormalize: codegen and interpreted paths agree; ASCII is identity") {
+    import graft.expressions.NfcNormalize
+    val cases = Seq(
+      "cafe\u0301" -> "caf\u00E9", // combining acute composes
+      "A\u030Angstrom" -> "\u00C5ngstrom", // combining ring composes
+      "\u2126ohm" -> "\u03A9ohm", // singleton: ohm sign -> omega
+      "\u00E9\u00F1" -> "\u00E9\u00F1", // already NFC: unchanged
+      "plain ascii" -> "plain ascii",
+      "" -> "")
+    val df = cases.map(_._1).toDF("s")
+      .select(col("s"), NfcNormalize(col("s")).as("n"))
+    // codegen path (whole-stage): collect through the executed plan
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want,
+        s"codegen: ${in.map(_.toInt)} -> ${got(in).map(_.toInt)} wanted ${want.map(_.toInt)}")
+    }
+    // interpreted path (eval without codegen)
+    cases.foreach { case (in, want) =>
+      val e = NfcNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          org.apache.spark.unsafe.types.UTF8String.fromString(in),
+          org.apache.spark.sql.types.StringType))
+      assert(e.eval(null).toString == want, s"interpreted: $in")
+    }
+    // null propagates
+    val withNull = Seq[Option[String]](None).map(_.orNull).toDF("s")
+      .select(NfcNormalize(col("s"))).collect()
+    assert(withNull.head.isNullAt(0))
+  }
 }

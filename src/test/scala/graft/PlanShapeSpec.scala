@@ -256,4 +256,26 @@ class PlanShapeSpec extends SparkTestBase {
       Skew.saltedEquiJoin(fact, dim, "k", "row_id", salts = 4, joinType = "full")
     }
   }
+
+  test("q177 bloom prefilter cuts probe rows before the join, keeps every match") {
+    // observe() metrics ride the real execution: rows_in = full lineitem,
+    // rows_out = survivors of the map-side bit tests. The cut must be
+    // large (selective build side) and lossless (n_items over the bloom
+    // path == n_items over the plain join — no false negatives, ever).
+    val df = SparkEntry.queries("q177_bloom_semijoin")(spark, sf)
+    val rows = df.collect()
+    val metrics = df.queryExecution.observedMetrics
+    val in = metrics("bloom_probe_in").getAs[Long]("rows_in")
+    val out = metrics("bloom_probe_out").getAs[Long]("rows_out")
+    assert(in > 0 && out < in / 2,
+      s"bloom prefilter did not reduce probe volume: $in -> $out")
+    val nBloom = rows.map(_.getAs[Long]("n_items")).sum
+    val sel = sources.Tables.orders(spark, sf).filter(col("o_totalprice") > 450000.0)
+    val nPlain = sources.Tables.lineitem(spark, sf)
+      .join(sel, col("l_orderkey") === col("o_orderkey")).count()
+    assert(nBloom == nPlain, s"bloom path lost rows: $nBloom != $nPlain")
+    // FPR sanity: survivors beyond true matches are bloom false positives;
+    // with m=65536,k=3 over ~1.5k keys they should be a tiny fraction
+    assert(out - nPlain <= in / 100, s"false-positive volume too high: $out vs $nPlain")
+  }
 }
