@@ -371,5 +371,65 @@ object CurationQueries {
              |       CAST(length(norm) AS INT) AS len_norm
              |FROM n ORDER BY doc_id ASC""".stripMargin),
       "Unicode NFC canonicalization via custom codegen Expression, dual-implementation gate"),
+
+    // ------------------------------------------------------------------
+    // q179: corpus-level repeated-chunk removal — the C4 "deduplicate
+    // lines across the corpus" pass (Raffel et al., JMLR 2020 §2.2),
+    // at sub-document granularity: the unit is a 10-token chunk, every
+    // occurrence is cut EXCEPT the globally-first one (min (doc_id, ci) —
+    // C4's keep-one-occurrence rule made deterministic), and surviving
+    // chunks reassemble in position order. This is the tier between
+    // whole-doc dedup (q34) and exact-span dedup (q175): cheaper than
+    // spans (no pair join — chunk boundaries are fixed, so one groupBy
+    // elects a canonical occurrence and one 1:1-per-occurrence join
+    // applies the verdict; NEVER a k² bucket blowup, so no cap needed),
+    // coarser (misses shifted duplicates, which is exactly what q175
+    // exists for). 100 TB: two corpus-sized shuffles (chunk hash, doc
+    // reassembly), both linear.
+    GQuery(
+      "q179_chunk_dedup",
+      (s, d) => {
+        val chunks = Tables.spread(Tables.documents(s, d), col("doc_id"))
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), posexplode(
+            expr("transform(sequence(0, CAST(ceil(size(ws)/10.0) AS INT) - 1)," +
+              " i -> array_join(slice(ws, i*10+1, 10), ' '))")).as(Seq("ci", "chunk")))
+          // consumed by the canonical election AND the verdict join
+          .localCheckpoint(false)
+        val canon = chunks.groupBy(col("chunk"))
+          .agg(min(struct(col("doc_id"), col("ci"))).as("c"))
+          .select(col("chunk"), col("c.doc_id").as("cd"), col("c.ci").as("cc"))
+        chunks.join(canon, "chunk")
+          .withColumn("keep", col("doc_id") === col("cd") && col("ci") === col("cc"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            md5(array_join(transform(
+              array_sort(collect_list(when(col("keep"), struct(col("ci"), col("chunk"))))),
+              x => x.getField("chunk")), " ")).as("hash_after"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |chunks AS (
+             |  SELECT doc_id, i AS ci, array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk
+             |  FROM (SELECT doc_id, ws,
+             |          unnest(range(0, CAST(ceil(len(ws)/10.0) AS INT))) AS i
+             |        FROM toks)),
+             |cd AS (SELECT chunk, MIN(doc_id) AS cd FROM chunks GROUP BY chunk),
+             |canon AS (
+             |  SELECT c.chunk, c.cd, MIN(ch.ci) AS cc
+             |  FROM cd c JOIN chunks ch ON ch.chunk = c.chunk AND ch.doc_id = c.cd
+             |  GROUP BY c.chunk, c.cd),
+             |kept AS (
+             |  SELECT ch.doc_id, ch.ci, ch.chunk,
+             |         (ch.doc_id = c.cd AND ch.ci = c.cc) AS keep
+             |  FROM chunks ch JOIN canon c ON ch.chunk = c.chunk)
+             |SELECT doc_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |       md5(COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY ci), ''))
+             |         AS hash_after
+             |FROM kept GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin),
+      "C4-style repeated-chunk removal: global keep-first election, positional reassembly"),
   )
 }

@@ -221,6 +221,97 @@ object IncrementalStatsQueries {
              |FROM ranked
              |GROUP BY n_name
              |ORDER BY n_name ASC""".stripMargin),
-      doc = "Spearman rank correlation per group as exact integers (n, sum d^2)")
+      doc = "Spearman rank correlation per group as exact integers (n, sum d^2)"),
+
+    // ------------------------------------------------------------------
+    // q180: exponentially-weighted moving average per entity — the
+    // standard smoothing pass over an event stream (monitoring, feature
+    // engineering). Doubles would make the fold order-sensitive, so the
+    // recurrence runs in SCALED INTEGERS: acc' = (acc*9) div 10 + x over
+    // milli-scaled values — exact, order-defined, bit-identical
+    // cross-engine (Spark `aggregate` HOF with explicit init = first
+    // element, mirroring DuckDB list_reduce's first-element seed).
+    // Scale shape: one shuffle (groupBy user); the per-user fold is a
+    // local array operation — an entity's history must fit in one task,
+    // the same per-key-state contract as mapGroupsWithState (q136).
+    GQuery(
+      "q180_ewma",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("CAST(floor(value * 1000) AS BIGINT)").as("x"))
+        ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            expr("transform(array_sort(collect_list(struct(ts, event_id, x)))," +
+              " s -> s.x)").as("xs"))
+          .select(col("user_id"), col("n_events"),
+            expr("aggregate(slice(xs, 2, CAST(size(xs) AS INT) - 1)," +
+              " element_at(xs, 1), (acc, x) -> (acc * 9) div 10 + x)").as("ewma_milli"),
+            expr("element_at(xs, -1)").as("last_x"))
+          .orderBy(col("user_id").asc)
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id,
+             |         CAST(floor(value * 1000) AS BIGINT) AS x
+             |  FROM events),
+             |l AS (
+             |  SELECT user_id, COUNT(*) AS n, list(x ORDER BY ts, event_id) AS xs
+             |  FROM o GROUP BY user_id)
+             |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+             |       CAST(list_reduce(xs, (acc, x) -> (acc * 9) // 10 + x) AS BIGINT)
+             |         AS ewma_milli,
+             |       CAST(xs[-1] AS BIGINT) AS last_x
+             |FROM l ORDER BY user_id ASC""".stripMargin),
+      doc = "per-entity EWMA as an integer-exact fold (alpha=0.1, milli-scaled)"),
+
+    // ------------------------------------------------------------------
+    // q181: CUSUM level-shift detection per entity (Page, Biometrika
+    // 1954): deviations from the global mean accumulate in an ordered
+    // prefix sum; the max/min of that walk and the FIRST index attaining
+    // the max locate an upward level shift. Everything is integer
+    // (milli-scaled values, integer global mean via div, integer prefix
+    // sums) so the walk is bit-identical cross-engine. Scale shape: the
+    // 1-row global mean broadcasts; prefix sums partition per user —
+    // no global window anywhere.
+    GQuery(
+      "q181_cusum_shift",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("CAST(floor(value * 1000) AS BIGINT)").as("x"))
+        val mu = ev.agg(expr("sum(x) div count(*)").as("mu"))
+        ev.crossJoin(broadcast(mu)) // 1-row side
+          .withColumn("i", row_number().over(w))
+          .withColumn("s", sum(col("x") - col("mu")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("max_s", max(col("s")).over(Window.partitionBy(col("user_id"))))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            max(col("s")).as("cusum_max"),
+            min(col("s")).as("cusum_min"),
+            min(when(col("s") === col("max_s"), col("i"))).as("cp_idx"))
+          .orderBy(col("user_id").asc)
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id,
+             |         CAST(floor(value * 1000) AS BIGINT) AS x
+             |  FROM events),
+             |m AS (SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu FROM o),
+             |p AS (
+             |  SELECT user_id,
+             |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+             |         SUM(x - mu) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS s
+             |  FROM o CROSS JOIN m),
+             |x AS (SELECT *, MAX(s) OVER (PARTITION BY user_id) AS max_s FROM p)
+             |SELECT user_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       CAST(MAX(s) AS BIGINT) AS cusum_max,
+             |       CAST(MIN(s) AS BIGINT) AS cusum_min,
+             |       CAST(MIN(CASE WHEN s = max_s THEN i END) AS INT) AS cp_idx
+             |FROM x GROUP BY user_id ORDER BY user_id ASC""".stripMargin),
+      doc = "CUSUM level-shift stats per entity: integer prefix walk, first-argmax index")
   )
 }
