@@ -131,4 +131,33 @@ class CurationSpec extends SparkTestBase {
       .select(NfcNormalize(col("s"))).collect()
     assert(withNull.head.isNullAt(0))
   }
+
+  test("q179 chunk dedup: keep-one-occurrence law and lossless reassembly") {
+    val rows = q("q179_chunk_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, k, _) =>
+      assert(k >= 0 && k <= n, s"doc $id kept $k of $n")
+    }
+    // exactly one occurrence of each distinct chunk survives corpus-wide
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nDistinctChunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(0, CAST(ceil(size(ws)/10.0) AS INT) - 1)," +
+          " i -> array_join(slice(ws, i*10+1, 10), ' '))")).as("chunk"))
+      .select(countDistinct(col("chunk"))).as[Long].collect().head
+    assert(rows.map(_._3).sum == nDistinctChunks,
+      s"kept ${rows.map(_._3).sum} != distinct $nDistinctChunks")
+    // a doc that lost nothing reassembles to its original text, exactly
+    val texts = docs.select(col("doc_id"), md5(col("text")))
+      .as[(Long, String)].collect().toMap
+    val intact = rows.filter(r => r._2 == r._3)
+    assert(intact.nonEmpty, "fixture has no fully-unique doc — law untestable")
+    intact.foreach { case (id, _, _, h) =>
+      assert(h == texts(id), s"doc $id reassembly drifted from original")
+    }
+    // the fixture's planted near-dup groups must actually lose chunks
+    assert(rows.exists(r => r._3 < r._2), "no chunk was ever deduplicated")
+  }
 }

@@ -108,4 +108,45 @@ class IncrementalStatsSpec extends SparkTestBase {
     val row = rows.find(_.getString(0) == name).get
     assert(row.getLong(2) === d2, s"$name Σd² mismatch")
   }
+
+  test("q180 EWMA equals a driver-side fold for every user (integer recurrence parity)") {
+    val got = q("q180_ewma").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"), // NTZ → µs, UTC session
+        col("event_id"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("x"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    events.groupBy(_._1).foreach { case (uid, rows) =>
+      val xs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      val want = xs.tail.foldLeft(xs.head)((acc, x) => (acc * 9) / 10 + x)
+      val (n, ewma, last) = got(uid)
+      assert(n == xs.length && ewma == want && last == xs.last,
+        s"user $uid: got ($n,$ewma,$last) want (${xs.length},$want,${xs.last})")
+    }
+  }
+
+  test("q181 CUSUM walk parity and changepoint index bounds") {
+    val got = q("q181_cusum_shift").collect()
+    assert(got.nonEmpty)
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+        col("event_id"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("x")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val mu = events.map(_._4).sum / events.length
+    val byUser = events.groupBy(_._1)
+    got.foreach { r =>
+      val (uid, n, mx, mn, cp) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      val xs = byUser(uid).sortBy(e => (e._2, e._3)).map(_._4)
+      val walk = xs.scanLeft(0L)(_ + _ - mu).tail
+      assert(n == xs.length)
+      assert(mx == walk.max && mn == walk.min, s"user $uid walk extremes")
+      assert(cp == walk.indexOf(walk.max) + 1, s"user $uid cp_idx: first argmax")
+    }
+  }
 }
