@@ -44,7 +44,8 @@ object QueryRegistry {
       graft.queries.MatrixQueries.all ++
       graft.queries.IncrementalStatsQueries.all ++
       graft.queries.RecsAndInfoQueries.all ++
-      graft.queries.SpanDedupQueries.all
+      graft.queries.SpanDedupQueries.all ++
+      graft.queries.LayoutQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

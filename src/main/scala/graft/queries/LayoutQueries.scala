@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.GQuery
+import graft.sources.Tables
+
+/** Data-layout lifecycle operators (SURVEY.md §2.1 extension): the table-
+  * maintenance jobs every long-lived 100 TB lake needs around the query
+  * engine proper — small-file compaction, schema-evolution reads, and
+  * ANALYZE-style column statistics. The reference's `Table`/`Schema` layer
+  * (`src/table.rs`, `src/schema.rs`) fixes ONE width-checked schema per
+  * table and keeps all blocks in memory, so none of these lifecycle
+  * concerns exist there; at lake scale they are daily jobs.
+  *
+  * Correctness model: each query's OUTPUT is derived only from the
+  * round-tripped/derived data, while the DuckDB oracle recomputes the same
+  * answer from the ORIGINAL fixture table — so the gate proves the layout
+  * operation preserved content exactly (compaction), merged schemas with
+  * the documented null-fill rule (evolution), or measured the stats the
+  * optimizer would consume (ANALYZE). Physical-layout assertions that SQL
+  * cannot see (file counts, rows-per-file caps) are pinned by LayoutSpec.
+  */
+object LayoutQueries {
+
+  private def tmpDir(name: String, d: String): String =
+    s"/tmp/graft_${name}_${d.replaceAll("[^0-9.]", "")}_${ProcessHandle.current.pid}"
+
+  def all: Seq[GQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // q182: small-file compaction — the OPTIMIZE job. A fragmented write
+    // (64 shuffled files here; in production: thousands of per-micro-batch
+    // or per-ingest-task files) is rewritten as a range-clustered layout:
+    // repartitionByRange on the natural sort key (range exchange =
+    // sampled bounds, so output files tile the key space — scans with key
+    // predicates prune whole files via parquet min/max footers) +
+    // sortWithinPartitions (rowgroup-level clustering) + maxRecordsPerFile
+    // (bounds the straggler file; at 100 TB the partition count would be
+    // ceil(bytes / targetFileSize) instead of a constant, and AQE
+    // coalesces the small tail). The gate reads ONLY the compacted output
+    // and must reproduce the source-table answer bit-for-bit — compaction
+    // that drops/dups/mangles a row fails the hash. LayoutSpec pins the
+    // physical claims: fewer files out than in, every file under the
+    // record cap, one contiguous doc_id range per file.
+    GQuery(
+      "q182_compaction",
+      (s, d) => {
+        val tmp = tmpDir("compact", d)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$tmp/frag")
+        val frag = s.read.parquet(s"$tmp/frag")
+        frag.repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", "400")
+          .parquet(s"$tmp/compact")
+        s.read.parquet(s"$tmp/compact")
+          .groupBy(expr("doc_id div 100").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            md5(concat_ws("", sort_array(collect_list(md5(col("text")))))).as("content_md5"))
+          .orderBy(col("bucket").asc)
+      },
+      Some("""SELECT doc_id // 100 AS bucket,
+             |       COUNT(*) AS n_docs,
+             |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |       md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_md5
+             |FROM documents GROUP BY 1 ORDER BY bucket ASC""".stripMargin),
+      "small-file compaction: fragmented write -> range-clustered capped files, content-exact"),
+
+    // ------------------------------------------------------------------
+    // q183: schema-evolution read — batches written before a column
+    // existed union with batches written after. mergeSchema=true widens
+    // the footer union across files; the missing column null-fills (the
+    // lake contract Delta/Iceberg formalize; plain parquet dirs get it
+    // from the reader). The oracle replays the same split rule against
+    // the source table, so the null-fill semantics — not just row counts —
+    // are hash-gated. Scale: schema merge reads ONE footer per file
+    // (driver-side listing, no data scan) and the union is planned as a
+    // single scan over both directories — no per-batch job.
+    GQuery(
+      "q183_schema_evolution",
+      (s, d) => {
+        val tmp = tmpDir("evolve", d)
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/v1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$tmp/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+          .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>")).as("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+            sum(col("o_orderkey")).as("sum_keys"))
+          .orderBy(col("priority").asc)
+      },
+      Some("""SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+             |            ELSE '<pre-schema>' END AS priority,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+             |FROM orders GROUP BY 1 ORDER BY priority ASC""".stripMargin),
+      "schema evolution: mergeSchema union read, null-fill for pre-schema batches"),
+
+    // ------------------------------------------------------------------
+    // q184: ANALYZE-style column statistics in ONE scan — the CBO input
+    // (row count, per-column null count, exact NDV, min/max) that drives
+    // broadcast-vs-shuffle and join-order decisions. All four columns'
+    // distinct counts run in a single aggregate: Catalyst plans multi-
+    // distinct via Expand (input ×4 here), the standard exact-ANALYZE
+    // shape; a 100 TB nightly stats job swaps exact NDV for HLL++ (the
+    // q06-gated path) to stay single-pass without the Expand multiplier.
+    // Numeric min/max surface as cent-scaled BIGINTs — exact cross-engine,
+    // no double-formatting drift. The stats unpivot to one row per column
+    // via stack() (single-scan Expand, same as q107).
+    GQuery(
+      "q184_col_stats",
+      (s, d) => {
+        def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+        def cents(aggSql: String) = expr(s"CAST(round(($aggSql) * 100) AS BIGINT)")
+        Tables.lineitem(s, d)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            nulls("l_quantity").as("qty_nulls"),
+            countDistinct(col("l_quantity")).as("qty_ndv"),
+            cents("min(l_quantity)").as("qty_min"),
+            cents("max(l_quantity)").as("qty_max"),
+            nulls("l_discount").as("disc_nulls"),
+            countDistinct(col("l_discount")).as("disc_ndv"),
+            cents("min(l_discount)").as("disc_min"),
+            cents("max(l_discount)").as("disc_max"),
+            nulls("l_orderkey").as("ok_nulls"),
+            countDistinct(col("l_orderkey")).as("ok_ndv"),
+            cents("min(l_orderkey)").as("ok_min"),
+            cents("max(l_orderkey)").as("ok_max"),
+            nulls("l_returnflag").as("rf_nulls"),
+            countDistinct(col("l_returnflag")).as("rf_ndv"),
+            cents("min(ascii(l_returnflag))").as("rf_min"),
+            cents("max(ascii(l_returnflag))").as("rf_max"))
+          .select(col("n_rows"), expr(
+            """stack(4,
+              |  'l_discount',   disc_nulls, disc_ndv, disc_min, disc_max,
+              |  'l_orderkey',   ok_nulls,   ok_ndv,   ok_min,   ok_max,
+              |  'l_quantity',   qty_nulls,  qty_ndv,  qty_min,  qty_max,
+              |  'l_returnflag', rf_nulls,   rf_ndv,   rf_min,   rf_max)
+              |  AS (col_name, n_nulls, ndv, min_cents, max_cents)""".stripMargin))
+          .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
+            col("min_cents"), col("max_cents"))
+          .orderBy(col("col_name").asc)
+      },
+      Some("""WITH s AS (
+             |  SELECT COUNT(*) AS n_rows,
+             |         SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+             |         COUNT(DISTINCT l_quantity) AS qty_ndv,
+             |         CAST(round(MIN(l_quantity)*100) AS BIGINT) AS qty_min,
+             |         CAST(round(MAX(l_quantity)*100) AS BIGINT) AS qty_max,
+             |         SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS disc_nulls,
+             |         COUNT(DISTINCT l_discount) AS disc_ndv,
+             |         CAST(round(MIN(l_discount)*100) AS BIGINT) AS disc_min,
+             |         CAST(round(MAX(l_discount)*100) AS BIGINT) AS disc_max,
+             |         SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS ok_nulls,
+             |         COUNT(DISTINCT l_orderkey) AS ok_ndv,
+             |         CAST(round(MIN(l_orderkey)*100) AS BIGINT) AS ok_min,
+             |         CAST(round(MAX(l_orderkey)*100) AS BIGINT) AS ok_max,
+             |         SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS rf_nulls,
+             |         COUNT(DISTINCT l_returnflag) AS rf_ndv,
+             |         CAST(round(MIN(ascii(l_returnflag))*100) AS BIGINT) AS rf_min,
+             |         CAST(round(MAX(ascii(l_returnflag))*100) AS BIGINT) AS rf_max
+             |  FROM lineitem)
+             |SELECT u.col_name, s.n_rows,
+             |       CAST(u.n_nulls AS BIGINT) AS n_nulls,
+             |       CAST(u.ndv AS BIGINT) AS ndv,
+             |       u.min_cents, u.max_cents
+             |FROM s, (
+             |  SELECT 'l_discount' AS col_name, disc_nulls AS n_nulls, disc_ndv AS ndv,
+             |         disc_min AS min_cents, disc_max AS max_cents FROM s
+             |  UNION ALL
+             |  SELECT 'l_orderkey', ok_nulls, ok_ndv, ok_min, ok_max FROM s
+             |  UNION ALL
+             |  SELECT 'l_quantity', qty_nulls, qty_ndv, qty_min, qty_max FROM s
+             |  UNION ALL
+             |  SELECT 'l_returnflag', rf_nulls, rf_ndv, rf_min, rf_max FROM s) u
+             |ORDER BY col_name ASC""".stripMargin),
+      "ANALYZE in one scan: per-column null/NDV/min/max stats via multi-distinct agg + stack"),
+  )
+}
