@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.GQuery
@@ -380,5 +381,72 @@ object ScaleQueries {
              |WHERE o_totalprice > 450000.0
              |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin),
       "bloom-filter semi-join reduction: relational bitset build, map-side probe prefilter"),
+
+    // ------------------------------------------------------------------
+    // q185: canonical-document selection — the dedup APPLICATION step
+    // that q81 (pairs → clusters) feeds: within each near-dup cluster
+    // keep the single best member by a deterministic integer quality key
+    // (distinct-token count, then n_chars, then lowest doc_id — exact
+    // cross-engine, no float score). This is document survivorship: the
+    // q129 rule-cascade shape specialized to corpus curation, where
+    // "best" means richest text rather than freshest record. Scale: the
+    // cluster assignment is q81's O(log²n) star pipeline; the election
+    // adds ONE window over clusters (partitioned by cluster — never
+    // global) and an aggregation, both on the cluster-sized (tiny
+    // relative to corpus) membership table.
+    GQuery(
+      "q185_canonical_docs",
+      (s, d) => {
+        val pairs = graft.functions.MinHash.nearDuplicatePairs(
+          Tables.documents(s, d), "doc_id", "text", shingleSize = 3, threshold = 0.5)
+        val comp = graft.functions.Components.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("comp").as("cluster"))
+        val scored = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"))
+        val w = Window.partitionBy(col("cluster")).orderBy(
+          col("n_distinct_tokens").desc, col("n_chars").desc, col("doc_id").asc)
+        comp.join(scored, "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            min(when(col("rk") === 1, col("doc_id"))).as("keep_doc"),
+            sum(when(col("rk") =!= 1, col("n_chars")).otherwise(0L)).as("dropped_chars"))
+          .orderBy(col("cluster").asc)
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id,
+             |         list_distinct(list_transform(range(1, len(ws)-1),
+             |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sset
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+             |  WHERE len(ws) >= 3),
+             |edges AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(a.sset, b.sset))) >= 0.5),
+             |reach(a, b) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+             |comp AS (
+             |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+             |  FROM reach GROUP BY a),
+             |scored AS (
+             |  SELECT c.cluster, d.doc_id, d.n_chars,
+             |         CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT)
+             |           AS n_distinct_tokens
+             |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+             |ranked AS (
+             |  SELECT cluster, doc_id, n_chars,
+             |         ROW_NUMBER() OVER (PARTITION BY cluster
+             |           ORDER BY n_distinct_tokens DESC, n_chars DESC, doc_id ASC) AS rk
+             |  FROM scored)
+             |SELECT cluster,
+             |       CAST(COUNT(*) AS BIGINT) AS n_members,
+             |       MIN(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc,
+             |       CAST(SUM(CASE WHEN rk <> 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             |         AS dropped_chars
+             |FROM ranked GROUP BY cluster ORDER BY cluster ASC""".stripMargin),
+      "canonical doc per near-dup cluster: integer quality election, survivorship for corpora"),
   )
 }

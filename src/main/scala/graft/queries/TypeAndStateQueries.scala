@@ -223,5 +223,31 @@ object TypeAndStateQueries {
              |       CAST(first_id * 7 AS BIGINT) AS v
              |FROM kept ORDER BY event_id ASC""".stripMargin),
       "streaming dedup via the real micro-batch engine == relational first-occurrence"),
+
+    // ------------------------------------------------------------------
+    // q186: event-time TIMER sessionization through the real micro-batch
+    // engine — the transformWithState timer tier (registerTimer /
+    // handleExpiredTimer), which no batch query can exercise. The
+    // deterministic 20-user × 10-round construction (60 s within a
+    // session, +1 h every 5th round, 30 min gap rule) yields exactly 40
+    // sessions; even users' last session closes by in-batch rotation,
+    // odd users' ONLY by the watermark-driven timer (the unbounded-stream
+    // endgame where no successor event ever comes). The oracle recomputes
+    // the same sessions from the id arithmetic — see
+    // EventStreams.streamSessionGate for the batch/watermark layout.
+    GQuery(
+      "q186_stream_sessions",
+      (s, _) => graft.streaming.EventStreams.streamSessionGate(s),
+      Some("""WITH ids AS (SELECT range AS id FROM range(0, 200)),
+             |ev AS (SELECT id % 20 AS user_id, id // 20 AS round FROM ids),
+             |g AS (SELECT user_id, round // 5 AS sess,
+             |        1700000000 + round*60 + (round//5)*3600 AS ts_s FROM ev)
+             |SELECT CAST(user_id AS BIGINT) AS user_id,
+             |       CAST(MIN(ts_s) AS BIGINT) AS session_start_s,
+             |       CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(MAX(ts_s) AS BIGINT) AS last_s
+             |FROM g GROUP BY user_id, sess
+             |ORDER BY user_id ASC, session_start_s ASC""".stripMargin),
+      "event-time timer sessionization (rotation + timer close paths) == id-arithmetic oracle"),
   )
 }

@@ -227,6 +227,151 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Event-time-timer sessionization (the §2.10 timer tier of
+    * transformWithState, complementing [[UserProfileProcessor]]'s
+    * NoTimeout ValueState): per-user sessions close EITHER when a
+    * later event exceeds the gap (in-batch rotation — the fast path,
+    * since with a short watermark delay the next session's first event
+    * usually arrives before the watermark passes the old session's
+    * expiry) OR when the event-time watermark passes last+gap with no
+    * successor (the timer path — the only way a user's FINAL session
+    * ever closes on an unbounded stream). Every input batch re-arms the
+    * user's single timer (listTimers → deleteTimer → registerTimer), so
+    * no stale timer can fire against a newer session; the expiry guard
+    * in [[handleExpiredTimer]] is defense in depth.
+    *
+    * Scale: state is one (start,last,n) triple per ACTIVE user, sharded
+    * by the shuffle key and freed on session close — the bounded-state
+    * contract that keeps unbounded sessionization viable; timers live in
+    * the same keyed state store.
+    */
+  case class SessEvent(user_id: Long, ts_s: Long)
+  case class SessState(start_s: Long, last_s: Long, n: Long)
+  case class SessionRow(user_id: Long, session_start_s: Long, n: Long, last_s: Long)
+
+  class SessionTimerProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEvent, SessionRow] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessState]("session",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long,
+        rows: Iterator[SessEvent],
+        timerValues: TimerValues): Iterator[SessionRow] = {
+      // intra-batch arrival order is not a contract: sort this user's
+      // slice by event time before folding (a batch is bounded by design)
+      val evs = rows.toSeq.sortBy(_.ts_s)
+      val closed = scala.collection.mutable.ArrayBuffer[SessionRow]()
+      var cur = if (state.exists()) Option(state.get()) else None
+      evs.foreach { e =>
+        cur match {
+          case Some(c) if e.ts_s - c.last_s <= gapSeconds =>
+            cur = Some(SessState(c.start_s, e.ts_s, c.n + 1))
+          case Some(c) => // gap exceeded: rotate, emit the closed session
+            closed += SessionRow(uid, c.start_s, c.n, c.last_s)
+            cur = Some(SessState(e.ts_s, e.ts_s, 1))
+          case None =>
+            cur = Some(SessState(e.ts_s, e.ts_s, 1))
+        }
+      }
+      cur.foreach { c =>
+        state.update(c)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((c.last_s + gapSeconds) * 1000L)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(
+        uid: Long,
+        timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionRow] = {
+      if (state.exists()) {
+        val c = state.get()
+        // guard: only close if THIS session's expiry is what fired (a
+        // stale timer against a rotated session must be a no-op)
+        if ((c.last_s + gapSeconds) * 1000L <= expired.getExpiryTimeInMs) {
+          state.clear()
+          return Iterator.single(SessionRow(uid, c.start_s, c.n, c.last_s))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  // per-run memory-sink name for the session gate, same convention as the
+  // dedup gate below
+  private val sessRunN = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Timer-based sessionization through the REAL micro-batch engine,
+    * driver-gated like [[streamDedupGate]]. The deterministic construction:
+    * 20 users × 10 real rounds (one event per user per round; 60 s between
+    * rounds, +1 h every 5th round ⇒ exactly two 5-event sessions per user
+    * with a 30 min gap rule), then two sentinel rounds carried by EVEN
+    * users only (far-future timestamps, 60 s apart so they extend one
+    * still-open sentinel session and never rotate). The sentinels exist to
+    * advance the GLOBAL event-time watermark: even users' final real
+    * session closes by in-batch rotation when sentinel-1 arrives, while
+    * odd users — who never see another event, the unbounded-stream
+    * endgame — close via [[SessionTimerProcessor]]'s registered timer
+    * when batch 3 runs under the sentinel-advanced watermark. Both close
+    * paths therefore execute, and the emitted set is EXACTLY the 40 real
+    * sessions, which the DuckDB oracle recomputes from the same id
+    * arithmetic (sentinel sessions stay open and are never emitted).
+    *
+    * rowsPerBatch=110 pins the batch layout: [0,110) real rounds 0–5,
+    * [110,220) rounds 5–9 + sentinel-1, [220,240) sentinel-2 — the batch
+    * that runs AFTER the watermark jump and fires the odd users' timers.
+    */
+  def streamSessionGate(spark: SparkSession, users: Long = 20): DataFrame = {
+    import spark.implicits._
+    val raw = spark.readStream.format("graft.sources.GraftStreamSource")
+      .option("maxRows", (users * 12).toString)
+      .option("rowsPerBatch", (users * 11 / 2).toString)
+      .load()
+    val ev = raw
+      .select((col("id") % users).as("user_id"), expr(s"id div $users").as("round"))
+      // sentinel rounds (10, 11) ride with even users only; odd users'
+      // sentinel ids are dropped BEFORE the watermark so they influence
+      // nothing
+      .filter(!(col("round") >= 10 && col("user_id") % 2 === 1))
+      .select(col("user_id"),
+        when(col("round") < 10,
+          lit(1700000000L) + col("round") * 60 + expr("round div 5") * 3600)
+          .otherwise(lit(1700000000L + 315360000L) + (col("round") - 10) * 60)
+          .as("ts_s"))
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withWatermark("ts", "10 seconds")
+      .select(col("user_id"), col("ts_s")).as[SessEvent]
+    val sessions = ev.groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapSeconds = 1800L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[SessionRow])
+    val name = s"stream_sessions_${sessRunN.incrementAndGet()}"
+    // transformWithState keeps timers in their own column family — only
+    // the RocksDB provider supports that (the HDFS-backed default hard-
+    // rejects it). Scoped set/restore: the conf is read at query START,
+    // so this cannot retroactively affect other running streams.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sunk =
+      try runToMemory(sessions.toDF(), name, "append")
+        .orderBy(col("user_id").asc, col("session_start_s").asc)
+      finally prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    val out = sunk.localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Run a streaming query over a bounded directory to completion using the
     * memory sink; returns the materialized result. Test/driver utility —
     * production sinks are writeStream.parquet/kafka with checkpoints.

@@ -40,6 +40,29 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("q182 layout enables row-group pruning: key predicate reads a fraction of the rows") {
+    // the compacted layout from the previous test: 4 range-partitioned,
+    // within-sorted files => parquet footer min/max stats are tight per
+    // row group, so a key-range predicate prunes whole row groups at scan
+    // time — the read-side payoff compaction exists for
+    val tmp = s"/tmp/graft_compact_${sf.replaceAll("[^0-9.]", "")}_${ProcessHandle.current.pid}"
+    if (!new java.io.File(s"$tmp/compact").isDirectory)
+      queries.LayoutQueries.all.find(_.name == "q182_compaction").get.fn(spark, sf).collect()
+    val total = spark.read.parquet(s"$tmp/compact").count()
+    val cut = spark.read.parquet(s"$tmp/compact")
+      .agg(min(col("doc_id"))).head.getLong(0) + total / 8
+    val pruned = spark.read.parquet(s"$tmp/compact").filter(col("doc_id") <= cut)
+    pruned.collect()
+    val scanRows = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numOutputRows").value
+    }.sum
+    assert(scanRows > 0, "expected a FileSourceScanExec with metrics")
+    assert(scanRows <= total / 2,
+      s"range predicate over the clustered layout should prune most row groups: " +
+        s"scan emitted $scanRows of $total rows")
+  }
+
   test("q183 schema evolution: merged schema has the evolved column, v1 rows null-fill") {
     val tmp = s"/tmp/graft_evolve_${sf.replaceAll("[^0-9.]", "")}_${ProcessHandle.current.pid}"
     queries.LayoutQueries.all.find(_.name == "q183_schema_evolution").get

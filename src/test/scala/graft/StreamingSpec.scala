@@ -293,4 +293,20 @@ class StreamingSpec extends SparkTestBase {
     val got = EventStreams.runToMemory(dedup, "t_dedup", "complete")
     assert(got.filter(col("count") > 1).count() == 0)
   }
+
+  test("timer sessionization: rotation AND timer close paths both emit (q186 construction)") {
+    val out = EventStreams.streamSessionGate(spark).collect()
+    // 20 users × 2 real sessions, sentinel sessions never emitted
+    assert(out.length == 40, s"expected 40 closed sessions, got ${out.length}")
+    assert(out.forall(_.getLong(2) == 5L), "every real session has exactly 5 events")
+    // odd users receive no sentinel: their SECOND session (start =
+    // base + 5·60 + 3600) can only close via handleExpiredTimer firing
+    // under the sentinel-advanced watermark — its presence proves the
+    // timer path executed, not just in-batch rotation
+    val secondStart = 1700000000L + 5 * 60 + 3600
+    val oddTimerClosed = out.filter(r =>
+      r.getLong(0) % 2 == 1 && r.getLong(1) == secondStart)
+    assert(oddTimerClosed.length == 10,
+      s"all 10 odd users' final sessions must close via the timer path, got ${oddTimerClosed.length}")
+  }
 }
