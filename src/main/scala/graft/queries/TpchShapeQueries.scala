@@ -27,6 +27,11 @@ import graft.sources.Tables
   * Money math follows the proven exact-cents pattern (q104): doubles →
   * round(x·100) BIGINT cents before any arithmetic, so both engines compare
   * exact integers.
+  *
+  * q187–q191 (round 6) complete the sweep with the remaining expressible
+  * shapes — Q5, Q10, Q14, Q8, Q9-adapted — through the DataFrame API
+  * (declarative-plan path), dims broadcast and one fact shuffle each;
+  * partsupp-dependent Q11/Q16 have no source relation in this fixture.
   */
 object TpchShapeQueries {
 
@@ -337,5 +342,261 @@ object TpchShapeQueries {
              |GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate
              |ORDER BY total_qty DESC, o_orderkey ASC""".stripMargin),
       "TPC-H Q18 shape: IN over grouped HAVING rewritten to aggregate + semi join"),
+
+    // ------------------------------------------------------------------
+    // q187–q191 complete the TPC-H shape sweep (Q5, Q10, Q14, Q8, Q9-
+    // adapted; with q104/q102/q65/q66/q76-78/q131-134/q142/q164/q165 the
+    // suite now exercises every TPC-H query shape the fixture schema can
+    // express — partsupp-dependent Q11/Q16 have no source relation).
+    // These five run through the DataFrame API (the q131–q134 wave covers
+    // the SQL→decorrelation path; this wave pins the declarative-plan
+    // path): dimension sides broadcast explicitly, fact-side filters
+    // applied before every join, money in exact integer cents.
+    //
+    // q187 / Q5 shape: local-supplier volume — the 6-way join where
+    // customer and supplier must share a nation (an extra equi conjunct
+    // BETWEEN the two dimension legs, not a star join), region-filtered
+    // through nation→region, year-filtered on orders. 100 TB: lineitem is
+    // the only big side; all dims broadcast; the c↔s nation conjunct
+    // rides the existing hash keys — no extra shuffle.
+    GQuery(
+      "q187_region_volume",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val cents = expr("CAST(round(l_extendedprice*100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount*100) AS BIGINT))")
+        val asia = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), cents.as("c"))
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ntzLit("1996-01-01") && col("o_orderdate") < ntzLit("1997-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("c")).as("revenue_c"), count(lit(1)).as("n_items"))
+          .orderBy(col("revenue_c").desc, col("n_name").asc)
+      },
+      Some("""SELECT n.n_name,
+             |       CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             |            * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT)
+             |         AS revenue_c,
+             |       COUNT(*) AS n_items
+             |FROM lineitem l
+             |JOIN orders o    ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c  ON o.o_custkey = c.c_custkey
+             |JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+             |                AND c.c_nationkey = s.s_nationkey
+             |JOIN nation n    ON s.s_nationkey = n.n_nationkey
+             |JOIN region r    ON n.n_regionkey = r.r_regionkey
+             |WHERE r.r_name = 'ASIA'
+             |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+             |GROUP BY n.n_name
+             |ORDER BY revenue_c DESC, n_name ASC""".stripMargin),
+      "TPC-H Q5 shape: 6-way join with cross-dimension nation conjunct, dims broadcast"),
+
+    // ------------------------------------------------------------------
+    // q188 / Q10 shape: returned-item customer ranking — who returned the
+    // most revenue in a quarter. Fact filtered on BOTH legs (order date,
+    // return flag) before the join; top-20 via TakeOrdered (no global
+    // sort at 100 TB), tie-broken on custkey for determinism.
+    GQuery(
+      "q188_returned_customers",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        import graft.ops.Relational._
+        val cents = expr("CAST(round(l_extendedprice*100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount*100) AS BIGINT))")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ntzLit("1997-01-01") && col("o_orderdate") < ntzLit("1997-04-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), cents.as("c"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("c")).as("returned_c"))
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("returned_c"))
+          .topK(20, col("returned_c").desc, col("c_custkey").asc)
+      },
+      Some("""SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+             |       CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             |            * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT)
+             |         AS returned_c
+             |FROM lineitem l
+             |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |WHERE l.l_returnflag = 'R'
+             |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+             |GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+             |ORDER BY returned_c DESC, c_custkey ASC LIMIT 20""".stripMargin),
+      "TPC-H Q10 shape: filtered fact join + top-20 revenue ranking via TakeOrdered"),
+
+    // ------------------------------------------------------------------
+    // q189 / Q14 shape: promo revenue share in one month — conditional
+    // aggregation in a single pass (no second scan for the denominator).
+    // Numerator and denominator emitted as exact cent integers alongside
+    // the derived share so the gate pins the division inputs, not just
+    // the rounded quotient.
+    GQuery(
+      "q189_promo_share",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val cents = expr("CAST(round(l_extendedprice*100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount*100) AS BIGINT))")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ntzLit("1997-06-01") && col("l_shipdate") < ntzLit("1997-07-01"))
+          .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", cents).otherwise(lit(0L))).as("promo_c"),
+            sum(cents).as("total_c"))
+          .select(col("promo_c"), col("total_c"),
+            (col("promo_c").cast("double") * 100.0 / col("total_c")).as("promo_share_pct"))
+      },
+      Some("""SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+             |                THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+             |                     * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+             |                ELSE 0 END) AS BIGINT) AS promo_c,
+             |       CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             |            * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT)
+             |         AS total_c,
+             |       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+             |                THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+             |                     * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+             |                ELSE 0 END) AS DOUBLE) * 100.0 /
+             |       SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             |            * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+             |         AS promo_share_pct
+             |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+             |  AND l.l_shipdate <  TIMESTAMP '1997-07-01'""".stripMargin),
+      "TPC-H Q14 shape: conditional-aggregate share in one pass, exact integer num/den"),
+
+    // ------------------------------------------------------------------
+    // q190 / Q8 shape: a nation's market share within a region per year —
+    // conditional numerator over a grouped denominator, computed in the
+    // SAME aggregation (share = sum(case)/sum — never a self-join on the
+    // year). The 7-relation join tree reduces to one lineitem-orders
+    // shuffle; every other leg broadcasts.
+    GQuery(
+      "q190_market_share",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val cents = expr("CAST(round(l_extendedprice*100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount*100) AS BIGINT))")
+        val amNations = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("c_nk"))
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), cents.as("c"))
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ntzLit("1996-01-01") && col("o_orderdate") < ntzLit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          // customers restricted to the region (the market being measured)
+          .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(amNations), col("c_nationkey") === col("c_nk"))
+          // supplier nation = whose share of that market
+          .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "BRAZIL", col("c")).otherwise(lit(0L))).as("brazil_c"),
+            sum(col("c")).as("market_c"))
+          .select(col("o_year"), col("brazil_c"), col("market_c"),
+            (col("brazil_c").cast("double") / col("market_c")).as("mkt_share"))
+          .orderBy(col("o_year").asc)
+      },
+      Some("""SELECT year(o.o_orderdate) AS o_year,
+             |       CAST(SUM(CASE WHEN sn.n_name = 'BRAZIL'
+             |                THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+             |                     * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+             |                ELSE 0 END) AS BIGINT) AS brazil_c,
+             |       CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             |            * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT)
+             |         AS market_c,
+             |       CAST(SUM(CASE WHEN sn.n_name = 'BRAZIL'
+             |                THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+             |                     * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+             |                ELSE 0 END) AS DOUBLE) /
+             |       SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             |            * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS mkt_share
+             |FROM lineitem l
+             |JOIN orders o    ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c  ON o.o_custkey = c.c_custkey
+             |JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+             |JOIN region r    ON cn.n_regionkey = r.r_regionkey
+             |JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+             |JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+             |WHERE r.r_name = 'AMERICA'
+             |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+             |GROUP BY 1 ORDER BY o_year ASC""".stripMargin),
+      "TPC-H Q8 shape: market share = conditional numerator inside the same aggregation"),
+
+    // ------------------------------------------------------------------
+    // q191 / Q9 shape (adapted): product profit by supplier nation × year.
+    // The fixture has no partsupp, so p_retailprice/10 stands in for
+    // ps_supplycost — the SHAPE (profit = revenue − qty·cost across a
+    // part+supplier+nation join, grouped by nation and order year) is
+    // what's exercised. All money integer cents; quantity is an integral
+    // double so qty·cost_cents is exact.
+    GQuery(
+      "q191_product_profit",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val revC = expr("CAST(round(l_extendedprice*100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount*100) AS BIGINT))")
+        val costC = expr("CAST(l_quantity AS BIGINT)" +
+          " * CAST(round(p_retailprice*10) AS BIGINT) * 100")
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        li.join(broadcast(Tables.part(s, d)
+            .filter(col("p_name").contains("gear")) // Q9's p_name LIKE '%green%' analog on this fixture's vocabulary
+            .select(col("p_partkey"), col("p_retailprice"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("o_year"))
+          .agg(sum(revC - costC).as("profit_c"), count(lit(1)).as("n_items"))
+          .orderBy(col("n_name").asc, col("o_year").desc)
+      },
+      Some("""SELECT n.n_name, year(o.o_orderdate) AS o_year,
+             |       CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             |              * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+             |            - CAST(l.l_quantity AS BIGINT)
+             |              * CAST(round(p.p_retailprice*10) AS BIGINT) * 100)
+             |         AS BIGINT) AS profit_c,
+             |       COUNT(*) AS n_items
+             |FROM lineitem l
+             |JOIN part p     ON l.l_partkey = p.p_partkey
+             |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+             |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+             |WHERE p.p_name LIKE '%gear%'
+             |GROUP BY 1, 2
+             |ORDER BY n_name ASC, o_year DESC""".stripMargin),
+      "TPC-H Q9 shape (partsupp-free): profit = revenue - qty*cost across 5-way join"),
   )
 }

@@ -187,4 +187,22 @@ class TpchShapeSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == expected.map { case (k, v) => (suppName(k), v) })
   }
+
+  test("q187-q191 DataFrame-tier TPC-H shapes: one fact shuffle, dims broadcast, no nested loops") {
+    for (name <- Seq("q187_region_volume", "q188_returned_customers",
+        "q189_promo_share", "q190_market_share", "q191_product_profit")) {
+      val plan = formatted(name)
+      assert(!plan.contains("BroadcastNestedLoop"), s"$name: nested-loop join in plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: cartesian product in plan")
+      assert(plan.contains("BroadcastHashJoin"), s"$name: dimension sides should broadcast")
+      // the ONLY row-shuffling exchanges allowed are the lineitem-orders
+      // join (when both exceed the broadcast threshold) and the final
+      // aggregation — a dim that lands on a shuffle join would add more
+      val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(nShuffles <= 3, s"$name: $nShuffles hash exchanges — a dim leg is shuffling:\n$plan")
+    }
+    // q188's top-20 must plan as TakeOrdered (no global sort at scale)
+    assert(formatted("q188_returned_customers").contains("TakeOrderedAndProject"),
+      "q188: top-k should plan as TakeOrderedAndProject")
+  }
 }
