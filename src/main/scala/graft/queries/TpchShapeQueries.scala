@@ -28,10 +28,13 @@ import graft.sources.Tables
   * round(x·100) BIGINT cents before any arithmetic, so both engines compare
   * exact integers.
   *
-  * q187–q191 (round 6) complete the sweep with the remaining expressible
-  * shapes — Q5, Q10, Q14, Q8, Q9-adapted — through the DataFrame API
-  * (declarative-plan path), dims broadcast and one fact shuffle each;
-  * partsupp-dependent Q11/Q16 have no source relation in this fixture.
+  * q187–q191 (round 6) add Q5, Q10, Q14, Q8, Q9-adapted through the
+  * DataFrame API (declarative-plan path), dims broadcast and one fact
+  * shuffle each. q192–q194 finish the sweep: Q6 (pure pushdown scan),
+  * and Q16/Q11 with DISTINCT (l_partkey, l_suppkey) over lineitem as the
+  * part↔supplier relation — with those, every TPC-H query shape is
+  * exercised by some gated query (Q1 q04, Q3 entry/q102, Q4 q65,
+  * Q7 q78, Q12 q76, Q13 q66, Q19 q77).
   */
 object TpchShapeQueries {
 
@@ -344,10 +347,10 @@ object TpchShapeQueries {
       "TPC-H Q18 shape: IN over grouped HAVING rewritten to aggregate + semi join"),
 
     // ------------------------------------------------------------------
-    // q187–q191 complete the TPC-H shape sweep (Q5, Q10, Q14, Q8, Q9-
-    // adapted; with q104/q102/q65/q66/q76-78/q131-134/q142/q164/q165 the
-    // suite now exercises every TPC-H query shape the fixture schema can
-    // express — partsupp-dependent Q11/Q16 have no source relation).
+    // q187–q191 extend the TPC-H shape sweep (Q5, Q10, Q14, Q8, Q9-
+    // adapted; q192–q194 below finish it with Q6/Q16/Q11 — with
+    // q104/q102/q65/q66/q76-78/q131-134/q142/q164/q165 the suite now
+    // exercises every TPC-H query shape).
     // These five run through the DataFrame API (the q131–q134 wave covers
     // the SQL→decorrelation path; this wave pins the declarative-plan
     // path): dimension sides broadcast explicitly, fact-side filters
@@ -598,5 +601,128 @@ object TpchShapeQueries {
              |GROUP BY 1, 2
              |ORDER BY n_name ASC, o_year DESC""".stripMargin),
       "TPC-H Q9 shape (partsupp-free): profit = revenue - qty*cost across 5-way join"),
+
+    // ------------------------------------------------------------------
+    // q192 / Q6 shape: the pure-scan forecast query — three range
+    // predicates and a single global aggregate, NO join, NO group-by key.
+    // The whole point at 100 TB is that every predicate reaches the
+    // parquet reader (PushedFilters: shipdate range, discount range,
+    // quantity bound) so row groups outside the ranges are never
+    // decompressed, and the aggregate is map-side partial + one single-row
+    // exchange. PlanShapeSpec locks the pushdown. Double comparisons
+    // (0.05 ≤ l_discount ≤ 0.07, l_quantity < 24) are exact cross-engine:
+    // both engines compare the same stored doubles against the same
+    // literal doubles; money is summed in exact integer cents×cents.
+    GQuery(
+      "q192_forecast_revenue",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ntzLit("1996-01-01") &&
+            col("l_shipdate") < ntzLit("1997-01-01") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(
+            sum(expr("CAST(round(l_extendedprice*100) AS BIGINT)" +
+              " * CAST(round(l_discount*100) AS BIGINT)")).as("revenue_c"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue_c").asc)
+      },
+      Some("""SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+             |            * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+             |       COUNT(*) AS n_items
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24
+             |ORDER BY revenue_c ASC""".stripMargin),
+      "TPC-H Q6 shape: join-free range-predicate scan, all filters pushed to parquet"),
+
+    // ------------------------------------------------------------------
+    // q193 / Q16 shape: supplier-count per part attribute with an
+    // excluded-supplier NOT IN. The fixture has no partsupp, but — as for
+    // q131 — DISTINCT (l_partkey, l_suppkey) over lineitem IS the
+    // part↔supplier relation, so the full Q16 shape is expressible:
+    // NOT IN (subquery) → null-aware anti join (RewritePredicateSubquery;
+    // s_suppkey is non-null so it degenerates to a plain anti hash join,
+    // never BNLJ), then COUNT(DISTINCT supplier) per (brand, type, size)
+    // — a two-phase distinct aggregate keyed by part attributes. Runs
+    // through spark.sql: this wave's SQL→Catalyst subquery-rewrite gate.
+    // 100 TB: the pair-distinct is one lineitem-sized shuffle on
+    // (partkey, suppkey); part broadcasts; the exclusion list is tiny.
+    GQuery(
+      "q193_supplier_counts",
+      (s, d) => {
+        views(s, d)
+        s.sql("""
+          |SELECT p.p_brand, p.p_type, p.p_size,
+          |       COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+          |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM g_tpch_lineitem) ps
+          |JOIN g_tpch_part p ON p.p_partkey = ps.l_partkey
+          |WHERE p.p_brand <> 'Brand#45'
+          |  AND p.p_size IN (1, 4, 7, 14, 23, 36, 45, 49)
+          |  AND ps.l_suppkey NOT IN
+          |      (SELECT s_suppkey FROM g_tpch_supplier WHERE s_acctbal < 0)
+          |GROUP BY p.p_brand, p.p_type, p.p_size
+          |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+          |""".stripMargin)
+      },
+      Some("""SELECT p.p_brand, p.p_type, p.p_size,
+             |       COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+             |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+             |JOIN part p ON p.p_partkey = ps.l_partkey
+             |WHERE p.p_brand <> 'Brand#45'
+             |  AND p.p_size IN (1, 4, 7, 14, 23, 36, 45, 49)
+             |  AND ps.l_suppkey NOT IN
+             |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p.p_brand, p.p_type, p.p_size
+             |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin),
+      "TPC-H Q16 shape: NOT IN anti join + COUNT DISTINCT per part attribute"),
+
+    // ------------------------------------------------------------------
+    // q194 / Q11 shape: important-stock selection — per-part value from a
+    // nation group's suppliers, kept only when it beats a threshold
+    // derived from a SCALAR SUBQUERY over the same aggregation (Q11's
+    // HAVING > SUM(...)·fraction). TPC-H scales the fraction with SF; to
+    // stay SF-stable the threshold here is 1.2× the MEAN part value,
+    // compared in exact integers (10·count·val > 12·total — never a
+    // float division at the boundary). Catalyst evaluates the CTE once,
+    // broadcasts both scalars, and filters — not one subquery per row.
+    // 100 TB: one lineitem-sized shuffle on partkey, dims broadcast.
+    GQuery(
+      "q194_important_parts",
+      (s, d) => {
+        views(s, d)
+        s.sql("""
+          |WITH v AS (
+          |  SELECT l_partkey,
+          |         SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+          |             * CAST(round(l_quantity) AS BIGINT)) AS val_c
+          |  FROM g_tpch_lineitem
+          |  JOIN g_tpch_supplier ON l_suppkey = s_suppkey
+          |  JOIN g_tpch_nation   ON s_nationkey = n_nationkey
+          |  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          |  GROUP BY l_partkey)
+          |SELECT l_partkey, val_c
+          |FROM v
+          |WHERE 10 * (SELECT COUNT(*) FROM v) * val_c > 12 * (SELECT SUM(val_c) FROM v)
+          |ORDER BY val_c DESC, l_partkey ASC
+          |""".stripMargin)
+      },
+      Some("""WITH v AS (
+             |  SELECT l_partkey,
+             |         SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+             |             * CAST(round(l_quantity) AS BIGINT)) AS val_c
+             |  FROM lineitem
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation   ON s_nationkey = n_nationkey
+             |  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+             |  GROUP BY l_partkey)
+             |SELECT l_partkey, CAST(val_c AS BIGINT) AS val_c
+             |FROM v
+             |WHERE 10 * (SELECT COUNT(*) FROM v) * val_c > 12 * (SELECT SUM(val_c) FROM v)
+             |ORDER BY val_c DESC, l_partkey ASC""".stripMargin),
+      "TPC-H Q11 shape: HAVING vs scalar-subquery threshold over the same aggregate"),
   )
 }

@@ -29,6 +29,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!read.take(400).contains("l_tax"), read.take(400))
   }
 
+  test("q192 Q6 scan pushes all three range predicates and reads 4 columns") {
+    val p = plan("q192_forecast_revenue")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)").foreach(f => assert(p.contains(f), s"missing $f"))
+    val read = p.substring(p.indexOf("ReadSchema:"))
+    Seq("l_orderkey", "l_partkey", "l_returnflag", "l_tax").foreach(c =>
+      assert(!read.take(400).contains(c), s"unpruned column $c"))
+  }
+
+  test("q193 NOT IN plans as a hash anti join, never BroadcastNestedLoop") {
+    val p = plan("q193_supplier_counts")
+    assert(p.contains("LeftAnti") || p.contains("NullAwareAntiJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("NullAwareAntiJoin"),
+      "anti join degenerated to a non-null-aware BNLJ")
+  }
+
   test("q10 star join broadcasts the dimension side") {
     assert(plan("q10_join_inner").contains("BroadcastHashJoin"))
   }

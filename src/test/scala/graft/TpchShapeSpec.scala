@@ -205,4 +205,17 @@ class TpchShapeSpec extends SparkTestBase {
     assert(formatted("q188_returned_customers").contains("TakeOrderedAndProject"),
       "q188: top-k should plan as TakeOrderedAndProject")
   }
+
+  test("q194 scalar-subquery threshold evaluates the CTE as scalars, not per row") {
+    // Q11's HAVING > (SELECT ...) trap is re-executing the subquery per
+    // outer row; Catalyst must plan both threshold terms as uncorrelated
+    // Subquery nodes (evaluated once, result broadcast into the filter)
+    val plan = formatted("q194_important_parts")
+    assert(!plan.contains("BroadcastNestedLoop"), s"nested loop:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Subquery"), "threshold should plan as scalar subqueries")
+    val res = SparkEntry.queries("q194_important_parts")(spark, sf)
+    val n = res.count()
+    assert(n > 0, "threshold filtered everything out")
+  }
 }
