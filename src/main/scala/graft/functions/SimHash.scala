@@ -61,4 +61,47 @@ object SimHash {
           when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _).as("simhash"))
   }
+
+  /** Banded Hamming near-dup JOIN — the operational tier over
+    * [[signatures]]: all pairs within `maxHamming` bits, found without an
+    * all-pairs comparison. Pigeonhole guarantee: split the 60-bit
+    * signature into `nBands` equal chunks; a pair differing in at most
+    * maxHamming < nBands bits leaves at least one chunk IDENTICAL, so
+    * bucketing on (band, chunk value) and equi-joining buckets has NO
+    * false negatives, and the exact `hamming <= maxHamming` filter after
+    * the join removes the false positives. One signature-sized shuffle on
+    * the band key; hot buckets (degenerate signatures — e.g. empty docs
+    * all hashing to the same chunk) are capped through the SAME
+    * [[graft.ops.Skew.capHotBuckets]] contract as the MinHash/winnowing/
+    * gram tiers, with observe() telemetry.
+    */
+  def bandedNearDupPairs(
+      sigs: DataFrame,
+      idCol: String,
+      maxHamming: Int,
+      nBands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming < nBands, s"pigeonhole needs maxHamming < nBands")
+    require(Bits % nBands == 0, s"$nBands bands must divide $Bits bits")
+    val bandBits = Bits / nBands
+    val mask = (1L << bandBits) - 1
+    val bands = sigs.select(col(idCol).as("id"), col("simhash"),
+      explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*))
+        .as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val capped = graft.ops.Skew.capHotBuckets(bands,
+      Seq(col("band"), col("bv")), maxBucket,
+      "simhash_band_buckets", "dropped_band_rows", "total_band_rows")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      // a pair can meet in up to nBands buckets — dedupe before the
+      // threshold filter so the shuffle carries each candidate once
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

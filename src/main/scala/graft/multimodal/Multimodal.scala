@@ -441,6 +441,102 @@ object Multimodal {
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** REAL image feature extraction — the resize + perceptual-fingerprint
+    * tier of the image pipeline, with NO fake in the path: payloads are
+    * decoded by `javax.imageio` (PNG roundtrip is lossless), downsampled
+    * by explicit integer nearest-neighbor sampling, and fingerprinted
+    * with a 56-bit row-gradient dHash (difference hash — the standard
+    * perceptual near-dup fingerprint: bit (y,x) = [L(x+1,y) > L(x,y)]
+    * over an 8×8 luminance thumbnail; identical content → identical
+    * hash regardless of original resolution, so grouping by dhash IS
+    * image-modality dedup, the q34/q35 ladder extended to pixels).
+    *
+    * Everything is integer math on pixel values (no float resampling, no
+    * platform-dependent interpolation), so a SQL oracle that knows the
+    * source pixel formula can recompute width/height/sum_lum/dhash
+    * without ever seeing the bytes — the same never-self-consistent gate
+    * contract as [[SyntheticMedia]]/q173.
+    *
+    * Scale shape: pure map work at the [[decodeMeta]] mapPartitions
+    * boundary — no shuffle until the (tiny) fingerprint aggregation, so
+    * at 100 TB this is scan-bound and embarrassingly parallel; the dHash
+    * group-by shuffles 8 bytes per image, not the pixels.
+    */
+  object ImageOps {
+
+    /** Luminance grid of `img` downsampled to tw×th by top-left
+      * nearest-neighbor (src = floor(dst·srcDim/dstDim)) — explicit
+      * integer sampling, bit-reproducible everywhere. Luminance = the
+      * blue channel (callers synthesize gray images, r=g=b).
+      */
+    def lumaGrid(img: java.awt.image.BufferedImage, tw: Int, th: Int): Array[Array[Int]] =
+      Array.tabulate(th, tw)((y, x) =>
+        img.getRGB(x * img.getWidth / tw, y * img.getHeight / th) & 0xff)
+
+    /** 56-bit row-gradient dHash over an 8×8 luminance grid: bit
+      * (y·7 + x) set iff L(x+1,y) > L(x,y), x∈[0,7), y∈[0,8). 56 bits
+      * keeps the value in positive BIGINT range on both engines.
+      */
+    def dHash56(g: Array[Array[Int]]): Long = {
+      var h = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 7) {
+          if (g(y)(x + 1) > g(y)(x)) h |= 1L << (y * 7 + x)
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+
+    /** Deterministic gray PNG: w = 16 + key%17, h = 16 + key%13,
+      * L(x,y) = (7x + 13y + 31·key) mod 256. A pure formula of `key`, so
+      * the oracle recomputes every downstream feature relationally.
+      */
+    def synthPng(key: Long): Array[Byte] = {
+      val w = 16 + (key % 17).toInt
+      val h = 16 + (key % 13).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val l = ((7L * x + 13L * y + 31L * key) % 256L).toInt
+          img.setRGB(x, y, (l << 16) | (l << 8) | l)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Per-image features after a REAL decode+resize:
+      * (media_id, width, height, sum_lum, dhash) — corrupt/undecodable
+      * payloads fan out to no row (the q46 corrupt-media contract).
+      */
+    def imageFeatures(media: Dataset[MediaRow]): DataFrame = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { rows =>
+        rows.filter(_.payload != null).flatMap { r =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+          else {
+            val g = lumaGrid(img, 8, 8)
+            Some((r.media_id, img.getWidth, img.getHeight,
+              g.map(_.map(_.toLong).sum).sum, dHash56(g)))
+          }
+        }
+      }.toDF("media_id", "width", "height", "sum_lum", "dhash")
+    }
+  }
+
   /** Deterministic spec-conformant media payload builders. These exist so
     * the CONTAINER PARSERS above can be driver-gated end-to-end (q173):
     * synthesize a WAV / MP4 whose metadata is a pure formula of the row

@@ -579,5 +579,103 @@ object NorthStarQueries {
              |SELECT id AS vec_id, MIN(comp) AS cluster
              |FROM reach GROUP BY id ORDER BY vec_id ASC""".stripMargin),
       "embedding-modality dedup clusters: blocked cosine pairs -> components"),
+
+    // ------------------------------------------------------------------
+    // q195: image-modality dedup via REAL decode + resize + perceptual
+    // dHash — no fake anywhere in the path. Payloads are deterministic
+    // gray PNGs (a pure formula of doc_id % 97, ImageOps.synthPng), so
+    // 97 distinct patterns repeat across the corpus; the pipeline decodes
+    // the actual PNG bytes with javax.imageio, downsamples to an 8×8
+    // luminance thumbnail by integer nearest-neighbor, fingerprints with
+    // the 56-bit row-gradient dHash, and sizes each fingerprint's dup
+    // group — the image analog of the q34/q35 text-dedup gates. The
+    // DuckDB oracle recomputes width/height/sum_lum/dhash from the pixel
+    // FORMULA (it never sees a byte of PNG), so a defect anywhere in
+    // synth, the codec, the resampler, or the bit packing is a hash
+    // mismatch, never a self-consistent roundtrip. 100 TB: decode+hash is
+    // pure map work at the mapPartitions codec boundary; the group-size
+    // window shuffles 8 bytes per image, not pixels.
+    GQuery(
+      "q195_image_dhash",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 97).as("key"))
+          .as[(Long, Long)]
+          .map { case (id, key) =>
+            Multimodal.MediaRow(id, Multimodal.ImageOps.synthPng(key), "image/png")
+          }
+        Multimodal.ImageOps.imageFeatures(media)
+          .withColumn("dup_group_size",
+            count(lit(1)).over(Window.partitionBy(col("dhash"))))
+          .orderBy(col("media_id").asc)
+      },
+      Some("""WITH dim AS (
+             |  SELECT doc_id, doc_id % 97 AS key,
+             |         CAST(16 + (doc_id % 97) % 17 AS INT) AS w,
+             |         CAST(16 + (doc_id % 97) % 13 AS INT) AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, w, h, y.y AS y, x.x AS x,
+             |         (7*((x.x*w)//8) + 13*((y.y*h)//8) + 31*key) % 256 AS l
+             |  FROM dim, range(0,8) y(y), range(0,8) x(x)),
+             |s AS (SELECT doc_id, CAST(SUM(l) AS BIGINT) AS sum_lum
+             |      FROM px GROUP BY doc_id),
+             |hb AS (
+             |  SELECT a.doc_id,
+             |         CAST(COALESCE(SUM(CASE WHEN b.l > a.l
+             |           THEN CAST(1 AS BIGINT) << CAST(a.y*7 + a.x AS INT)
+             |           ELSE 0 END), 0) AS BIGINT) AS dhash
+             |  FROM px a JOIN px b
+             |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+             |  WHERE a.x < 7
+             |  GROUP BY a.doc_id),
+             |j AS (
+             |  SELECT dim.doc_id AS media_id, dim.w AS width, dim.h AS height,
+             |         s.sum_lum, hb.dhash
+             |  FROM dim JOIN s ON s.doc_id = dim.doc_id
+             |           JOIN hb ON hb.doc_id = dim.doc_id)
+             |SELECT media_id, width, height, sum_lum, dhash,
+             |       COUNT(*) OVER (PARTITION BY dhash) AS dup_group_size
+             |FROM j ORDER BY media_id ASC""".stripMargin),
+      "image dedup: real PNG decode -> integer NN resize -> 56-bit dHash -> dup groups"),
+
+    // ------------------------------------------------------------------
+    // q196: banded Hamming near-dup JOIN over SimHash signatures — q37
+    // emits the sketch; this is the operational tier that FINDS the pairs
+    // without an all-pairs comparison. 4 bands × 15 bits: any pair within
+    // Hamming ≤ 3 shares at least one identical band (pigeonhole — a
+    // theorem, not a heuristic, so banding has zero false negatives and
+    // the oracle can be the honest ALL-PAIRS form), bucket equi-join on
+    // (band, chunk), exact bit_count filter after. Hot buckets capped via
+    // the shared Skew.capHotBuckets contract (telemetered, not silent).
+    // 100 TB: one signature-sized shuffle (8-byte sigs, not documents);
+    // the all-pairs oracle is quadratic BY CONSTRUCTION and excluded from
+    // sf1 rotation like q185's.
+    GQuery(
+      "q196_hamming_neardup",
+      (s, d) => {
+        val sigs = SimHash.signatures(
+          Tables.spread(Tables.documents(s, d), col("doc_id")),
+          "doc_id", TF.tokens(col("text")))
+        SimHash.bandedNearDupPairs(sigs, "doc_id", maxHamming = 3)
+          .orderBy(col("id_a").asc, col("id_b").asc)
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+             |h AS (SELECT doc_id, CAST(('0x'||substr(md5(word),1,15)) AS BIGINT) AS hv FROM w),
+             |bits AS (SELECT doc_id, j,
+             |                SUM(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |         FROM h, range(60) r(j) GROUP BY 1, 2),
+             |sig AS (SELECT doc_id,
+             |               CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+             |                        ELSE 0 END) AS BIGINT) AS simhash
+             |        FROM bits GROUP BY 1)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+             |ORDER BY id_a ASC, id_b ASC""".stripMargin),
+      "SimHash banded Hamming join == exact all-pairs (pigeonhole, no false negatives)"),
   )
 }

@@ -166,6 +166,33 @@ class OpsSpec extends SparkTestBase {
     assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
   }
 
+  test("banded hamming join == brute force at the threshold boundary") {
+    import spark.implicits._
+    // hand-built signatures: pairs at hamming 0, exactly 3 (kept — the
+    // boundary), and 4 (dropped); the banding must find every kept pair
+    // (pigeonhole over 4×15-bit bands) and the exact filter must cut at 3
+    val base = 0x0FFF_FFF0_1234_5678L & ((1L << 60) - 1)
+    val sigs = Seq(
+      1L -> base,
+      2L -> base, // ham 0 vs 1
+      3L -> (base ^ 0x7L), // ham 3 vs 1/2 (bits 0-2, same band)
+      4L -> (base ^ ((1L << 1) | (1L << 16) | (1L << 31) | (1L << 46))), // ham 4, one bit per band
+      5L -> (base ^ ((1L << 0) | (1L << 17) | (1L << 33))) // ham 3 spread over 3 bands
+    ).toDF("doc_id", "simhash")
+    val got = SimHash.bandedNearDupPairs(sigs, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val rows = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val all = for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && ham(sa, sb) <= 3
+    } yield (ia, ib, ham(sa, sb))
+    assert(got == all.toSet, s"got $got want ${all.toSet}")
+    assert(got.exists(_._3 == 3), "a boundary pair (hamming exactly 3) must survive")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L && p._3 > 3),
+      "no pair beyond the threshold")
+  }
+
   test("cosine expression matches scala double computation and self-sim is 1") {
     import spark.implicits._
     val v1 = Array(1.0f, 2.0f, 3.0f)

@@ -328,4 +328,38 @@ class TextAndMultimodalSpec extends SparkTestBase {
     val (rate, ch, _, frames) = Multimodal.ContainerCodec.parseWav(p)
     assert(rate == 8000 && ch == 2 && frames == 100L)
   }
+
+  test("image dHash: real PNG roundtrip matches the pixel formula; corrupt drops") {
+    import spark.implicits._
+    import Multimodal.ImageOps
+    // decode(synthPng(key)) must reproduce the formula exactly — PNG is
+    // lossless, the resampler is integer NN, so equality is bit-for-bit
+    val key = 42L
+    val (w, h) = (16 + (key % 17).toInt, 16 + (key % 13).toInt)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageOps.synthPng(key)))
+    assert(img.getWidth == w && img.getHeight == h)
+    val g = ImageOps.lumaGrid(img, 8, 8)
+    val want = Array.tabulate(8, 8)((y, x) =>
+      ((7L * (x * w / 8) + 13L * (y * h / 8) + 31L * key) % 256L).toInt)
+    assert(g.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    // dHash packs exactly the row-gradient bits, none above bit 55
+    val dh = ImageOps.dHash56(g)
+    assert(dh >= 0L && (dh >> 56) == 0L)
+    val wantBits = for (y <- 0 until 8; x <- 0 until 7 if want(y)(x + 1) > want(y)(x))
+      yield y * 7 + x
+    assert(dh == wantBits.map(1L << _).sum)
+    // perceptual property: same pattern rendered at a DIFFERENT source
+    // resolution thumbnails to the same 8x8 samples only when the formula
+    // agrees at the sampled positions; a flipped gradient must differ
+    val flipped = Array.tabulate(8, 8)((y, x) => 255 - want(y)(x))
+    assert(ImageOps.dHash56(flipped) != dh)
+    // corrupt payloads and sub-8x8 images fan out to NO row, never throw
+    val media = Seq(
+      Multimodal.MediaRow(1L, ImageOps.synthPng(1L), "image/png"),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3), "image/png"),
+      Multimodal.MediaRow(3L, null, "image/png")).toDS()
+    val rows = ImageOps.imageFeatures(media).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
