@@ -67,13 +67,21 @@ object SimHash {
     * all-pairs comparison. Pigeonhole guarantee: split the 60-bit
     * signature into `nBands` equal chunks; a pair differing in at most
     * maxHamming < nBands bits leaves at least one chunk IDENTICAL, so
-    * bucketing on (band, chunk value) and equi-joining buckets has NO
-    * false negatives, and the exact `hamming <= maxHamming` filter after
-    * the join removes the false positives. One signature-sized shuffle on
-    * the band key; hot buckets (degenerate signatures — e.g. empty docs
-    * all hashing to the same chunk) are capped through the SAME
-    * [[graft.ops.Skew.capHotBuckets]] contract as the MinHash/winnowing/
-    * gram tiers, with observe() telemetry.
+    * bucketing on (band, chunk value) and equi-joining buckets — the
+    * BANDING — has no false negatives, and the exact
+    * `hamming <= maxHamming` filter after the join removes the false
+    * positives. One signature-sized shuffle on the band key.
+    *
+    * The hot-bucket cap is the ONE pair-loss mechanism: a (band, chunk)
+    * bucket larger than `maxBucket` is dropped WHOLE via the shared
+    * [[graft.ops.Skew.capHotBuckets]] contract, so a pair whose only
+    * identical band lands in a hot bucket is lost — the same deliberate,
+    * observe()-telemetered trade every dedup tier makes against the
+    * Σ bucket² blowup of degenerate corpora (near-constant docs all
+    * hashing to one chunk). Size `maxBucket` above the corpus's real
+    * dup-group sizes, and read the `simhash_band_buckets` metric after a
+    * run: dropped_band_rows > 0 means the threshold guarantee was traded
+    * away for those buckets, visibly.
     */
   def bandedNearDupPairs(
       sigs: DataFrame,
@@ -99,9 +107,10 @@ object SimHash {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
-      // a pair can meet in up to nBands buckets — dedupe before the
-      // threshold filter so the shuffle carries each candidate once
-      .distinct()
+      // exact filter FIRST (map-side, free), THEN dedupe the survivors: a
+      // true pair can meet in up to nBands buckets, but false positives
+      // dominate the candidate set and must never reach the dedup exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -21,6 +21,21 @@ import graft.multimodal.Multimodal
   */
 object NorthStarQueries {
 
+  /** SimHash signature construction in DuckDB SQL, shared by the q37
+    * (signatures) and q196 (banded Hamming join) oracles — ONE source of
+    * truth so the two gates can never drift onto different formulas.
+    */
+  private val simhashSigCtes: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+      |h AS (SELECT doc_id, CAST(('0x'||substr(md5(word),1,15)) AS BIGINT) AS hv FROM w),
+      |bits AS (SELECT doc_id, j,
+      |                SUM(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |         FROM h, range(60) r(j) GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |               CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+      |                        ELSE 0 END) AS BIGINT) AS simhash
+      |        FROM bits GROUP BY 1)""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     // ------------------------------------------------------------------
     // q34: exact dedup — deterministic keep-min-id per text group (the
@@ -100,15 +115,7 @@ object NorthStarQueries {
             "doc_id", TF.tokens(col("text")))
           .orderBy(col("doc_id").asc)
       },
-      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
-             |h AS (SELECT doc_id, CAST(('0x'||substr(md5(word),1,15)) AS BIGINT) AS hv FROM w),
-             |bits AS (SELECT doc_id, j,
-             |                SUM(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-             |         FROM h, range(60) r(j) GROUP BY 1, 2),
-             |sig AS (SELECT doc_id,
-             |               CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-             |                        ELSE 0 END) AS BIGINT) AS simhash
-             |        FROM bits GROUP BY 1)
+      Some(s"""$simhashSigCtes
              |SELECT doc_id, simhash FROM sig ORDER BY doc_id ASC""".stripMargin),
       "SimHash 60-bit signatures, oracle recomputes bit-exactly"),
 
@@ -662,15 +669,7 @@ object NorthStarQueries {
         SimHash.bandedNearDupPairs(sigs, "doc_id", maxHamming = 3)
           .orderBy(col("id_a").asc, col("id_b").asc)
       },
-      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
-             |h AS (SELECT doc_id, CAST(('0x'||substr(md5(word),1,15)) AS BIGINT) AS hv FROM w),
-             |bits AS (SELECT doc_id, j,
-             |                SUM(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-             |         FROM h, range(60) r(j) GROUP BY 1, 2),
-             |sig AS (SELECT doc_id,
-             |               CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-             |                        ELSE 0 END) AS BIGINT) AS simhash
-             |        FROM bits GROUP BY 1)
+      Some(s"""$simhashSigCtes
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id

@@ -189,8 +189,9 @@ class OpsSpec extends SparkTestBase {
     } yield (ia, ib, ham(sa, sb))
     assert(got == all.toSet, s"got $got want ${all.toSet}")
     assert(got.exists(_._3 == 3), "a boundary pair (hamming exactly 3) must survive")
-    assert(!got.exists(p => p._1 == 4L || p._2 == 4L && p._3 > 3),
-      "no pair beyond the threshold")
+    assert(!got.exists(p => p._3 > 3), "no pair beyond the threshold")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L),
+      "doc 4 (hamming 4 from every neighbor) must not pair at threshold 3")
   }
 
   test("cosine expression matches scala double computation and self-sim is 1") {
