@@ -392,6 +392,163 @@ object RetrievalQueries {
            |FROM per_word ORDER BY word ASC""".stripMargin
       },
       "BPE encode: per-word subword counts + corpus compression totals"),
+
+    // ------------------------------------------------------------------
+    // q197: join-SIZE estimation via Count-Min inner product (Cormode &
+    // Muthukrishnan, J. Algorithms 2005 §4.2 — the CBO statistic q144's
+    // point-query sketch composes into): |A ⋈ B| on a key is estimated as
+    // min over rows r of Σ_cell cmsA(r,cell)·cmsB(r,cell); like the point
+    // estimate it NEVER undercounts (colliding mass only adds), so a
+    // planner probing "is this join safe to broadcast / how many shuffle
+    // partitions" gets a one-sided bound from two ≤4×16384-cell artifacts
+    // WITHOUT running the join. Width rule: the collision floor is
+    // (Σ cntA)(Σ cntB)/w, so w is sized to put that floor BELOW the true
+    // join size at the target scale (here 60k·3k/16384 ≈ 11k ≈ the true
+    // 11.8k — the estimate lands ~2×, a usable bound; at 512 the floor
+    // was 30× the truth and the bound was vacuous). Everything
+    // md5-deterministic → the oracle reproduces sketch cells, dot
+    // products, est AND the invariant exactly. 100 TB: each sketch build
+    // is one map-side-combinable shuffle of its own side; the estimate
+    // joins sketch artifacts — broadcastable statistics, not data.
+    GQuery(
+      "q197_join_size_cms",
+      (s, d) => {
+        val depth = 4
+        val width = 16384L
+        def cell(key: Column, r: Column): Column =
+          pmod(TF.md5Hash60(concat(lit("js#"), key.cast("string"),
+            lit("#"), r.cast("string"))), lit(width))
+        val rs = explode(array((0 until depth).map(lit(_)): _*)).as("r")
+        def cms(counts: DataFrame, cntName: String): DataFrame = counts
+          .select(rs, col("key"), col("cnt"))
+          .select(col("r"), cell(col("key"), col("r")).as("cell"), col("cnt"))
+          .groupBy(col("r"), col("cell")).agg(sum(col("cnt")).as(cntName))
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .localCheckpoint(false) // sketch build + exact join share it
+        val aCms = cms(Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("cnt")), "cnt_a")
+        val bCms = cms(urgent
+          .groupBy(col("o_orderkey").as("key")).agg(count(lit(1)).as("cnt")), "cnt_b")
+        val est = aCms.join(bCms, Seq("r", "cell"))
+          .groupBy(col("r")).agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
+          .agg(min(col("dot")).as("est_join_size"))
+        val truth = Tables.lineitem(s, d)
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("true_join_size"))
+        est.crossJoin(broadcast(truth)) // 1-row side
+          .select(col("est_join_size"), col("true_join_size"),
+            (col("est_join_size") >= col("true_join_size")).as("no_undercount"))
+          .orderBy(col("est_join_size").asc)
+      },
+      Some(s"""WITH ac AS (
+             |  SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM lineitem GROUP BY 1),
+             |bc AS (
+             |  SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+             |rs AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+             |acell AS (
+             |  SELECT rs.r, ${duckHash("'js#'||ac.key||'#'||rs.r")} % 16384 AS cell,
+             |         CAST(SUM(ac.cnt) AS BIGINT) AS cnt_a
+             |  FROM ac CROSS JOIN rs GROUP BY 1, 2),
+             |bcell AS (
+             |  SELECT rs.r, ${duckHash("'js#'||bc.key||'#'||rs.r")} % 16384 AS cell,
+             |         CAST(SUM(bc.cnt) AS BIGINT) AS cnt_b
+             |  FROM bc CROSS JOIN rs GROUP BY 1, 2),
+             |dots AS (
+             |  SELECT a.r, CAST(SUM(a.cnt_a * b.cnt_b) AS BIGINT) AS dot
+             |  FROM acell a JOIN bcell b ON a.r = b.r AND a.cell = b.cell
+             |  GROUP BY 1),
+             |est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM dots),
+             |tr AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS true_join_size
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderpriority = '1-URGENT')
+             |SELECT est_join_size, true_join_size,
+             |       est_join_size >= true_join_size AS no_undercount
+             |FROM est CROSS JOIN tr ORDER BY est_join_size ASC""".stripMargin),
+      "CMS inner-product join-size estimate: one-sided bound, exact cross-engine"),
+
+    // ------------------------------------------------------------------
+    // q198: set-intersection cardinality from MERGED KMV sketches
+    // (Beyer et al., SIGMOD 2007 — the composition that makes q147's
+    // bottom-k MERGEABLE, the property HLL/KMV exist for): two key sets
+    // never co-shuffled; each contributes membership flags, the union's
+    // bottom-64 (by the shared md5 order) is the combined sketch,
+    // est(∩) = (|both flags in sketch| · est(∪)) / k. Under-filled
+    // sketch (union < k) degrades to EXACT counts — the estimator never
+    // does worse than enumeration on small inputs. All integer md5 math
+    // → the oracle reproduces the sketch, both estimates, and the truth
+    // bit-for-bit. 100 TB: per-set work is a distinct-shuffle of ITS OWN
+    // side; the merge touches 64 rows — audience-overlap / join-key
+    // overlap analytics from broadcastable artifacts.
+    GQuery(
+      "q198_kmv_intersection",
+      (s, d) => {
+        val k = 64
+        val flags = Tables.orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy(col("o_custkey"))
+          .agg(
+            max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("in_a"),
+            max(when(col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("in_b"))
+          .localCheckpoint(false) // sketch + exact truth share it
+        val hashed = flags.select(col("o_custkey"), col("in_a"), col("in_b"),
+          TF.md5Hash60(concat(lit("ku#"), col("o_custkey").cast("string"))).as("h"))
+        // TakeOrderedAndProject: per-partition heap of k, no global sort
+        val bot = hashed.orderBy(col("h").asc, col("o_custkey").asc).limit(k)
+        val agg1 = bot.agg(max(col("h")).as("hk"), count(lit(1)).as("nbot"),
+          sum(col("in_a") * col("in_b")).as("n_both"))
+        val est = agg1
+          .select(col("hk"), col("nbot"), col("n_both"),
+            (lit(k - 1).cast(DecimalType(38, 0)) *
+              lit(1152921504606846976L).cast(DecimalType(38, 0))).as("num"))
+          .select(col("nbot"), col("n_both"),
+            when(col("nbot") < k, col("nbot"))
+              .otherwise(expr("CAST(num div hk AS BIGINT)")).as("est_union"))
+          .select(col("n_both"), col("est_union"),
+            when(col("nbot") < k, col("n_both"))
+              .otherwise(expr(
+                s"CAST((CAST(n_both AS DECIMAL(38,0)) * CAST(est_union AS DECIMAL(38,0))) div $k AS BIGINT)"))
+              .as("est_intersection"))
+        val truth = flags.filter(col("in_a") === 1L && col("in_b") === 1L)
+          .agg(count(lit(1)).as("true_intersection"))
+        est.crossJoin(broadcast(truth)) // 1-row side
+          .select(col("est_union"), col("n_both"),
+            col("est_intersection"), col("true_intersection"))
+          .orderBy(col("est_union").asc)
+      },
+      Some(s"""WITH flags AS (
+             |  SELECT o_custkey,
+             |         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS in_a,
+             |         MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS in_b
+             |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |  GROUP BY 1),
+             |hashed AS (
+             |  SELECT o_custkey, in_a, in_b, ${duckHash("'ku#'||o_custkey")} AS h
+             |  FROM flags),
+             |bot AS (SELECT * FROM hashed ORDER BY h ASC, o_custkey ASC LIMIT 64),
+             |agg1 AS (
+             |  SELECT MAX(h) AS hk, COUNT(*) AS nbot,
+             |         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+             |  FROM bot),
+             |est AS (
+             |  SELECT n_both, nbot,
+             |         CASE WHEN nbot < 64 THEN nbot
+             |              ELSE CAST((63::HUGEINT * 1152921504606846976::HUGEINT) // hk
+             |                   AS BIGINT) END AS est_union
+             |  FROM agg1),
+             |tr AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS true_intersection
+             |  FROM flags WHERE in_a = 1 AND in_b = 1)
+             |SELECT est_union, n_both,
+             |       CASE WHEN nbot < 64 THEN n_both
+             |            ELSE CAST((n_both::HUGEINT * est_union::HUGEINT) // 64 AS BIGINT)
+             |            END AS est_intersection,
+             |       true_intersection
+             |FROM est CROSS JOIN tr ORDER BY est_union ASC""".stripMargin),
+      "merged KMV sketches: union + intersection cardinality, exact cross-engine"),
   )
 
   /** Word-frequency dictionary for the BPE gates. Empty-token guard:
