@@ -199,5 +199,113 @@ object SqlFeatureQueries {
              |FROM capped GROUP BY source, lang
              |ORDER BY source ASC, lang ASC""".stripMargin),
       "end-to-end curation composite: quality gate -> dedup -> domain cap -> summary"),
+
+    // ------------------------------------------------------------------
+    // q199: RECURSIVE CTE — linked-list traversal (Spark 4's WITH
+    // RECURSIVE, the last big SQL-surface item the front-end tier hadn't
+    // gated). Each customer's orders form a chain via the lag() edge
+    // relation; the recursion walks every chain from its head, assigning
+    // step numbers — the shape a window row_number computes in one pass,
+    // HERE produced by the fixpoint iterator so the gate pins Spark's
+    // UnionLoop execution (anchor + iterated join-step) against DuckDB's
+    // recursive executor running the IDENTICAL program. `complete` proves
+    // every chain was walked to its full length (depth == n_orders — a
+    // broken edge or early fixpoint shows up as false, not silence).
+    // 100 TB: each iteration is one join+union over the frontier; depth
+    // is the LONGEST per-customer chain (25 here) — bounded-depth
+    // hierarchy walks are the recursion sweet spot, while unbounded
+    // closures belong to q81's O(log²n) star algorithm, not recursion.
+    GQuery(
+      "q199_recursive_chain",
+      (s, d) => {
+        // the 1 M default guardrail counts cumulative iteration output,
+        // which exceeds the final 300 k walk rows at sf1 — raise it (same
+        // rationale as q200 below)
+        s.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
+        Tables.orders(s, d).createOrReplaceTempView("g_rec_orders")
+        s.sql("""
+          |WITH RECURSIVE e AS (
+          |  SELECT o_custkey AS ck, o_orderkey AS ok,
+          |         lag(o_orderkey) OVER (PARTITION BY o_custkey
+          |           ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_ok
+          |  FROM g_rec_orders),
+          |walk(ck, ok, step) AS (
+          |  SELECT ck, ok, CAST(1 AS BIGINT) FROM e WHERE prev_ok IS NULL
+          |  UNION ALL
+          |  SELECT e.ck, e.ok, w.step + 1
+          |  FROM walk w JOIN e ON e.prev_ok = w.ok)
+          |SELECT ck AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          |       CAST(MAX(step) AS BIGINT) AS depth,
+          |       CAST(SUM(step * ok) AS BIGINT) AS path_checksum,
+          |       MAX(step) = COUNT(*) AS complete
+          |FROM walk GROUP BY ck
+          |ORDER BY custkey ASC
+          |""".stripMargin)
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT o_custkey AS ck, o_orderkey AS ok,
+             |         lag(o_orderkey) OVER (PARTITION BY o_custkey
+             |           ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_ok
+             |  FROM orders),
+             |walk(ck, ok, step) AS (
+             |  SELECT ck, ok, CAST(1 AS BIGINT) FROM e WHERE prev_ok IS NULL
+             |  UNION ALL
+             |  SELECT e.ck, e.ok, w.step + 1
+             |  FROM walk w JOIN e ON e.prev_ok = w.ok)
+             |SELECT ck AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |       CAST(MAX(step) AS BIGINT) AS depth,
+             |       CAST(SUM(step * ok) AS BIGINT) AS path_checksum,
+             |       MAX(step) = COUNT(*) AS complete
+             |FROM walk GROUP BY ck
+             |ORDER BY custkey ASC""".stripMargin),
+      "WITH RECURSIVE chain walk: fixpoint == full per-customer order sequence"),
+
+    // ------------------------------------------------------------------
+    // q200: RECURSIVE CTE — hierarchy rollup (the BOM-explosion /
+    // org-chart shape): customers form an implicit zero-based heap tree
+    // (parent(k) = (k−1) div 2 — k−1 ≥ 0 everywhere so integer division
+    // is floor in BOTH engines; a signed variant would diverge, Spark
+    // truncates toward zero while DuckDB floors), the recursion emits
+    // every (descendant, ancestor) pair by walking UP (log₂ n ≈ 14–17
+    // levels), and the rollup sums exact acctbal cents over each of the
+    // top 7 nodes' subtrees. The accumulated pair relation is
+    // n·log n rows — q200 raises spark.sql.cteRecursionRowLimit above
+    // the 1 M default guardrail (2.6 M pairs at sf1); the limit is a
+    // driver-protection default, not an executor constraint, and the
+    // unbounded-closure alternative at 100 TB remains q81's star
+    // algorithm.
+    GQuery(
+      "q200_recursive_rollup",
+      (s, d) => {
+        s.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
+        Tables.customer(s, d).createOrReplaceTempView("g_rec_customer")
+        s.sql("""
+          |WITH RECURSIVE anc(node, anc_node) AS (
+          |  SELECT c_custkey, c_custkey FROM g_rec_customer
+          |  UNION ALL
+          |  SELECT node, (anc_node - 1) DIV 2 FROM anc WHERE anc_node >= 1)
+          |SELECT a.anc_node AS node,
+          |       CAST(COUNT(*) AS BIGINT) AS n_desc,
+          |       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+          |         AS subtree_bal_c
+          |FROM anc a JOIN g_rec_customer c ON c.c_custkey = a.node
+          |WHERE a.anc_node <= 6
+          |GROUP BY a.anc_node
+          |ORDER BY node ASC
+          |""".stripMargin)
+      },
+      Some("""WITH RECURSIVE anc(node, anc_node) AS (
+             |  SELECT c_custkey, c_custkey FROM customer
+             |  UNION ALL
+             |  SELECT node, (anc_node - 1) // 2 FROM anc WHERE anc_node >= 1)
+             |SELECT a.anc_node AS node,
+             |       CAST(COUNT(*) AS BIGINT) AS n_desc,
+             |       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |         AS subtree_bal_c
+             |FROM anc a JOIN customer c ON c.c_custkey = a.node
+             |WHERE a.anc_node <= 6
+             |GROUP BY a.anc_node
+             |ORDER BY node ASC""".stripMargin),
+      "WITH RECURSIVE hierarchy rollup: heap-tree subtree sums, exact cents"),
   )
 }
