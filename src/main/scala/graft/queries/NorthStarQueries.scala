@@ -655,18 +655,27 @@ object NorthStarQueries {
     // Hamming ≤ 3 shares at least one identical band (pigeonhole — a
     // theorem, not a heuristic, so banding has zero false negatives and
     // the oracle can be the honest ALL-PAIRS form), bucket equi-join on
-    // (band, chunk), exact bit_count filter after. Hot buckets capped via
-    // the shared Skew.capHotBuckets contract (telemetered, not silent).
+    // (band, chunk), exact bit_count filter after.
     // 100 TB: one signature-sized shuffle (8-byte sigs, not documents);
     // the all-pairs oracle is quadratic BY CONSTRUCTION and excluded from
     // sf1 rotation like q185's.
+    //
+    // The GATED run passes an unbounded hot-bucket cap: the production
+    // default (maxBucket=10000) drops whole (band, chunk) buckets on a
+    // degenerate corpus, and the oracle is exact all-pairs — a capped
+    // gate would diverge SILENTLY the day the fixture grows a dup group
+    // past the cap. Unbounded, equality with the oracle is guaranteed by
+    // the pigeonhole theorem alone (ADVICE r6). The cap path itself stays
+    // covered by OpsSpec's degenerate-corpus test, which asserts
+    // dropped_band_rows > 0 is observed when the cap fires.
     GQuery(
       "q196_hamming_neardup",
       (s, d) => {
         val sigs = SimHash.signatures(
           Tables.spread(Tables.documents(s, d), col("doc_id")),
           "doc_id", TF.tokens(col("text")))
-        SimHash.bandedNearDupPairs(sigs, "doc_id", maxHamming = 3)
+        SimHash.bandedNearDupPairs(sigs, "doc_id", maxHamming = 3,
+            maxBucket = Int.MaxValue)
           .orderBy(col("id_a").asc, col("id_b").asc)
       },
       Some(s"""$simhashSigCtes

@@ -218,37 +218,45 @@ object SqlFeatureQueries {
     GQuery(
       "q199_recursive_chain",
       (s, d) => {
-        // the 1 M default guardrail counts cumulative iteration output,
-        // which exceeds the final 300 k walk rows at sf1 — raise it (same
-        // rationale as q200 below)
-        s.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
         // Materialize the edge relation ONCE before the recursion: the
         // UnionLoop re-evaluates every relation the step refers to on
         // EVERY iteration, so an inline `e` CTE would recompute the
         // window (full orders sort) ~25× — measured 10 s vs ~1 s. At any
         // scale, the frontier join must read a materialized edge table,
-        // not a recomputed subquery.
+        // not a recomputed subquery. Per-invocation view name: a fixed
+        // name would race under concurrent execution and leak.
         import org.apache.spark.sql.functions.{col, lag}
         import org.apache.spark.sql.expressions.Window
+        val edges = freshViewName("g_rec_edges")
         Tables.orders(s, d)
           .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
             lag(col("o_orderkey"), 1).over(Window.partitionBy(col("o_custkey"))
               .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)).as("prev_ok"))
           .localCheckpoint(false)
-          .createOrReplaceTempView("g_rec_edges")
-        s.sql("""
-          |WITH RECURSIVE walk(ck, ok, step) AS (
-          |  SELECT ck, ok, CAST(1 AS BIGINT) FROM g_rec_edges WHERE prev_ok IS NULL
-          |  UNION ALL
-          |  SELECT e.ck, e.ok, w.step + 1
-          |  FROM walk w JOIN g_rec_edges e ON e.prev_ok = w.ok)
-          |SELECT ck AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-          |       CAST(MAX(step) AS BIGINT) AS depth,
-          |       CAST(SUM(step * ok) AS BIGINT) AS path_checksum,
-          |       MAX(step) = COUNT(*) AS complete
-          |FROM walk GROUP BY ck
-          |ORDER BY custkey ASC
-          |""".stripMargin)
+          .createOrReplaceTempView(edges)
+        // The 1 M default guardrail counts CUMULATIVE iteration output,
+        // which reaches n_orders (1.5 M at sf1) — raise it for THIS
+        // EXECUTION ONLY. The conf is session-global and read at
+        // execution time, so the recursion runs eagerly inside the scope
+        // (eager localCheckpoint of the per-customer aggregate — tiny)
+        // and the prior value is restored before returning; the runaway-
+        // recursion guardrail stays intact for every later query in the
+        // shared session (SqlFeatureSpec pins the restoration).
+        try withSessionConf(s, "spark.sql.cteRecursionRowLimit", "20000000") {
+          s.sql(s"""
+            |WITH RECURSIVE walk(ck, ok, step) AS (
+            |  SELECT ck, ok, CAST(1 AS BIGINT) FROM $edges WHERE prev_ok IS NULL
+            |  UNION ALL
+            |  SELECT e.ck, e.ok, w.step + 1
+            |  FROM walk w JOIN $edges e ON e.prev_ok = w.ok)
+            |SELECT ck AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+            |       CAST(MAX(step) AS BIGINT) AS depth,
+            |       CAST(SUM(step * ok) AS BIGINT) AS path_checksum,
+            |       MAX(step) = COUNT(*) AS complete
+            |FROM walk GROUP BY ck
+            |ORDER BY custkey ASC
+            |""".stripMargin).localCheckpoint()
+        } finally s.catalog.dropTempView(edges)
       },
       Some("""WITH RECURSIVE e AS (
              |  SELECT o_custkey AS ck, o_orderkey AS ok,
@@ -271,49 +279,64 @@ object SqlFeatureQueries {
     // ------------------------------------------------------------------
     // q200: RECURSIVE CTE — hierarchy rollup (the BOM-explosion /
     // org-chart shape): customers form an implicit zero-based heap tree
-    // (parent(k) = (k−1) div 2 — k−1 ≥ 0 everywhere so integer division
-    // is floor in BOTH engines; a signed variant would diverge, Spark
-    // truncates toward zero while DuckDB floors), the recursion emits
-    // every (descendant, ancestor) pair by walking UP (log₂ n ≈ 14–17
-    // levels), and the rollup sums exact acctbal cents over each of the
-    // top 7 nodes' subtrees. The accumulated pair relation is
-    // n·log n rows — q200 raises spark.sql.cteRecursionRowLimit above
-    // the 1 M default guardrail (2.6 M pairs at sf1); the limit is a
-    // driver-protection default, not an executor constraint, and the
-    // unbounded-closure alternative at 100 TB remains q81's star
-    // algorithm.
+    // (children(k) = 2k+1, 2k+2), and the rollup sums exact acctbal cents
+    // over each of the top 7 nodes' subtrees. The recursion walks DOWN
+    // from the 7 queried roots (r6 walked every node UP to the root and
+    // discarded ~all pairs at the end — n·log n accumulated rows, 2.6 M
+    // at sf1, needing a guardrail raise; the frontier-bounded down-walk
+    // accumulates Σ subtree sizes ≈ 3n rows ≈ 450 k at sf1, UNDER the
+    // 1 M default, so no cteRecursionRowLimit override is needed at all).
+    // Each step expands the frontier by the two child slots (2-row
+    // inline table, broadcast) and equi-joins customer on the computed
+    // child key to keep only children that exist — the join a real BOM
+    // walk does against its edge table. At 100 TB the frontier is
+    // bounded by the queried subtrees, never the whole hierarchy; the
+    // unbounded-closure alternative remains q81's star algorithm.
     GQuery(
       "q200_recursive_rollup",
       (s, d) => {
-        s.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
-        Tables.customer(s, d).createOrReplaceTempView("g_rec_customer")
-        s.sql("""
-          |WITH RECURSIVE anc(node, anc_node) AS (
-          |  SELECT c_custkey, c_custkey FROM g_rec_customer
+        val cust = freshViewName("g_rec_customer")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"))
+          .localCheckpoint(false)
+          .createOrReplaceTempView(cust)
+        val df = s.sql(s"""
+          |WITH RECURSIVE sub(root, node) AS (
+          |  SELECT CAST(r AS BIGINT), CAST(r AS BIGINT)
+          |  FROM VALUES (0),(1),(2),(3),(4),(5),(6) AS roots(r)
           |  UNION ALL
-          |  SELECT node, (anc_node - 1) DIV 2 FROM anc WHERE anc_node >= 1)
-          |SELECT a.anc_node AS node,
+          |  SELECT s.root, c.c_custkey
+          |  FROM sub s
+          |  CROSS JOIN VALUES (1),(2) AS off(d)
+          |  JOIN $cust c ON c.c_custkey = 2 * s.node + off.d)
+          |SELECT sub.root AS node,
           |       CAST(COUNT(*) AS BIGINT) AS n_desc,
           |       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
           |         AS subtree_bal_c
-          |FROM anc a JOIN g_rec_customer c ON c.c_custkey = a.node
-          |WHERE a.anc_node <= 6
-          |GROUP BY a.anc_node
+          |FROM sub JOIN $cust c ON c.c_custkey = sub.node
+          |GROUP BY sub.root
           |ORDER BY node ASC
           |""".stripMargin)
+        // the view is resolved at analysis (s.sql is eager through the
+        // analyzer): safe to drop before execution
+        s.catalog.dropTempView(cust)
+        df
       },
-      Some("""WITH RECURSIVE anc(node, anc_node) AS (
-             |  SELECT c_custkey, c_custkey FROM customer
+      Some("""WITH RECURSIVE sub(root, node) AS (
+             |  SELECT CAST(r AS BIGINT), CAST(r AS BIGINT)
+             |  FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) AS roots(r)
              |  UNION ALL
-             |  SELECT node, (anc_node - 1) // 2 FROM anc WHERE anc_node >= 1)
-             |SELECT a.anc_node AS node,
+             |  SELECT s.root, c.c_custkey
+             |  FROM sub s
+             |  CROSS JOIN (VALUES (1),(2)) AS off(d)
+             |  JOIN customer c ON c.c_custkey = 2 * s.node + off.d)
+             |SELECT sub.root AS node,
              |       CAST(COUNT(*) AS BIGINT) AS n_desc,
              |       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
              |         AS subtree_bal_c
-             |FROM anc a JOIN customer c ON c.c_custkey = a.node
-             |WHERE a.anc_node <= 6
-             |GROUP BY a.anc_node
+             |FROM sub JOIN customer c ON c.c_custkey = sub.node
+             |GROUP BY sub.root
              |ORDER BY node ASC""".stripMargin),
-      "WITH RECURSIVE hierarchy rollup: heap-tree subtree sums, exact cents"),
+      "WITH RECURSIVE hierarchy rollup: root-seeded down-walk, exact cents"),
   )
 }

@@ -687,8 +687,13 @@ object TpchShapeQueries {
     // HAVING > SUM(...)·fraction). TPC-H scales the fraction with SF; to
     // stay SF-stable the threshold here is 1.2× the MEAN part value,
     // compared in exact integers (10·count·val > 12·total — never a
-    // float division at the boundary). Catalyst evaluates the CTE once,
-    // broadcasts both scalars, and filters — not one subquery per row.
+    // float division at the boundary). Both sides widen to DECIMAL(38,0)
+    // (HUGEINT in DuckDB — the q160 pattern): 12·SUM(val_c) exceeds
+    // BIGINT once the corpus-wide value sum passes ~7.7e17 cents·units,
+    // and Spark would wrap silently while DuckDB promotes — the engines
+    // would diverge exactly at the documented 100 TB intent. Catalyst
+    // evaluates the CTE once, broadcasts both scalars, and filters — not
+    // one subquery per row.
     // 100 TB: one lineitem-sized shuffle on partkey, dims broadcast.
     GQuery(
       "q194_important_parts",
@@ -706,7 +711,8 @@ object TpchShapeQueries {
           |  GROUP BY l_partkey)
           |SELECT l_partkey, val_c
           |FROM v
-          |WHERE 10 * (SELECT COUNT(*) FROM v) * val_c > 12 * (SELECT SUM(val_c) FROM v)
+          |WHERE CAST(10 AS DECIMAL(38,0)) * (SELECT COUNT(*) FROM v) * val_c
+          |      > CAST(12 AS DECIMAL(38,0)) * (SELECT SUM(val_c) FROM v)
           |ORDER BY val_c DESC, l_partkey ASC
           |""".stripMargin)
       },
@@ -721,7 +727,8 @@ object TpchShapeQueries {
              |  GROUP BY l_partkey)
              |SELECT l_partkey, CAST(val_c AS BIGINT) AS val_c
              |FROM v
-             |WHERE 10 * (SELECT COUNT(*) FROM v) * val_c > 12 * (SELECT SUM(val_c) FROM v)
+             |WHERE CAST(10 AS HUGEINT) * (SELECT COUNT(*) FROM v) * val_c
+             |      > CAST(12 AS HUGEINT) * (SELECT SUM(val_c) FROM v)
              |ORDER BY val_c DESC, l_partkey ASC""".stripMargin),
       "TPC-H Q11 shape: HAVING vs scalar-subquery threshold over the same aggregate"),
   )

@@ -11,6 +11,35 @@ package object queries {
     */
   def ntzLit(s: String): Column = lit(s).cast(TimestampNTZType)
 
+  /** Scoped session-conf override: set, run `body`, restore the prior value
+    * (or unset if there was none) even on failure. Session confs are read
+    * at EXECUTION time, so a query that needs the override must execute
+    * eagerly inside `body` (e.g. via an eager localCheckpoint) — restoring
+    * after merely building a lazy DataFrame would strip the override
+    * before it matters, and NOT restoring leaks the override to every
+    * later query in the shared session (the r6 cteRecursionRowLimit leak).
+    */
+  def withSessionConf[T](s: org.apache.spark.sql.SparkSession, key: String,
+      value: String)(body: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A per-invocation-unique temp-view name: fixed-name views registered as
+    * a query side effect race under concurrent execution on one session and
+    * leak across queries; a fresh name (dropped by the caller after
+    * analysis) does neither.
+    */
+  def freshViewName(prefix: String): String =
+    prefix + "_" + viewCounter.incrementAndGet()
+
   /** Epoch seconds of an NTZ timestamp under the UTC session clock.
     * NTZ has no direct numeric cast; route through TIMESTAMP (identity under
     * the UTC session timezone) then LONG (truncates sub-second, matching

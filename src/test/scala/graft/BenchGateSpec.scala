@@ -85,4 +85,28 @@ class BenchGateSpec extends AnyFunSuite {
     val slow = Bench.slowQueries(Map("qa" -> 2.0), Map("qa" -> -1.0))
     assert(slow.isEmpty)
   }
+
+  test("environment factor is the median ratio, floored at 1, noise excluded") {
+    val baseline = Map("qa" -> 1.0, "qb" -> 2.0, "qc" -> 4.0, "qn" -> 0.05)
+    // a uniformly ~1.6x-slower machine (the r6 driver), one genuine 10x
+    // regression, and a sub-100ms query whose 20x ratio is scheduler noise
+    val stats = Map("qa" -> 1.6, "qb" -> 3.4, "qc" -> 40.0, "qn" -> 1.0)
+    val env = Bench.environmentFactor(stats, baseline)
+    assert(env == 1.7, s"median of (1.6, 1.7, 10.0) = 1.7, got $env")
+    // a FASTER machine never relaxes below the absolute thresholds
+    assert(Bench.environmentFactor(Map("qa" -> 0.5), baseline) == 1.0)
+    // no overlap with the baseline: factor degrades to neutral
+    assert(Bench.environmentFactor(Map("qz" -> 9.9), baseline) == 1.0)
+  }
+
+  test("env-adjusted gate keeps uniform slowness unflagged, catches regressions") {
+    val baseline = Map("qa" -> 1.0, "qb" -> 2.0, "qc" -> 4.0)
+    val stats = Map("qa" -> 1.7, "qb" -> 3.4, "qc" -> 40.0)
+    val env = Bench.environmentFactor(stats, baseline)
+    val slow = Bench.slowQueries(stats, baseline, envFactor = env)
+    // qc is 10x its baseline on a 1.7x-slow machine (5.9x relative > 3x);
+    // qa/qb ride the environment and stay green — the r6 failure mode
+    // (14 queries flagged on a uniformly slower driver) cannot recur
+    assert(slow.keySet == Set("qc"))
+  }
 }

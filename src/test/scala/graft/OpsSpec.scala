@@ -194,6 +194,29 @@ class OpsSpec extends SparkTestBase {
       "doc 4 (hamming 4 from every neighbor) must not pair at threshold 3")
   }
 
+  test("simhash band cap fires on a degenerate corpus and reports the drop") {
+    import spark.implicits._
+    // 12 identical signatures put 12 rows in each of their 4 band buckets;
+    // maxBucket=8 drops those buckets WHOLE, so the capped join loses all
+    // 66 dup pairs — the loss must be REPORTED via observe(), never
+    // silent. The gated q196 passes maxBucket=Int.MaxValue precisely so
+    // this trade can never silently break its exact all-pairs oracle
+    // (ADVICE r6); this test keeps the cap path itself covered.
+    val allOnes = (1L << 60) - 1 // every band = 0x7FFF, disjoint from the small sigs
+    val sigs = ((1L to 12L).map(i => (i, allOnes)) ++ Seq((20L, 0x7L), (21L, 0x4L)))
+      .toDF("doc_id", "simhash")
+    val capped = SimHash.bandedNearDupPairs(sigs, "doc_id", maxHamming = 3, maxBucket = 8)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((20L, 21L)),
+      "only the under-cap pair survives; hot buckets drop whole")
+    val m = capped.queryExecution.observedMetrics("simhash_band_buckets")
+    assert(m.getAs[Long]("dropped_band_rows") == 48L, s"12 docs x 4 bands, got $m")
+    assert(m.getAs[Long]("max_bucket_size") == 12L)
+    assert(m.getAs[Long]("total_band_rows") == 14L * 4)
+    val unbounded = SimHash.bandedNearDupPairs(sigs, "doc_id", maxHamming = 3,
+      maxBucket = Int.MaxValue)
+    assert(unbounded.count() == 66L + 1L, "unbounded cap loses nothing")
+  }
+
   test("cosine expression matches scala double computation and self-sim is 1") {
     import spark.implicits._
     val v1 = Array(1.0f, 2.0f, 3.0f)

@@ -94,4 +94,52 @@ class SqlFeatureSpec extends SparkTestBase {
       assert(rs.map(_.getLong(2)).sum <= 20, s"source $src exceeds the cap")
     }
   }
+
+  test("q199/q200 leave cteRecursionRowLimit and the temp-view catalog untouched") {
+    // r6 leak (VERDICT/ADVICE): the recursive gates set the session-global
+    // cteRecursionRowLimit to 20M and never restored it, so every later
+    // query in a shared session (Verify runs all 200 in one) lost the 1 M
+    // runaway-recursion guardrail. q199 now executes eagerly inside a
+    // scoped override; q200's root-seeded down-walk needs no override.
+    val key = "spark.sql.cteRecursionRowLimit"
+    val prior = spark.conf.get(key)
+    val viewsBefore = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(q("q199_recursive_chain").count() > 0)
+    assert(spark.conf.get(key) == prior,
+      s"q199 leaked $key: ${spark.conf.get(key)} != $prior")
+    assert(q("q200_recursive_rollup").count() == 7,
+      "one rollup row per queried root")
+    assert(spark.conf.get(key) == prior,
+      s"q200 leaked $key: ${spark.conf.get(key)} != $prior")
+    val viewsAfter = spark.catalog.listTables().collect().map(_.name).toSet
+    assert((viewsAfter -- viewsBefore).isEmpty,
+      s"recursive gates leaked temp views: ${viewsAfter -- viewsBefore}")
+  }
+
+  test("q200 down-walk equals the r6 up-walk closure on the same fixture") {
+    // the rewrite changed the traversal direction, not the result: pin the
+    // equivalence against the original (node, ancestor) up-walk program
+    import org.apache.spark.sql.functions.col
+    graft.sources.Tables.customer(spark, sf).createOrReplaceTempView("q200_upwalk_cust")
+    val up = try {
+      graft.queries.withSessionConf(spark, "spark.sql.cteRecursionRowLimit", "20000000") {
+        spark.sql("""
+          |WITH RECURSIVE anc(node, anc_node) AS (
+          |  SELECT c_custkey, c_custkey FROM q200_upwalk_cust
+          |  UNION ALL
+          |  SELECT node, (anc_node - 1) DIV 2 FROM anc WHERE anc_node >= 1)
+          |SELECT a.anc_node AS node,
+          |       CAST(COUNT(*) AS BIGINT) AS n_desc,
+          |       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+          |         AS subtree_bal_c
+          |FROM anc a JOIN q200_upwalk_cust c ON c.c_custkey = a.node
+          |WHERE a.anc_node <= 6
+          |GROUP BY a.anc_node
+          |ORDER BY node ASC""".stripMargin).localCheckpoint()
+      }
+    } finally spark.catalog.dropTempView("q200_upwalk_cust")
+    val down = q("q200_recursive_rollup")
+    assert(down.collect().toSeq == up.collect().toSeq)
+    assert(down.select(col("node")).as[Long].collect().toSeq == (0L to 6L))
+  }
 }
