@@ -106,7 +106,16 @@ object Multimodal {
           val r = readers.next()
           try {
             r.setInput(iis)
-            (hex, r.getWidth(0), r.getHeight(0), 1)
+            // GIF is the one still-image container with REAL multi-frame
+            // content (animations): count frames with getNumImages(true) —
+            // a block-structure walk that skips each frame's LZW data
+            // without decoding pixels, so it stays metadata-priced. Every
+            // other format reports 1 (getNumImages would be 1 anyway, and
+            // the allowSearch scan is wasted work on a 100 TB corpus).
+            val frames =
+              if (startsWith(payload, 'G', 'I', 'F', '8')) r.getNumImages(true)
+              else 1
+            (hex, r.getWidth(0), r.getHeight(0), frames)
           } catch {
             // corrupt header: decodes to nothing, never fails the task
             case scala.util.control.NonFatal(_) => (hex, 0, 0, 0)
@@ -290,8 +299,9 @@ object Multimodal {
     * FakeCodec boundary): 16-bit PCM WAV needs no codec library — the data
     * chunk IS the samples, little-endian signed 16-bit interleaved by
     * channel — so decoding them is plain byte parsing, same as the
-    * container walk. After this, FakeCodec covers only COMPRESSED media
-    * (MP3/AAC pixels/H.264 frames — genuinely impossible without codec
+    * container walk. After this — and [[ImageOps.gifFrameFeatures]]' real
+    * multi-frame GIF decode — FakeCodec covers only COMPRESSED media
+    * (MP3/AAC samples / H.264 frames — genuinely impossible without codec
     * libs in this container).
     *
     * Stats are integer-exact on purpose: a downstream gate can recompute
@@ -513,6 +523,106 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
+    }
+
+    /** Deterministic multi-frame gray GIF: w = 8 + key%9, h = 8 + key%7,
+      * n_frames = 2 + key%4, L(x,y,f) = (7x + 13y + 29f + 31·key) mod 256.
+      * A pure formula of `key`, so the oracle recomputes every per-frame
+      * feature relationally (the q195/q173 never-self-consistent gate
+      * contract, extended to the time axis).
+      *
+      * Pixels are written through an EXPLICIT 256-entry gray
+      * IndexColorModel raster, not setRGB on TYPE_BYTE_GRAY: TYPE_BYTE_GRAY
+      * routes setRGB through an sRGB→linear-gray colorspace transform
+      * (lossy, platform-calibrated), while an indexed raster stores the
+      * formula's byte verbatim and the GIF writer emits that palette
+      * unchanged — the decode side returns bit-identical luminance.
+      */
+    def synthGif(key: Long): Array[Byte] = {
+      val w = 8 + (key % 9).toInt
+      val h = 8 + (key % 7).toInt
+      val n = 2 + (key % 4).toInt
+      val ramp = Array.tabulate(256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                ((7L * x + 13L * y + 29L * f + 31L * key) % 256L).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      bos.toByteArray
+    }
+
+    /** REAL multi-frame decode (VERDICT r6 #6 — the last FakeCodec
+      * retirement): every frame of an animated GIF is decoded by
+      * `javax.imageio`'s GIF reader and feature-extracted like
+      * [[imageFeatures]] — (media_id, frame_idx, n_frames, width, height,
+      * sum_lum, dhash), one row per frame. Frames are read independently
+      * (each synthesized frame is a full image, no inter-frame disposal
+      * compositing to model). Corrupt/undecodable media fans out to no
+      * rows (the q46 contract); a single corrupt FRAME drops only that
+      * frame.
+      *
+      * Scale shape: identical to [[imageFeatures]] — pure map work at the
+      * mapPartitions codec boundary, the reader init amortized per
+      * partition-row, no shuffle until the downstream (frame-sized, not
+      * pixel-sized) aggregation.
+      */
+    def gifFrameFeatures(media: Dataset[MediaRow]): DataFrame = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { rows =>
+        rows.filter(_.payload != null).flatMap { r =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Seq.empty
+            else {
+              val rd = readers.next()
+              try {
+                rd.setInput(iis)
+                val n =
+                  try rd.getNumImages(true)
+                  catch { case scala.util.control.NonFatal(_) => 0 }
+                (0 until n).flatMap { i =>
+                  val img =
+                    try rd.read(i)
+                    catch { case scala.util.control.NonFatal(_) => null }
+                  if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+                  else {
+                    val g = lumaGrid(img, 8, 8)
+                    Some((r.media_id, i, n, img.getWidth, img.getHeight,
+                      g.map(_.map(_.toLong).sum).sum, dHash56(g)))
+                  }
+                }
+              } finally rd.dispose()
+            }
+          } finally iis.close()
+        }
+      }.toDF("media_id", "frame_idx", "n_frames", "width", "height", "sum_lum", "dhash")
     }
 
     /** Per-image features after a REAL decode+resize:

@@ -685,5 +685,61 @@ object NorthStarQueries {
              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
              |ORDER BY id_a ASC, id_b ASC""".stripMargin),
       "SimHash banded Hamming join == exact all-pairs (pigeonhole, no false negatives)"),
+
+    // ------------------------------------------------------------------
+    // q201: multi-frame GIF sample decode — the last FakeCodec retirement
+    // (VERDICT r6 #6). Payloads are deterministic ANIMATED gray GIFs
+    // (ImageOps.synthGif: w/h/frame-count and every pixel a pure formula
+    // of doc_id % 89), decoded frame-BY-frame with javax.imageio's real
+    // GIF reader, each frame downsampled + dHashed exactly like q195. The
+    // DuckDB oracle recomputes every per-frame feature from the formula
+    // (it never sees a GIF byte), so a defect in the writer's palette, the
+    // reader, the frame indexing, or the time-axis term (29·f) is a hash
+    // mismatch, never a self-consistent roundtrip. 100 TB: per-frame
+    // decode is pure map work at the mapPartitions codec boundary; output
+    // is frame-metadata-sized, never pixels.
+    GQuery(
+      "q201_gif_frames",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 89).as("key"))
+          .as[(Long, Long)]
+          .map { case (id, key) =>
+            Multimodal.MediaRow(id, Multimodal.ImageOps.synthGif(key), "image/gif")
+          }
+        Multimodal.ImageOps.gifFrameFeatures(media)
+          .orderBy(col("media_id").asc, col("frame_idx").asc)
+      },
+      Some("""WITH dim AS (
+             |  SELECT doc_id, doc_id % 89 AS key,
+             |         CAST(8 + (doc_id % 89) % 9 AS INT) AS w,
+             |         CAST(8 + (doc_id % 89) % 7 AS INT) AS h,
+             |         CAST(2 + (doc_id % 89) % 4 AS INT) AS n
+             |  FROM documents),
+             |fr AS (
+             |  SELECT dim.*, CAST(f.f AS INT) AS f
+             |  FROM dim, range(0,5) f(f) WHERE f.f < n),
+             |px AS (
+             |  SELECT doc_id, f, w, h, n, y.y AS y, x.x AS x,
+             |         (7*((x.x*w)//8) + 13*((y.y*h)//8) + 29*f + 31*key) % 256 AS l
+             |  FROM fr, range(0,8) y(y), range(0,8) x(x)),
+             |s AS (SELECT doc_id, f, CAST(SUM(l) AS BIGINT) AS sum_lum
+             |      FROM px GROUP BY doc_id, f),
+             |hb AS (
+             |  SELECT a.doc_id, a.f,
+             |         CAST(COALESCE(SUM(CASE WHEN b.l > a.l
+             |           THEN CAST(1 AS BIGINT) << CAST(a.y*7 + a.x AS INT)
+             |           ELSE 0 END), 0) AS BIGINT) AS dhash
+             |  FROM px a JOIN px b
+             |    ON b.doc_id = a.doc_id AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+             |  WHERE a.x < 7
+             |  GROUP BY a.doc_id, a.f)
+             |SELECT s.doc_id AS media_id, s.f AS frame_idx, d.n AS n_frames,
+             |       d.w AS width, d.h AS height, s.sum_lum, hb.dhash
+             |FROM s JOIN hb ON hb.doc_id = s.doc_id AND hb.f = s.f
+             |     JOIN dim d ON d.doc_id = s.doc_id
+             |ORDER BY media_id ASC, frame_idx ASC""".stripMargin),
+      "real multi-frame GIF decode: per-frame resize + dHash == pixel-formula oracle"),
   )
 }

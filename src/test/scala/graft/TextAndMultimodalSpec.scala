@@ -362,4 +362,39 @@ class TextAndMultimodalSpec extends SparkTestBase {
     val rows = ImageOps.imageFeatures(media).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("multi-frame GIF: real decode of every frame matches the pixel formula") {
+    import spark.implicits._
+    import Multimodal.ImageOps
+    // gifFrameFeatures(synthGif(key)) must reproduce the per-frame formula
+    // exactly: the synth writes the luminance byte through an explicit
+    // 256-gray indexed palette (GIF's native form — no quantization, no
+    // colorspace transform), so the javax.imageio roundtrip is lossless
+    for (key <- Seq(0L, 7L, 42L, 88L)) {
+      val (w, h, n) = (8 + (key % 9).toInt, 8 + (key % 7).toInt, 2 + (key % 4).toInt)
+      val payload = ImageOps.synthGif(key)
+      // header magic + real frame count through the metadata-tier codec
+      assert(Multimodal.ImageCodec.isSupportedImage(payload))
+      val (_, dw, dh2, df) = Multimodal.ImageCodec.decode(payload)
+      assert((dw, dh2, df) == ((w, h, n)), s"decode meta for key=$key")
+      val rows = ImageOps.gifFrameFeatures(
+        Seq(Multimodal.MediaRow(key, payload, "image/gif")).toDS())
+        .orderBy(col("frame_idx")).collect()
+      assert(rows.length == n, s"frame fan-out for key=$key")
+      rows.zipWithIndex.foreach { case (r, f) =>
+        val grid = Array.tabulate(8, 8)((y, x) =>
+          ((7L * (x * w / 8) + 13L * (y * h / 8) + 29L * f + 31L * key) % 256L).toInt)
+        assert(r.getInt(1) == f && r.getInt(2) == n)
+        assert(r.getInt(3) == w && r.getInt(4) == h)
+        assert(r.getLong(5) == grid.map(_.map(_.toLong).sum).sum,
+          s"sum_lum key=$key frame=$f")
+        assert(r.getLong(6) == ImageOps.dHash56(grid), s"dhash key=$key frame=$f")
+      }
+    }
+    // corrupt payloads and nulls fan out to NO frame row, never throw
+    val junk = Seq(
+      Multimodal.MediaRow(1L, Array[Byte]('G', 'I', 'F', '8', '9', 'a', 0, 0), "image/gif"),
+      Multimodal.MediaRow(2L, null, "image/gif")).toDS()
+    assert(ImageOps.gifFrameFeatures(junk).count() == 0L)
+  }
 }
