@@ -30,8 +30,9 @@ import org.apache.spark.sql.SparkSession
   *      rounds = 1 → "cold_round": round 1's time (codegen-inclusive —
   *                   a conservative over-estimate, better than nothing).
   *  - A budget-cut round is discarded from stats (its partial times would
-  *    skew whichever queries happen to run first) but its completed-query
-  *    times still back the crash-safety partial lines below.
+  *    skew whichever queries happen to run first). Sole exception: when
+  *    round 1 itself is cut, its partial map is all the data there is and
+  *    backs the cold_round fallback.
   *  - Per-query spread (max/min across WARM rounds) is emitted alongside:
   *    a consumer can tell a noisy measurement from a regression without
   *    re-running.
@@ -140,9 +141,13 @@ object Bench {
         val last = complete.last
         ("last_round", queries.collect { case (n, _) if !failed.contains(n) && last.contains(n) => n -> last(n) })
       } else {
-        // zero or one complete round: fall back to every observation we
-        // have, including a budget-cut round's partial map
-        val obs = rounds.lastOption.toSeq ++ rounds.dropRight(1).lastOption.toSeq
+        // zero or one complete round: round 1's times only (codegen-
+        // inclusive — a uniformly conservative over-estimate). When
+        // round 1 itself was budget-cut its partial map is all we have;
+        // a cut round TWO is deliberately ignored here — mixing its warm
+        // times with round 1's cold times would publish a hybrid total
+        // comparable to neither baseline form.
+        val obs = rounds.headOption.toSeq
         val st = queries.collect { case (n, _) if !failed.contains(n) && obs.exists(_.contains(n)) =>
           n -> obs.find(_.contains(n)).get(n)
         }
@@ -298,9 +303,16 @@ object Bench {
         case Some(b) if b >= 0.1 && t > 0 => Some(t / b)
         case _ => None
       }
-    }.sorted
+    }
     if (ratios.isEmpty) 1.0
-    else math.max(1.0, ratios(ratios.length / 2))
+    // same averaged median as the per-query stat — the upper-middle
+    // element would bias the factor high on even-length lists and widen
+    // every env-adjusted threshold with it
+    else math.max(1.0, {
+      val s = ratios.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    })
   }
 
   /** Queries whose stat exceeds [[SlowFactor]]× the environment-adjusted

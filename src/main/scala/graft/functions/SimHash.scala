@@ -98,9 +98,15 @@ object SimHash {
         shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*))
         .as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val capped = graft.ops.Skew.capHotBuckets(bands,
-      Seq(col("band"), col("bv")), maxBucket,
-      "simhash_band_buckets", "dropped_band_rows", "total_band_rows")
+    // unbounded cap (the gated-vs-exact-oracle configuration): the cap
+    // window could never drop a row, so skip its exchange + per-bucket
+    // count entirely — the candidate join below stays the ONE
+    // signature-sized shuffle the scale story advertises
+    val capped =
+      if (maxBucket == Int.MaxValue) bands
+      else graft.ops.Skew.capHotBuckets(bands,
+        Seq(col("band"), col("bv")), maxBucket,
+        "simhash_band_buckets", "dropped_band_rows", "total_band_rows")
     capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

@@ -112,10 +112,17 @@ object Multimodal {
             // without decoding pixels, so it stays metadata-priced. Every
             // other format reports 1 (getNumImages would be 1 anyway, and
             // the allowSearch scan is wasted work on a 100 TB corpus).
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
             val frames =
-              if (startsWith(payload, 'G', 'I', 'F', '8')) r.getNumImages(true)
+              if (startsWith(payload, 'G', 'I', 'F', '8'))
+                // truncated animation data: the header dims above stand,
+                // but the block walk can hit EOF — degrade to 1 frame
+                // instead of discarding the whole record as corrupt
+                try r.getNumImages(true)
+                catch { case scala.util.control.NonFatal(_) => 1 }
               else 1
-            (hex, r.getWidth(0), r.getHeight(0), frames)
+            (hex, w, h, frames)
           } catch {
             // corrupt header: decodes to nothing, never fails the task
             case scala.util.control.NonFatal(_) => (hex, 0, 0, 0)

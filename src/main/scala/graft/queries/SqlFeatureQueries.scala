@@ -223,27 +223,27 @@ object SqlFeatureQueries {
         // EVERY iteration, so an inline `e` CTE would recompute the
         // window (full orders sort) ~25× — measured 10 s vs ~1 s. At any
         // scale, the frontier join must read a materialized edge table,
-        // not a recomputed subquery. Per-invocation view name: a fixed
-        // name would race under concurrent execution and leak.
+        // not a recomputed subquery.
+        //
+        // Isolation: the recursion guardrail raise (the 1 M default
+        // counts CUMULATIVE iteration output, which reaches n_orders —
+        // 1.5 M at sf1) and the edge temp view live in a throwaway child
+        // session over the shared SparkContext. The SHARED session's
+        // runaway-recursion guardrail and catalog are never touched — no
+        // save/restore to race under concurrent execution, nothing to
+        // leak if the query throws (SqlFeatureSpec pins both).
         import org.apache.spark.sql.functions.{col, lag}
         import org.apache.spark.sql.expressions.Window
-        val edges = freshViewName("g_rec_edges")
-        Tables.orders(s, d)
+        val iso = isolatedSession(s)
+        iso.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
+        val edges = "g_rec_edges" // private catalog: fixed name is race-free
+        Tables.orders(iso, d)
           .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
             lag(col("o_orderkey"), 1).over(Window.partitionBy(col("o_custkey"))
               .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)).as("prev_ok"))
           .localCheckpoint(false)
           .createOrReplaceTempView(edges)
-        // The 1 M default guardrail counts CUMULATIVE iteration output,
-        // which reaches n_orders (1.5 M at sf1) — raise it for THIS
-        // EXECUTION ONLY. The conf is session-global and read at
-        // execution time, so the recursion runs eagerly inside the scope
-        // (eager localCheckpoint of the per-customer aggregate — tiny)
-        // and the prior value is restored before returning; the runaway-
-        // recursion guardrail stays intact for every later query in the
-        // shared session (SqlFeatureSpec pins the restoration).
-        try withSessionConf(s, "spark.sql.cteRecursionRowLimit", "20000000") {
-          s.sql(s"""
+        iso.sql(s"""
             |WITH RECURSIVE walk(ck, ok, step) AS (
             |  SELECT ck, ok, CAST(1 AS BIGINT) FROM $edges WHERE prev_ok IS NULL
             |  UNION ALL
@@ -256,7 +256,6 @@ object SqlFeatureQueries {
             |FROM walk GROUP BY ck
             |ORDER BY custkey ASC
             |""".stripMargin).localCheckpoint()
-        } finally s.catalog.dropTempView(edges)
       },
       Some("""WITH RECURSIVE e AS (
              |  SELECT o_custkey AS ck, o_orderkey AS ok,
@@ -283,24 +282,36 @@ object SqlFeatureQueries {
     // over each of the top 7 nodes' subtrees. The recursion walks DOWN
     // from the 7 queried roots (r6 walked every node UP to the root and
     // discarded ~all pairs at the end — n·log n accumulated rows, 2.6 M
-    // at sf1, needing a guardrail raise; the frontier-bounded down-walk
-    // accumulates Σ subtree sizes ≈ 3n rows ≈ 450 k at sf1, UNDER the
-    // 1 M default, so no cteRecursionRowLimit override is needed at all).
+    // at sf1, needing a 20× guardrail raise; the frontier-bounded
+    // down-walk accumulates Σ subtree sizes ≈ 3n rows ≈ 450 k at sf1).
     // Each step expands the frontier by the two child slots (2-row
     // inline table, broadcast) and equi-joins customer on the computed
     // child key to keep only children that exist — the join a real BOM
-    // walk does against its edge table. At 100 TB the frontier is
-    // bounded by the queried subtrees, never the whole hierarchy; the
+    // walk does against its edge table. NOTE the density assumption that
+    // makes the down-walk ≡ the r6 up-walk: heap children are reachable
+    // only through present intermediate keys, so on a SPARSE key space a
+    // missing node would prune its whole subtree where the up-walk
+    // (parent = (k−1) div 2 needs no lookup) would still count the
+    // orphans; TPC-H custkeys are dense 1..n, and SqlFeatureSpec pins the
+    // equivalence on the fixtures. At 100 TB the frontier is bounded by
+    // the queried subtrees, never the whole hierarchy; the
     // unbounded-closure alternative remains q81's star algorithm.
+    // Isolation: the walk runs in a throwaway child session (private
+    // catalog for the scratch view; guardrail raised there as SCALE
+    // HEADROOM — cumulative rows are linear in n but cross the 1 M
+    // DEFAULT around n ≈ 333 k, i.e. sf ≳ 2.2). The shared session's
+    // guardrail and catalog are untouched even if the query throws.
     GQuery(
       "q200_recursive_rollup",
       (s, d) => {
-        val cust = freshViewName("g_rec_customer")
-        Tables.customer(s, d)
+        val iso = isolatedSession(s)
+        iso.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
+        val cust = "g_rec_customer" // private catalog: fixed name is race-free
+        Tables.customer(iso, d)
           .select(col("c_custkey"), col("c_acctbal"))
           .localCheckpoint(false)
           .createOrReplaceTempView(cust)
-        val df = s.sql(s"""
+        iso.sql(s"""
           |WITH RECURSIVE sub(root, node) AS (
           |  SELECT CAST(r AS BIGINT), CAST(r AS BIGINT)
           |  FROM VALUES (0),(1),(2),(3),(4),(5),(6) AS roots(r)
@@ -317,10 +328,6 @@ object SqlFeatureQueries {
           |GROUP BY sub.root
           |ORDER BY node ASC
           |""".stripMargin)
-        // the view is resolved at analysis (s.sql is eager through the
-        // analyzer): safe to drop before execution
-        s.catalog.dropTempView(cust)
-        df
       },
       Some("""WITH RECURSIVE sub(root, node) AS (
              |  SELECT CAST(r AS BIGINT), CAST(r AS BIGINT)

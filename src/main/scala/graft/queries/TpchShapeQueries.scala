@@ -688,10 +688,12 @@ object TpchShapeQueries {
     // stay SF-stable the threshold here is 1.2× the MEAN part value,
     // compared in exact integers (10·count·val > 12·total — never a
     // float division at the boundary). Both sides widen to DECIMAL(38,0)
-    // (HUGEINT in DuckDB — the q160 pattern): 12·SUM(val_c) exceeds
-    // BIGINT once the corpus-wide value sum passes ~7.7e17 cents·units,
-    // and Spark would wrap silently while DuckDB promotes — the engines
-    // would diverge exactly at the documented 100 TB intent. Catalyst
+    // (HUGEINT in DuckDB — the q160 pattern), INCLUDING the corpus-wide
+    // sum itself — SUM(CAST(val_c AS DECIMAL(38,0))), not
+    // CAST(SUM(val_c)): a BIGINT SUM wraps (ANSI: throws) once the
+    // corpus-wide value sum passes ~9.2e18 cents·units while DuckDB's
+    // SUM promotes to HUGEINT — the engines would diverge exactly at
+    // the documented 100 TB intent. Catalyst
     // evaluates the CTE once, broadcasts both scalars, and filters — not
     // one subquery per row.
     // 100 TB: one lineitem-sized shuffle on partkey, dims broadcast.
@@ -712,7 +714,8 @@ object TpchShapeQueries {
           |SELECT l_partkey, val_c
           |FROM v
           |WHERE CAST(10 AS DECIMAL(38,0)) * (SELECT COUNT(*) FROM v) * val_c
-          |      > CAST(12 AS DECIMAL(38,0)) * (SELECT SUM(val_c) FROM v)
+          |      > CAST(12 AS DECIMAL(38,0))
+          |        * (SELECT SUM(CAST(val_c AS DECIMAL(38,0))) FROM v)
           |ORDER BY val_c DESC, l_partkey ASC
           |""".stripMargin)
       },

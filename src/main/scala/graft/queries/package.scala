@@ -30,15 +30,23 @@ package object queries {
     }
   }
 
-  private val viewCounter = new java.util.concurrent.atomic.AtomicLong()
-
-  /** A per-invocation-unique temp-view name: fixed-name views registered as
-    * a query side effect race under concurrent execution on one session and
-    * leak across queries; a fresh name (dropped by the caller after
-    * analysis) does neither.
+  /** An isolated child session: own SQLConf and temp-view catalog over the
+    * SHARED SparkContext (and table/block caches), for queries that need a
+    * conf override or scratch views. Strictly stronger than save/restore
+    * on the caller's session: nothing shared is ever mutated, so there is
+    * no restore to get wrong, no window where a concurrent query on the
+    * same session observes the override, and no catalog entry to leak if
+    * the query throws — the child is simply discarded. Execution-relevant
+    * session confs are mirrored from the parent (they normally arrive via
+    * SparkConf at context creation, but a caller may have set them on the
+    * session after creation).
     */
-  def freshViewName(prefix: String): String =
-    prefix + "_" + viewCounter.incrementAndGet()
+  def isolatedSession(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val iso = s.newSession()
+    Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone")
+      .foreach(k => s.conf.getOption(k).foreach(v => iso.conf.set(k, v)))
+    iso
+  }
 
   /** Epoch seconds of an NTZ timestamp under the UTC session clock.
     * NTZ has no direct numeric cast; route through TIMESTAMP (identity under

@@ -99,8 +99,9 @@ class SqlFeatureSpec extends SparkTestBase {
     // r6 leak (VERDICT/ADVICE): the recursive gates set the session-global
     // cteRecursionRowLimit to 20M and never restored it, so every later
     // query in a shared session (Verify runs all 200 in one) lost the 1 M
-    // runaway-recursion guardrail. q199 now executes eagerly inside a
-    // scoped override; q200's root-seeded down-walk needs no override.
+    // runaway-recursion guardrail. Both gates now run in a throwaway
+    // isolated child session (own SQLConf + catalog over the shared
+    // SparkContext): the shared session is never mutated at all.
     val key = "spark.sql.cteRecursionRowLimit"
     val prior = spark.conf.get(key)
     val viewsBefore = spark.catalog.listTables().collect().map(_.name).toSet
