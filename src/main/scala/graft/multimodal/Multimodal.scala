@@ -276,6 +276,74 @@ object Multimodal {
       }.getOrElse((0L, 0L, 0, 0, 0, 0L))
     }
 
+    /** MPEG-1 Layer III bitrate table (kbps), header index 1..14 (0 is
+      * "free format", 15 is forbidden) and the MPEG-1 sample-rate table —
+      * both from the public header layout (ISO/IEC 11172-3 frame header).
+      */
+    private val Mp3BitrateKbps =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val Mp3SampleRate = Array(44100, 48000, 32000)
+
+    /** (sample_rate, n_channels, first_frame_bitrate_kbps, n_frames,
+      * duration_ms) over an MPEG-1 Layer III stream (optionally ID3v2-
+      * tagged), or zeros. This is a frame-HEADER walk — each frame's byte
+      * length is computed from its own header (144000·kbps/rate + padding)
+      * and the Huffman-coded body is skipped without decoding, so the parse
+      * stays metadata-priced like the WAV/BMFF walks; only the SAMPLE
+      * decode remains behind [[FakeCodec]] (no MP3 codec in the JVM). The
+      * walk stops at the first non-frame byte (trailing ID3v1 tags, junk)
+      * or version/layer/sample-rate flip; a truncated trailing frame is
+      * not counted (same clamp discipline as parseWav). VBR streams are
+      * counted frame-by-frame (per-frame lengths honor each header's own
+      * bitrate); the reported kbps is the FIRST frame's. Duration is
+      * n_frames · 1152 samples / sample_rate, exact in integer ms.
+      */
+    def parseMp3(p: Array[Byte]): (Int, Int, Int, Long, Long) = {
+      if (!isMp3(p)) return (0, 0, 0, 0L, 0L)
+      var off: Long =
+        if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+          // ID3v2: 10-byte header; size = 4 SYNCHSAFE bytes (7 bits each)
+          val sz = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+            ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+          10L + sz
+        } else 0L
+      var sr = 0; var ch = 0; var kbps0 = 0; var frames = 0L
+      var ok = true
+      while (ok && off + 4 <= p.length) {
+        val o = off.toInt
+        val b2 = p(o + 1) & 0xff; val b3 = p(o + 2) & 0xff
+        // sync (11 set bits) + MPEG-1 (version bits 11) + Layer III (01):
+        // 0xFF then 1111101x (x = CRC-protection flag)
+        if ((p(o) & 0xff) != 0xff || (b2 & 0xfe) != 0xfa) ok = false
+        else {
+          val bi = (b3 >> 4) & 0xf
+          val si = (b3 >> 2) & 0x3
+          val pad = (b3 >> 1) & 0x1
+          if (bi < 1 || bi > 14 || si > 2) ok = false
+          else {
+            val rate = Mp3SampleRate(si)
+            if (sr == 0) {
+              sr = rate; kbps0 = Mp3BitrateKbps(bi)
+              ch = if (((p(o + 3) & 0xff) >> 6) == 3) 1 else 2 // mode 11 = mono
+            }
+            if (rate != sr) ok = false // sample-rate flip: malformed stream
+            else {
+              val flen = 144000 * Mp3BitrateKbps(bi) / rate + pad
+              if (off + flen > p.length) ok = false // truncated last frame
+              else { frames += 1; off += flen }
+            }
+          }
+        }
+      }
+      if (frames == 0L) (0, 0, 0, 0L, 0L)
+      else (sr, ch, kbps0, frames, frames * 1152L * 1000L / sr)
+    }
+
+    def isMp3(p: Array[Byte]): Boolean =
+      p.length >= 4 &&
+        ((p(0) == 'I' && p(1) == 'D' && p(2) == '3') ||
+          ((p(0) & 0xff) == 0xff && (p(1) & 0xfe) == 0xfa))
+
     def isWav(p: Array[Byte]): Boolean =
       p.length >= 44 &&
         p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
@@ -298,6 +366,10 @@ object Multimodal {
         val (ts, _, _, w, h, frames) = parseMp4(payload)
         if (ts <= 0) (hex, 0, 0, 0)
         else (hex, w, h, math.min(frames, Int.MaxValue.toLong).toInt)
+      } else if (isMp3(payload)) {
+        val (sr, _, _, frames, _) = parseMp3(payload)
+        if (sr <= 0) (hex, 0, 0, 0)
+        else (hex, 0, 0, math.min(frames, Int.MaxValue.toLong).toInt)
       } else (hex, 0, 0, 0)
     }
   }
@@ -375,7 +447,8 @@ object Multimodal {
       n_tracks: Int,
       width: Int,
       height: Int,
-      n_frames: Long)
+      n_frames: Long,
+      bitrate_kbps: Int = 0) // nonzero only where the container declares it (MP3 frame headers)
 
   /** Per-partition container parse — the audio/video analog of
     * [[decodeMeta]], surfacing the full header metadata (duration, sample
@@ -395,6 +468,10 @@ object Multimodal {
           val (_, durMs, tracks, w, h, frames) = ContainerCodec.parseMp4(p)
           ContainerMeta(r.media_id, p.length.toLong, hex, "video",
             0, 0, durMs, tracks, w, h, frames)
+        } else if (ContainerCodec.isMp3(p)) {
+          val (rate, ch, kbps, frames, durMs) = ContainerCodec.parseMp3(p)
+          ContainerMeta(r.media_id, p.length.toLong, hex, "audio",
+            rate, ch, durMs, if (rate > 0) 1 else 0, 0, 0, frames, kbps)
         } else if (ImageCodec.isSupportedImage(p)) {
           val (_, w, h, frames) = ImageCodec.decode(p)
           ContainerMeta(r.media_id, p.length.toLong, hex, "image",
@@ -429,7 +506,8 @@ object Multimodal {
           (r.media_type.startsWith("audio/") || r.media_type.startsWith("video/"))
         val untyped = r.media_type == null || r.media_type.isEmpty ||
           r.media_type == "application/octet-stream"
-        val isContainer = ContainerCodec.isWav(r.payload) || ContainerCodec.isMp4(r.payload)
+        val isContainer = ContainerCodec.isWav(r.payload) ||
+          ContainerCodec.isMp4(r.payload) || ContainerCodec.isMp3(r.payload)
         val (hex, w, h, frames) =
           if (declaredImage || (untyped && ImageCodec.isSupportedImage(r.payload)))
             ImageCodec.decode(r.payload)
@@ -719,6 +797,49 @@ object Multimodal {
         i += 1
       }
       bb.array()
+    }
+
+    /** CBR MPEG-1 Layer III stream: `frames` frames at bitrate index
+      * `kbpsIdx` (1..14) and sample-rate index `srIdx` (0..2), mono when
+      * `mono`, no padding bits; an ID3v2 tag of `id3Size` content bytes is
+      * prepended when id3Size > 0 (synchsafe size encoding — the skip path
+      * parseMp3 must take). Frame bodies are deterministic filler: a
+      * header-walk parser must never read them, so a parser that does
+      * shows up as garbage frame counts, not a silent pass.
+      */
+    def mp3(kbpsIdx: Int, srIdx: Int, frames: Int, mono: Boolean,
+        id3Size: Int): Array[Byte] = {
+      require(kbpsIdx >= 1 && kbpsIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+      val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320)(kbpsIdx)
+      val rate = Array(44100, 48000, 32000)(srIdx)
+      val flen = 144000 * kbps / rate
+      val id3 =
+        if (id3Size > 0) {
+          val t = new Array[Byte](10 + id3Size)
+          t(0) = 'I'; t(1) = 'D'; t(2) = '3'; t(3) = 4 // v2.4
+          t(6) = ((id3Size >> 21) & 0x7f).toByte
+          t(7) = ((id3Size >> 14) & 0x7f).toByte
+          t(8) = ((id3Size >> 7) & 0x7f).toByte
+          t(9) = (id3Size & 0x7f).toByte
+          var i = 0
+          while (i < id3Size) { t(10 + i) = ((i * 31 + 7) % 251).toByte; i += 1 }
+          t
+        } else Array.empty[Byte]
+      val out = new Array[Byte](id3.length + frames * flen)
+      System.arraycopy(id3, 0, out, 0, id3.length)
+      var f = 0
+      while (f < frames) {
+        val o = id3.length + f * flen
+        out(o) = 0xff.toByte
+        out(o + 1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
+        out(o + 2) = ((kbpsIdx << 4) | (srIdx << 2)).toByte
+        out(o + 3) = (if (mono) 0xc0 else 0x00).toByte // mode 11 = single
+        var i = 4
+        while (i < flen) { out(o + i) = ((o + i) * 17 % 256).toByte; i += 1 }
+        f += 1
+      }
+      out
     }
 
     /** Minimal ISO-BMFF video: ftyp + moov(mvhd v0, video trak(tkhd w×h,

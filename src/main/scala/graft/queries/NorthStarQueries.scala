@@ -741,5 +741,59 @@ object NorthStarQueries {
              |     JOIN dim d ON d.doc_id = s.doc_id
              |ORDER BY media_id ASC, frame_idx ASC""".stripMargin),
       "real multi-frame GIF decode: per-frame resize + dHash == pixel-formula oracle"),
+
+    // ------------------------------------------------------------------
+    // q202: MP3 container metadata — the compressed-audio half of the
+    // container tier made real at the HEADER level. MP3 has no JVM sample
+    // decoder (that honestly stays behind FakeCodec), but the frame
+    // headers are plain public-spec bytes (ISO/IEC 11172-3): sync +
+    // bitrate/sample-rate indices per frame, frame length
+    // 144000·kbps/rate + padding, 1152 samples per frame. parseMp3 walks
+    // the frames (skipping ID3v2 tags via their synchsafe size — the
+    // formula plants a tag on every 5th doc to keep that path gated),
+    // yielding sample rate, channel mode, first-frame bitrate, frame
+    // count, and exact integer-ms duration. The DuckDB oracle recomputes
+    // all five from the synthesis formula without seeing a byte, so a
+    // builder/parser disagreement on any header field or the synchsafe
+    // skip is a hash mismatch, never a self-consistent roundtrip. 100 TB:
+    // pure map-side header walk at the codec boundary, output is
+    // metadata-sized — the audio-corpus filter step (duration/bitrate
+    // gates) of a training pipeline.
+    GQuery(
+      "q202_mp3_meta",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id,
+                Multimodal.SyntheticMedia.mp3(
+                  kbpsIdx = (1 + id % 14).toInt,
+                  srIdx = (id % 3).toInt,
+                  frames = (2 + id % 6).toInt,
+                  mono = id % 4 == 0,
+                  id3Size = if (id % 5 == 0) (40 + id % 60).toInt else 0),
+                "audio/mpeg")
+            }
+          }
+        Multimodal.containerMeta(media).toDF()
+          .select(col("media_id"), col("media_kind"), col("sample_rate"),
+            col("n_channels"), col("bitrate_kbps"), col("duration_ms"),
+            col("n_frames"))
+          .orderBy(col("media_id").asc)
+      },
+      Some("""SELECT doc_id AS media_id, 'audio' AS media_kind,
+             |  CAST(list_extract([44100,48000,32000],
+             |       CAST(doc_id % 3 AS INT) + 1) AS INT) AS sample_rate,
+             |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END AS INT) AS n_channels,
+             |  CAST(list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+             |       CAST(1 + doc_id % 14 AS INT)) AS INT) AS bitrate_kbps,
+             |  CAST((2 + doc_id % 6) * 1152 * 1000
+             |       // list_extract([44100,48000,32000], CAST(doc_id % 3 AS INT) + 1)
+             |       AS BIGINT) AS duration_ms,
+             |  CAST(2 + doc_id % 6 AS BIGINT) AS n_frames
+             |FROM documents
+             |ORDER BY media_id ASC""".stripMargin),
+      "real MP3 frame-header walk: rate/channels/bitrate/frames/duration == formula oracle"),
   )
 }

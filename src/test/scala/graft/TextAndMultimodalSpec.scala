@@ -397,4 +397,51 @@ class TextAndMultimodalSpec extends SparkTestBase {
       Multimodal.MediaRow(2L, null, "image/gif")).toDS()
     assert(ImageOps.gifFrameFeatures(junk).count() == 0L)
   }
+
+  test("MP3 header walk matches independent golden bytes (no builder self-cancel)") {
+    import Multimodal.ContainerCodec
+    // Two hand-spelled MPEG-1 Layer III frames, NOT built via
+    // SyntheticMedia.mp3 — a shared builder/parser bug on any header
+    // field cannot self-cancel against these bytes. Header 0xFF 0xFB
+    // 0x14 0xC0: bitrate idx 1 (32 kbps), sample-rate idx 1 (48 kHz),
+    // mono, no padding → frameLen = 144000·32/48000 = 96 bytes.
+    val f96 = {
+      val f = new Array[Byte](96)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x14.toByte; f(3) = 0xc0.toByte
+      f
+    }
+    val golden = f96 ++ f96
+    val (sr, ch, kbps, n, durMs) = ContainerCodec.parseMp3(golden)
+    assert((sr, ch, kbps, n) == ((48000, 1, 32, 2L)), s"got ($sr,$ch,$kbps,$n)")
+    assert(durMs == 2L * 1152L * 1000L / 48000L, s"durMs=$durMs") // 48 ms
+  }
+
+  test("MP3 parse: ID3v2 skip, truncation clamp, rate-flip stop, garbage rejection") {
+    import Multimodal.{ContainerCodec, SyntheticMedia}
+    // builder→parser roundtrip across the full q202 parameter lattice
+    for (kbpsIdx <- Seq(1, 9, 14); srIdx <- 0 to 2; id3 <- Seq(0, 57)) {
+      val p = SyntheticMedia.mp3(kbpsIdx, srIdx, frames = 5, mono = false, id3Size = id3)
+      val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(kbpsIdx)
+      val rate = Array(44100, 48000, 32000)(srIdx)
+      val (sr, ch, kb, n, durMs) = ContainerCodec.parseMp3(p)
+      assert((sr, ch, kb, n) == ((rate, 2, kbps, 5L)), s"idx=($kbpsIdx,$srIdx,$id3)")
+      assert(durMs == 5L * 1152L * 1000L / rate)
+    }
+    // truncated trailing frame is NOT counted (clamp, not crash)
+    val full = SyntheticMedia.mp3(5, 2, frames = 3, mono = true, id3Size = 0)
+    val cut = full.dropRight(1)
+    assert(ContainerCodec.parseMp3(cut)._4 == 2L, "truncated frame dropped")
+    // sample-rate flip mid-stream stops the walk at the flip
+    val a = SyntheticMedia.mp3(5, 2, frames = 2, mono = true, id3Size = 0)
+    val b = SyntheticMedia.mp3(5, 0, frames = 2, mono = true, id3Size = 0)
+    assert(ContainerCodec.parseMp3(a ++ b)._4 == 2L, "rate flip stops the walk")
+    // garbage, empty, and WAV payloads are rejected as not-MP3
+    assert(!ContainerCodec.isMp3(Array[Byte](1, 2, 3, 4)))
+    assert(!ContainerCodec.isMp3(Array.empty[Byte]))
+    assert(!ContainerCodec.isMp3(SyntheticMedia.wav(8000, 1, 10)))
+    // ID3 tag with NO frames after it: zeros, never a crash
+    val tagOnly = SyntheticMedia.mp3(1, 0, frames = 1, mono = false, id3Size = 30)
+      .take(40) // 10-byte header + 30 tag bytes, frame cut entirely
+    assert(ContainerCodec.parseMp3(tagOnly) == ((0, 0, 0, 0L, 0L)))
+  }
 }
