@@ -227,23 +227,25 @@ object SqlFeatureQueries {
         //
         // Isolation: the recursion guardrail raise (the 1 M default
         // counts CUMULATIVE iteration output, which reaches n_orders —
-        // 1.5 M at sf1) and the edge temp view live in a throwaway child
-        // session over the shared SparkContext. The SHARED session's
-        // runaway-recursion guardrail and catalog are never touched — no
-        // save/restore to race under concurrent execution, nothing to
-        // leak if the query throws (SqlFeatureSpec pins both).
+        // 1.5 M at sf1) and the edge temp view live in the cached
+        // recursion child session over the shared SparkContext. The
+        // SHARED session's runaway-recursion guardrail and catalog are
+        // never touched — no save/restore to race under concurrent
+        // execution, nothing leaks to it if the query throws
+        // (SqlFeatureSpec pins both). The scratch view is
+        // invocation-unique and dropped in a finally: the child's catalog
+        // is shared across invocations.
         import org.apache.spark.sql.functions.{col, lag}
         import org.apache.spark.sql.expressions.Window
-        val iso = isolatedSession(s)
-        iso.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
-        val edges = "g_rec_edges" // private catalog: fixed name is race-free
+        val iso = recursionSession(s)
+        val edges = freshViewName("g_rec_edges")
         Tables.orders(iso, d)
           .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
             lag(col("o_orderkey"), 1).over(Window.partitionBy(col("o_custkey"))
               .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)).as("prev_ok"))
           .localCheckpoint(false)
           .createOrReplaceTempView(edges)
-        iso.sql(s"""
+        try iso.sql(s"""
             |WITH RECURSIVE walk(ck, ok, step) AS (
             |  SELECT ck, ok, CAST(1 AS BIGINT) FROM $edges WHERE prev_ok IS NULL
             |  UNION ALL
@@ -256,6 +258,7 @@ object SqlFeatureQueries {
             |FROM walk GROUP BY ck
             |ORDER BY custkey ASC
             |""".stripMargin).localCheckpoint()
+        finally iso.catalog.dropTempView(edges)
       },
       Some("""WITH RECURSIVE e AS (
              |  SELECT o_custkey AS ck, o_orderkey AS ok,
@@ -296,22 +299,21 @@ object SqlFeatureQueries {
     // equivalence on the fixtures. At 100 TB the frontier is bounded by
     // the queried subtrees, never the whole hierarchy; the
     // unbounded-closure alternative remains q81's star algorithm.
-    // Isolation: the walk runs in a throwaway child session (private
-    // catalog for the scratch view; guardrail raised there as SCALE
-    // HEADROOM — cumulative rows are linear in n but cross the 1 M
+    // Isolation: the walk runs in the cached recursion child session
+    // (scratch view in its private catalog; guardrail raised there as
+    // SCALE HEADROOM — cumulative rows are linear in n but cross the 1 M
     // DEFAULT around n ≈ 333 k, i.e. sf ≳ 2.2). The shared session's
     // guardrail and catalog are untouched even if the query throws.
     GQuery(
       "q200_recursive_rollup",
       (s, d) => {
-        val iso = isolatedSession(s)
-        iso.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
-        val cust = "g_rec_customer" // private catalog: fixed name is race-free
+        val iso = recursionSession(s)
+        val cust = freshViewName("g_rec_customer")
         Tables.customer(iso, d)
           .select(col("c_custkey"), col("c_acctbal"))
           .localCheckpoint(false)
           .createOrReplaceTempView(cust)
-        iso.sql(s"""
+        try iso.sql(s"""
           |WITH RECURSIVE sub(root, node) AS (
           |  SELECT CAST(r AS BIGINT), CAST(r AS BIGINT)
           |  FROM VALUES (0),(1),(2),(3),(4),(5),(6) AS roots(r)
@@ -328,6 +330,10 @@ object SqlFeatureQueries {
           |GROUP BY sub.root
           |ORDER BY node ASC
           |""".stripMargin)
+        // sql() is eager through the analyzer: the view is resolved into
+        // the returned plan, so dropping it now (even on the throw path)
+        // cannot break later execution
+        finally iso.catalog.dropTempView(cust)
       },
       Some("""WITH RECURSIVE sub(root, node) AS (
              |  SELECT CAST(r AS BIGINT), CAST(r AS BIGINT)
