@@ -113,11 +113,6 @@ object Bench {
     def dropLeftoverBlocks(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
 
-    def median(v: Vector[Double]): Double = {
-      val s = v.sorted
-      val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
     def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
 
     // per-round observations: rounds(r)(name) = seconds. A budget-cut
@@ -289,6 +284,16 @@ object Bench {
     */
   val SlowFactor = 3.0
 
+  /** Averaged median (middle pair averaged on even length) — the one
+    * median definition for BOTH the per-query stat and the environment
+    * factor, so the two cannot diverge.
+    */
+  def median(v: Vector[Double]): Double = {
+    val s = v.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   /** Median of per-query (stat / baseline) ratios, floored at 1.0 — the
     * run environment's uniform slowdown vs the machine that recorded the
     * baseline. Sub-100 ms baselines are excluded (scheduler noise
@@ -308,11 +313,7 @@ object Bench {
     // same averaged median as the per-query stat — the upper-middle
     // element would bias the factor high on even-length lists and widen
     // every env-adjusted threshold with it
-    else math.max(1.0, {
-      val s = ratios.sorted
-      val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    })
+    else math.max(1.0, median(ratios.toVector))
   }
 
   /** Queries whose stat exceeds [[SlowFactor]]× the environment-adjusted

@@ -280,9 +280,9 @@ object Multimodal {
       * "free format", 15 is forbidden) and the MPEG-1 sample-rate table —
       * both from the public header layout (ISO/IEC 11172-3 frame header).
       */
-    private val Mp3BitrateKbps =
+    private[multimodal] val Mp3BitrateKbps =
       Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
-    private val Mp3SampleRate = Array(44100, 48000, 32000)
+    private[multimodal] val Mp3SampleRate = Array(44100, 48000, 32000)
 
     /** (sample_rate, n_channels, first_frame_bitrate_kbps, n_frames,
       * duration_ms) over an MPEG-1 Layer III stream (optionally ID3v2-
@@ -301,12 +301,19 @@ object Multimodal {
     def parseMp3(p: Array[Byte]): (Int, Int, Int, Long, Long) = {
       if (!isMp3(p)) return (0, 0, 0, 0L, 0L)
       var off: Long =
-        if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
-          // ID3v2: 10-byte header; size = 4 SYNCHSAFE bytes (7 bits each)
+        if (hasId3v2(p)) {
+          // ID3v2: 10-byte header; size = 4 SYNCHSAFE bytes (7 bits
+          // each), EXCLUDING the optional 10-byte footer (flags bit 4 —
+          // v2.4 §3.1: a footered tag may not be padded, and the size
+          // field does not count the footer)
           val sz = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
             ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
-          10L + sz
+          10L + sz + (if ((p(5) & 0x10) != 0) 10L else 0L)
         } else 0L
+      // tolerate zero padding between the tag and the first frame (some
+      // encoders leave it outside the declared tag size); only 0x00 bytes
+      // are skipped — anything else must be a sync or the walk stops
+      while (off < p.length && p(off.toInt) == 0) off += 1
       var sr = 0; var ch = 0; var kbps0 = 0; var frames = 0L
       var ok = true
       while (ok && off + 4 <= p.length) {
@@ -339,10 +346,24 @@ object Multimodal {
       else (sr, ch, kbps0, frames, frames * 1152L * 1000L / sr)
     }
 
+    /** Structural ID3v2 header check — NOT just the 3 ASCII magic bytes.
+      * Ordinary text can begin "ID3 ..." (the same hazard the BMP sniff
+      * documents for "BM"), and q46 deliberately routes document TEXT
+      * through the media path; a loose sniff would steal those payloads
+      * from FakeCodec and break the gate. Validated: version major in
+      * 2..4 (never 0xFF), version minor != 0xFF, and all four synchsafe
+      * size bytes with the MSB clear (spec-required) — ASCII after "ID3 "
+      * fails the version test.
+      */
+    private def hasId3v2(p: Array[Byte]): Boolean =
+      p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3' &&
+        p(3) >= 2 && p(3) <= 4 && (p(4) & 0xff) != 0xff &&
+        (p(6) & 0x80) == 0 && (p(7) & 0x80) == 0 &&
+        (p(8) & 0x80) == 0 && (p(9) & 0x80) == 0
+
     def isMp3(p: Array[Byte]): Boolean =
       p.length >= 4 &&
-        ((p(0) == 'I' && p(1) == 'D' && p(2) == '3') ||
-          ((p(0) & 0xff) == 0xff && (p(1) & 0xfe) == 0xfa))
+        (hasId3v2(p) || ((p(0) & 0xff) == 0xff && (p(1) & 0xfe) == 0xfa))
 
     def isWav(p: Array[Byte]): Boolean =
       p.length >= 44 &&
@@ -810,9 +831,12 @@ object Multimodal {
     def mp3(kbpsIdx: Int, srIdx: Int, frames: Int, mono: Boolean,
         id3Size: Int): Array[Byte] = {
       require(kbpsIdx >= 1 && kbpsIdx <= 14 && srIdx >= 0 && srIdx <= 2)
-      val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
-        224, 256, 320)(kbpsIdx)
-      val rate = Array(44100, 48000, 32000)(srIdx)
+      // header-index tables shared with the parser: builder/parser
+      // independence is provided by the q202 formula oracle (which
+      // re-derives both tables in SQL) and the golden-bytes spec, so a
+      // hand-mirrored copy here would be maintenance risk, not rigor
+      val kbps = ContainerCodec.Mp3BitrateKbps(kbpsIdx)
+      val rate = ContainerCodec.Mp3SampleRate(srIdx)
       val flen = 144000 * kbps / rate
       val id3 =
         if (id3Size > 0) {

@@ -33,13 +33,15 @@ package object queries {
   /** An isolated child session: own SQLConf and temp-view catalog over the
     * SHARED SparkContext (and table/block caches), for queries that need a
     * conf override or scratch views. Strictly stronger than save/restore
-    * on the caller's session: nothing shared is ever mutated, so there is
+    * on the caller's session: nothing SHARED is ever mutated, so there is
     * no restore to get wrong, no window where a concurrent query on the
-    * same session observes the override, and no catalog entry to leak if
-    * the query throws — the child is simply discarded. Execution-relevant
-    * session confs are mirrored from the parent (they normally arrive via
-    * SparkConf at context creation, but a caller may have set them on the
-    * session after creation).
+    * parent session observes the override, and nothing leaks to the
+    * parent if the query throws. Whether the child is discarded after one
+    * use or cached (see [[recursionSession]]) is the caller's choice —
+    * either way the parent is untouched. Execution-relevant session confs
+    * are mirrored from the parent (they normally arrive via SparkConf at
+    * context creation, but a caller may have set them on the session
+    * after creation).
     */
   def isolatedSession(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
     val iso = s.newSession()
@@ -61,12 +63,14 @@ package object queries {
 
   /** The shared RECURSION session for `s`: an isolated child (own SQLConf
     * + temp-view catalog over the shared SparkContext) with the recursion
-    * row-limit guardrail pre-raised to 20 M — headroom for the gated
-    * recursions, whose cumulative iteration output is LINEAR in the input
-    * (q199: n_orders; q200: ~3n) but crosses the 1 M default between sf1
-    * and sf3. The PARENT session's guardrail, conf, and catalog are never
-    * touched: a runaway recursion authored against the shared session
-    * still trips the default limit.
+    * row-limit guardrail pre-raised to 20 M — needed headroom for the
+    * gated recursions, whose cumulative iteration output is LINEAR in the
+    * input but crosses the 1 M default well inside gated territory
+    * (q199's counter reaches n_orders = 1.5 M at sf1, i.e. the default
+    * trips below sf1; q200's ~3n crosses near sf2.2). The PARENT
+    * session's guardrail, conf, and catalog are never touched: a runaway
+    * recursion authored against the shared session still trips the
+    * default limit.
     */
   def recursionSession(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     recSessions.synchronized {

@@ -99,9 +99,10 @@ class SqlFeatureSpec extends SparkTestBase {
     // r6 leak (VERDICT/ADVICE): the recursive gates set the session-global
     // cteRecursionRowLimit to 20M and never restored it, so every later
     // query in a shared session (Verify runs all 200 in one) lost the 1 M
-    // runaway-recursion guardrail. Both gates now run in a throwaway
-    // isolated child session (own SQLConf + catalog over the shared
-    // SparkContext): the shared session is never mutated at all.
+    // runaway-recursion guardrail. Both gates now run in an isolated
+    // child session (own SQLConf + catalog over the shared SparkContext,
+    // cached per parent with its conf set once at creation): the shared
+    // session is never mutated at all.
     val key = "spark.sql.cteRecursionRowLimit"
     val prior = spark.conf.get(key)
     val viewsBefore = spark.catalog.listTables().collect().map(_.name).toSet

@@ -439,6 +439,28 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(!ContainerCodec.isMp3(Array[Byte](1, 2, 3, 4)))
     assert(!ContainerCodec.isMp3(Array.empty[Byte]))
     assert(!ContainerCodec.isMp3(SyntheticMedia.wav(8000, 1, 10)))
+    // ordinary TEXT beginning with the ASCII letters "ID3" must NOT sniff
+    // as MP3 (q46 routes document text through the media path; a loose
+    // 3-byte sniff would steal those rows from FakeCodec) — the version
+    // byte after the magic is ' ' (0x20), outside the 2..4 structural check
+    assert(!ContainerCodec.isMp3(
+      "ID3 tags are metadata containers".getBytes("US-ASCII")))
+    // ID3v2.4 FOOTER flag: the synchsafe size excludes the 10-byte
+    // footer; the walk must skip it or read "3DI..." as a broken frame
+    val plain = SyntheticMedia.mp3(5, 2, frames = 2, mono = true, id3Size = 20)
+    val footered = {
+      val out = plain.clone()
+      out(5) = 0x10.toByte // set the footer flag in the tag header
+      val tagEnd = 10 + 20
+      val footer = new Array[Byte](10)
+      footer(0) = '3'; footer(1) = 'D'; footer(2) = 'I'; footer(3) = 4
+      // frames shift 10 bytes right to make room for the footer
+      out.take(tagEnd) ++ footer ++ out.drop(tagEnd)
+    }
+    assert(ContainerCodec.parseMp3(footered)._4 == 2L, "footer skipped")
+    // zero padding between the tag and the first frame is tolerated
+    val padded = plain.take(30) ++ Array.fill[Byte](16)(0) ++ plain.drop(30)
+    assert(ContainerCodec.parseMp3(padded)._4 == 2L, "inter-tag padding skipped")
     // ID3 tag with NO frames after it: zeros, never a crash
     val tagOnly = SyntheticMedia.mp3(1, 0, frames = 1, mono = false, id3Size = 30)
       .take(40) // 10-byte header + 30 tag bytes, frame cut entirely
