@@ -346,6 +346,48 @@ object Multimodal {
       else (sr, ch, kbps0, frames, frames * 1152L * 1000L / sr)
     }
 
+    /** (sample_rate, n_channels, bits_per_sample, total_samples,
+      * duration_ms) from a FLAC STREAMINFO block, or zeros. FLAC metadata
+      * is a block walk (public spec, RFC 9639): after the "fLaC" magic,
+      * each block is [1-byte header: last-flag(1) + type(7)] [3-byte BE
+      * length] [payload]; STREAMINFO (type 0, 34 bytes, spec-required
+      * first) packs sample rate (20 bits), channels−1 (3), bits−1 (5) and
+      * a 36-bit total-sample count into the 8 bytes after the block/frame
+      * size fields. Header-priced like the other container walks; FLAC
+      * SAMPLE decode stays behind [[FakeCodec]].
+      */
+    def parseFlac(p: Array[Byte]): (Int, Int, Int, Long, Long) = {
+      if (!isFlac(p)) return (0, 0, 0, 0L, 0L)
+      var off = 4
+      var done = false
+      while (!done && off + 4 <= p.length) {
+        val hdr = p(off) & 0xff
+        val last = (hdr & 0x80) != 0
+        val typ = hdr & 0x7f
+        val len = ((p(off + 1) & 0xff) << 16) | ((p(off + 2) & 0xff) << 8) |
+          (p(off + 3) & 0xff)
+        if (typ == 0 && len >= 34 && off + 4 + 34 <= p.length) {
+          // bytes 10..17 of STREAMINFO: sr(20) ch-1(3) bps-1(5) total(36)
+          val base = off + 4 + 10
+          var packed = 0L
+          var i = 0
+          while (i < 8) { packed = (packed << 8) | (p(base + i) & 0xffL); i += 1 }
+          val sr = (packed >>> 44).toInt
+          val ch = ((packed >>> 41) & 0x7).toInt + 1
+          val bps = ((packed >>> 36) & 0x1f).toInt + 1
+          val total = packed & 0xfffffffffL // low 36 bits
+          return if (sr <= 0) (0, 0, 0, 0L, 0L)
+          else (sr, ch, bps, total, total * 1000L / sr)
+        }
+        off += 4 + len
+        done = last
+      }
+      (0, 0, 0, 0L, 0L)
+    }
+
+    def isFlac(p: Array[Byte]): Boolean =
+      p.length >= 8 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C'
+
     /** Structural ID3v2 header check — NOT just the 3 ASCII magic bytes.
       * Ordinary text can begin "ID3 ..." (the same hazard the BMP sniff
       * documents for "BM"), and q46 deliberately routes document TEXT
@@ -391,6 +433,10 @@ object Multimodal {
         val (sr, _, _, frames, _) = parseMp3(payload)
         if (sr <= 0) (hex, 0, 0, 0)
         else (hex, 0, 0, math.min(frames, Int.MaxValue.toLong).toInt)
+      } else if (isFlac(payload)) {
+        val (sr, _, _, total, _) = parseFlac(payload)
+        if (sr <= 0) (hex, 0, 0, 0)
+        else (hex, 0, 0, math.min(total, Int.MaxValue.toLong).toInt)
       } else (hex, 0, 0, 0)
     }
   }
@@ -456,6 +502,31 @@ object Multimodal {
     }
   }
 
+  /** FLAC STREAMINFO row — carries the bits_per_sample field the generic
+    * ContainerMeta schema has no slot for.
+    */
+  case class FlacMeta(
+      media_id: Long,
+      sample_rate: Int,
+      n_channels: Int,
+      bits_per_sample: Int,
+      total_samples: Long,
+      duration_ms: Long)
+
+  /** Per-partition FLAC STREAMINFO parse at the codec boundary; rows whose
+    * payload is not a parseable FLAC stream report the corrupt-media
+    * contract (all zeros).
+    */
+  def flacMeta(media: Dataset[MediaRow]): Dataset[FlacMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.payload != null).map { r =>
+        val (sr, ch, bps, total, durMs) = ContainerCodec.parseFlac(r.payload)
+        FlacMeta(r.media_id, sr, ch, bps, total, durMs)
+      }
+    }
+  }
+
   /** Rich container metadata row (audio/video header parse). */
   case class ContainerMeta(
       media_id: Long,
@@ -493,6 +564,10 @@ object Multimodal {
           val (rate, ch, kbps, frames, durMs) = ContainerCodec.parseMp3(p)
           ContainerMeta(r.media_id, p.length.toLong, hex, "audio",
             rate, ch, durMs, if (rate > 0) 1 else 0, 0, 0, frames, kbps)
+        } else if (ContainerCodec.isFlac(p)) {
+          val (rate, ch, _, total, durMs) = ContainerCodec.parseFlac(p)
+          ContainerMeta(r.media_id, p.length.toLong, hex, "audio",
+            rate, ch, durMs, if (rate > 0) 1 else 0, 0, 0, total)
         } else if (ImageCodec.isSupportedImage(p)) {
           val (_, w, h, frames) = ImageCodec.decode(p)
           ContainerMeta(r.media_id, p.length.toLong, hex, "image",
@@ -528,7 +603,8 @@ object Multimodal {
         val untyped = r.media_type == null || r.media_type.isEmpty ||
           r.media_type == "application/octet-stream"
         val isContainer = ContainerCodec.isWav(r.payload) ||
-          ContainerCodec.isMp4(r.payload) || ContainerCodec.isMp3(r.payload)
+          ContainerCodec.isMp4(r.payload) || ContainerCodec.isMp3(r.payload) ||
+          ContainerCodec.isFlac(r.payload)
         val (hex, w, h, frames) =
           if (declaredImage || (untyped && ImageCodec.isSupportedImage(r.payload)))
             ImageCodec.decode(r.payload)
@@ -864,6 +940,42 @@ object Multimodal {
         f += 1
       }
       out
+    }
+
+    /** Minimal FLAC metadata stream: "fLaC" magic, an optional
+      * VORBIS_COMMENT-typed filler block, STREAMINFO, and a last PADDING
+      * block. When fillerLen > 0 the filler comes FIRST — deliberately:
+      * real encoders put STREAMINFO first (the spec requires it) and the
+      * parser accepts that, but a leading filler forces the gate to
+      * exercise the step-over-by-declared-length path rather than always
+      * returning on block one. No audio frames follow (the parse is
+      * header-only by design).
+      */
+    def flac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+        totalSamples: Long, fillerLen: Int): Array[Byte] = {
+      require(channels >= 1 && channels <= 8 && bitsPerSample >= 4 &&
+        bitsPerSample <= 32 && sampleRate > 0 && sampleRate < (1 << 20) &&
+        totalSamples >= 0 && totalSamples < (1L << 36))
+      def blockHeader(last: Boolean, typ: Int, len: Int): Array[Byte] = Array(
+        (((if (last) 0x80 else 0) | typ) & 0xff).toByte,
+        ((len >> 16) & 0xff).toByte, ((len >> 8) & 0xff).toByte, (len & 0xff).toByte)
+      val si = new Array[Byte](34) // min/max blocksize+framesize left zero
+      val packed = (sampleRate.toLong << 44) |
+        ((channels - 1).toLong << 41) | ((bitsPerSample - 1).toLong << 36) |
+        totalSamples
+      var i = 0
+      while (i < 8) { si(10 + i) = ((packed >>> (8 * (7 - i))) & 0xff).toByte; i += 1 }
+      val filler =
+        if (fillerLen > 0) {
+          val f = new Array[Byte](fillerLen)
+          var j = 0
+          while (j < fillerLen) { f(j) = ((j * 13 + 5) % 127).toByte; j += 1 }
+          blockHeader(last = false, typ = 4, fillerLen) ++ f // VORBIS_COMMENT
+        } else Array.empty[Byte]
+      "fLaC".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        filler ++
+        blockHeader(last = false, typ = 0, 34) ++ si ++
+        blockHeader(last = true, typ = 1, 4) ++ new Array[Byte](4) // PADDING
     }
 
     /** Minimal ISO-BMFF video: ftyp + moov(mvhd v0, video trak(tkhd w×h,

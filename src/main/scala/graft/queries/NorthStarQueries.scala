@@ -795,5 +795,51 @@ object NorthStarQueries {
              |FROM documents
              |ORDER BY media_id ASC""".stripMargin),
       "real MP3 frame-header walk: rate/channels/bitrate/frames/duration == formula oracle"),
+
+    // ------------------------------------------------------------------
+    // q203: FLAC STREAMINFO metadata — the lossless-audio sibling of
+    // q202's MP3 walk (public spec, RFC 9639). The metadata section is a
+    // typed block walk; STREAMINFO packs sample rate (20 bits),
+    // channels−1 (3), bits-per-sample−1 (5) and a 36-bit total-sample
+    // count into one big-endian 64-bit field — exactly the bit-surgery a
+    // parser gets subtly wrong, so every field gates against a formula
+    // oracle that never sees a byte. Every 3rd doc carries a filler
+    // metadata block BEFORE the STREAMINFO so the step-over-by-declared-
+    // length path is exercised by the gate itself, not just specs.
+    // 100 TB: header-priced map work; duration/bit-depth filters over a
+    // lossless-audio corpus without touching a single sample.
+    GQuery(
+      "q203_flac_meta",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id,
+                Multimodal.SyntheticMedia.flac(
+                  sampleRate = Array(32000, 44100, 48000, 96000)((id % 4).toInt),
+                  channels = (1 + id % 8).toInt,
+                  bitsPerSample = if (id % 2 == 0) 16 else 24,
+                  totalSamples = 1000 + id % 9000,
+                  fillerLen = if (id % 3 == 0) (20 + id % 50).toInt else 0),
+                "audio/flac")
+            }
+          }
+        Multimodal.flacMeta(media).toDF()
+          .orderBy(col("media_id").asc)
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(list_extract([32000,44100,48000,96000],
+             |       CAST(doc_id % 4 AS INT) + 1) AS INT) AS sample_rate,
+             |  CAST(1 + doc_id % 8 AS INT) AS n_channels,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS INT)
+             |    AS bits_per_sample,
+             |  CAST(1000 + doc_id % 9000 AS BIGINT) AS total_samples,
+             |  CAST((1000 + doc_id % 9000) * 1000
+             |       // list_extract([32000,44100,48000,96000], CAST(doc_id % 4 AS INT) + 1)
+             |       AS BIGINT) AS duration_ms
+             |FROM documents
+             |ORDER BY media_id ASC""".stripMargin),
+      "real FLAC STREAMINFO bit-field parse: rate/channels/depth/samples/duration == formula oracle"),
   )
 }

@@ -466,4 +466,39 @@ class TextAndMultimodalSpec extends SparkTestBase {
       .take(40) // 10-byte header + 30 tag bytes, frame cut entirely
     assert(ContainerCodec.parseMp3(tagOnly) == ((0, 0, 0, 0L, 0L)))
   }
+
+  test("FLAC STREAMINFO matches independent golden bytes (bit-field packing)") {
+    import Multimodal.ContainerCodec
+    // Hand-packed STREAMINFO, NOT built via SyntheticMedia.flac: 44100 Hz,
+    // 2 channels, 16 bits, 0x123456789 total samples. The 64-bit field is
+    // sr(20) | ch-1(3) | bps-1(5) | total(36):
+    //   44100 = 0x0AC44 → top 20 bits; ch-1=1 (3 bits); bps-1=15 (5 bits)
+    //   packed = 0x0AC44<<44 | 1<<41 | 15<<36 | 0x123456789
+    val packed = (44100L << 44) | (1L << 41) | (15L << 36) | 0x123456789L
+    val si = new Array[Byte](34)
+    for (i <- 0 until 8) si(10 + i) = ((packed >>> (8 * (7 - i))) & 0xff).toByte
+    val golden = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ si // single (last) block
+    val (sr, ch, bps, total, durMs) = ContainerCodec.parseFlac(golden)
+    assert((sr, ch, bps, total) == ((44100, 2, 16, 0x123456789L)),
+      s"got ($sr,$ch,$bps,$total)")
+    assert(durMs == 0x123456789L * 1000L / 44100L)
+  }
+
+  test("FLAC parse: block step-over, corrupt rejection, truncation") {
+    import Multimodal.{ContainerCodec, SyntheticMedia}
+    // builder→parser roundtrip, with and without a leading filler block
+    for (filler <- Seq(0, 33); bps <- Seq(16, 24); ch <- Seq(1, 8)) {
+      val p = SyntheticMedia.flac(96000, ch, bps, totalSamples = 5432L, fillerLen = filler)
+      val (sr, c, b, total, durMs) = ContainerCodec.parseFlac(p)
+      assert((sr, c, b, total) == ((96000, ch, bps, 5432L)), s"filler=$filler")
+      assert(durMs == 5432L * 1000L / 96000L)
+    }
+    // magic-only / truncated STREAMINFO / garbage: zeros, never a crash
+    assert(ContainerCodec.parseFlac("fLaC".getBytes("US-ASCII")) == ((0, 0, 0, 0L, 0L)))
+    val cut = SyntheticMedia.flac(32000, 2, 16, 100L, fillerLen = 0).take(20)
+    assert(ContainerCodec.parseFlac(cut) == ((0, 0, 0, 0L, 0L)))
+    assert(!ContainerCodec.isFlac("flac is a codec".getBytes("US-ASCII")))
+    assert(!ContainerCodec.isFlac(Array.empty[Byte]))
+  }
 }
