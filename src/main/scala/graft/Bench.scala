@@ -252,8 +252,16 @@ object Bench {
     // regressions are signals. Advisory by default (a hard exit would
     // kill the whole bench); SPARK_GRAFT_BENCH_STRICT=1 turns it into a
     // nonzero exit.
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-      "bench_baseline.json")
+    // Per-config baseline preferred: a parallelism-hungry query (q97 is
+    // 0.6 s at local[32] but 1.8 s at local[4] — a 2.8× config ratio the
+    // MEDIAN-based env factor cannot absorb) would false-flag whenever
+    // the run's thread count differs from the recording's. The close
+    // records bench_baseline.json from local[32] and, when available,
+    // bench_baseline_<cpus>.json per other config.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", {
+      val perConfig = s"bench_baseline_$cpus.json"
+      if (new java.io.File(perConfig).isFile) perConfig else "bench_baseline.json"
+    })
     val baseline = loadBaseline(baselinePath)
     val envFactor = environmentFactor(published.toMap, baseline)
     val slow = slowQueries(published.toMap, baseline, envFactor = envFactor)
