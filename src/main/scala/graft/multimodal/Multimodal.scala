@@ -358,17 +358,22 @@ object Multimodal {
       */
     def parseFlac(p: Array[Byte]): (Int, Int, Int, Long, Long) = {
       if (!isFlac(p)) return (0, 0, 0, 0L, 0L)
-      var off = 4
+      // Long offset: block lengths are attacker-controlled 24-bit values,
+      // and an Int accumulator could wrap negative near a 2 GiB payload
+      // and index out of bounds — same never-throw discipline as the MP4
+      // walk's entry_count clamp and the MP3 walk's Long offset
+      var off = 4L
       var done = false
       while (!done && off + 4 <= p.length) {
-        val hdr = p(off) & 0xff
+        val o = off.toInt
+        val hdr = p(o) & 0xff
         val last = (hdr & 0x80) != 0
         val typ = hdr & 0x7f
-        val len = ((p(off + 1) & 0xff) << 16) | ((p(off + 2) & 0xff) << 8) |
-          (p(off + 3) & 0xff)
+        val len = ((p(o + 1) & 0xff) << 16) | ((p(o + 2) & 0xff) << 8) |
+          (p(o + 3) & 0xff)
         if (typ == 0 && len >= 34 && off + 4 + 34 <= p.length) {
           // bytes 10..17 of STREAMINFO: sr(20) ch-1(3) bps-1(5) total(36)
-          val base = off + 4 + 10
+          val base = o + 4 + 10
           var packed = 0L
           var i = 0
           while (i < 8) { packed = (packed << 8) | (p(base + i) & 0xffL); i += 1 }
