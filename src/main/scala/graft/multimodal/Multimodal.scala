@@ -960,7 +960,8 @@ object Multimodal {
         totalSamples: Long, fillerLen: Int): Array[Byte] = {
       require(channels >= 1 && channels <= 8 && bitsPerSample >= 4 &&
         bitsPerSample <= 32 && sampleRate > 0 && sampleRate < (1 << 20) &&
-        totalSamples >= 0 && totalSamples < (1L << 36))
+        totalSamples >= 0 && totalSamples < (1L << 36) &&
+        fillerLen >= 0 && fillerLen < (1 << 24)) // 24-bit block-length field
       def blockHeader(last: Boolean, typ: Int, len: Int): Array[Byte] = Array(
         (((if (last) 0x80 else 0) | typ) & 0xff).toByte,
         ((len >> 16) & 0xff).toByte, ((len >> 8) & 0xff).toByte, (len & 0xff).toByte)
