@@ -177,16 +177,20 @@ object PipelineQueries {
     // ------------------------------------------------------------------
     // q87: heavy hitters via the Misra–Gries sketch — one mergeable
     // aggregate pass (map-side partials, k-counter merge) instead of a
-    // full-vocabulary shuffle. k=64 exceeds the fixture's 31-word
-    // vocabulary, so the sketch estimates are provably EXACT here and the
-    // oracle pins est = cnt; the lossy k<distinct regime is covered by
-    // MisraGriesSpec. n_tok/65.0 is the sketch's N/(k+1) error bound.
+    // full-vocabulary shuffle. k=512 exceeds the corpus vocabulary at
+    // every rotated SF (31 words in the fixtures; ~310 at sf1, where
+    // GenScale's alternate-token suffixing multiplies the vocab by the
+    // replica count — k=64 fell into the lossy regime there and broke
+    // the est=cnt pin, found in the r7 sf1 rotation), so the sketch
+    // estimates are provably EXACT and the oracle pins est = cnt; the
+    // lossy k<distinct regime is covered by MisraGriesSpec. n_tok/513.0
+    // is the sketch's N/(k+1) error bound.
     GQuery(
       "q87_heavy_hitters",
       (s, d) => {
         val tok = Tables.documents(s, d)
           .select(explode(TF.tokens(col("text"))).as("term"))
-        val sk = tok.agg(MisraGriesAggregate(col("term"), 64).as("sketch"),
+        val sk = tok.agg(MisraGriesAggregate(col("term"), 512).as("sketch"),
           count(lit(1)).as("n_tok"))
         tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("term").asc).limit(10)
@@ -198,7 +202,7 @@ object PipelineQueries {
             col("est").isNotNull.as("present"),
             (col("est").isNotNull && col("est") <= col("cnt") &&
               (col("cnt") - col("est")).cast("double") <=
-                col("n_tok").cast("double") / 65.0).as("err_ok"))
+                col("n_tok").cast("double") / 513.0).as("err_ok"))
           .orderBy(col("cnt").desc, col("term").asc)
       },
       Some("""WITH tok AS (
