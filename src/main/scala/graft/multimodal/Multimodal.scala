@@ -420,6 +420,86 @@ object Multimodal {
     def isMp4(p: Array[Byte]): Boolean =
       p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
 
+    /** Structural Ogg sniff — the "OggS" capture pattern alone is four
+      * printable ASCII bytes (the "ID3 "/"BM" text hazard again), so the
+      * check also requires stream-structure version 0 (the only version
+      * RFC 3533 defines) and the reserved high bits of header_type clear;
+      * ordinary text beginning "OggS..." fails both.
+      */
+    def isOgg(p: Array[Byte]): Boolean =
+      p.length >= 27 && p(0) == 'O' && p(1) == 'g' && p(2) == 'g' &&
+        p(3) == 'S' && p(4) == 0 && (p(5) & 0xf8) == 0
+
+    /** (sample_rate, n_channels, nominal_bitrate_kbps, total_samples,
+      * duration_ms) over an Ogg/Vorbis stream, or zeros. Page walk per the
+      * public Ogg framing spec (RFC 3533): each page is a 27-byte header
+      * ["OggS", version, header_type, 64-bit LE granule position, serial,
+      * sequence, CRC, n_segments] plus the lacing table whose byte values
+      * sum to the payload length (255-valued entries continue into the
+      * next — the sum handles that for free). The first page's packet must
+      * be a Vorbis identification header (Vorbis I §4.2.2: 0x01 "vorbis",
+      * version 0, channels u8, rate u32 LE, three s32 LE bitrates), which
+      * yields rate/channels/nominal bitrate; the LAST page's granule
+      * position is the stream's total PCM sample count, giving exact
+      * integer-ms duration. Header-priced like the other container walks —
+      * lacing tables are read, packet bodies are skipped, page CRCs are
+      * NOT verified (integrity checking is a different operation from
+      * metadata extraction). A truncated trailing page is not counted
+      * (parseWav's clamp discipline); -1 granules (page ends mid-packet)
+      * are ignored for the duration. Vorbis SAMPLE decode (MDCT) stays
+      * behind [[FakeCodec]] — no JVM codec exists here.
+      */
+    def parseOgg(p: Array[Byte]): (Int, Int, Int, Long, Long) = {
+      if (!isOgg(p)) return (0, 0, 0, 0L, 0L)
+      // Long offset: lacing sums are attacker-controlled (up to 255*255
+      // per page) — same never-throw discipline as the MP3/FLAC walks
+      var off = 0L
+      var sr = 0; var ch = 0; var kbps = 0
+      var lastGranule = 0L; var pages = 0L
+      var ok = true
+      while (ok && off + 27 <= p.length) {
+        val o = off.toInt
+        if (p(o) != 'O' || p(o + 1) != 'g' || p(o + 2) != 'g' ||
+          p(o + 3) != 'S' || p(o + 4) != 0) ok = false
+        else {
+          var granule = 0L
+          var i = 0
+          while (i < 8) { granule |= (p(o + 6 + i) & 0xffL) << (8 * i); i += 1 }
+          val nsegs = p(o + 26) & 0xff
+          if (off + 27 + nsegs > p.length) ok = false
+          else {
+            var payloadLen = 0L
+            i = 0
+            while (i < nsegs) { payloadLen += p(o + 27 + i) & 0xff; i += 1 }
+            val bodyOff = off + 27 + nsegs
+            if (bodyOff + payloadLen > p.length) ok = false // truncated page
+            else {
+              if (pages == 0L) {
+                // BOS packet must be the Vorbis identification header
+                val b = bodyOff.toInt
+                val isVorbisId = payloadLen >= 30 && p(b) == 0x01 &&
+                  p(b + 1) == 'v' && p(b + 2) == 'o' && p(b + 3) == 'r' &&
+                  p(b + 4) == 'b' && p(b + 5) == 'i' && p(b + 6) == 's' &&
+                  p(b + 7) == 0 && p(b + 8) == 0 && p(b + 9) == 0 && p(b + 10) == 0
+                if (!isVorbisId) return (0, 0, 0, 0L, 0L)
+                ch = p(b + 11) & 0xff
+                sr = (p(b + 12) & 0xff) | ((p(b + 13) & 0xff) << 8) |
+                  ((p(b + 14) & 0xff) << 16) | ((p(b + 15) & 0xff) << 24)
+                val nominal = (p(b + 20) & 0xff) | ((p(b + 21) & 0xff) << 8) |
+                  ((p(b + 22) & 0xff) << 16) | ((p(b + 23) & 0xff) << 24)
+                kbps = if (nominal > 0) nominal / 1000 else 0
+              }
+              if (granule >= 0) lastGranule = granule
+              pages += 1
+              off = bodyOff + payloadLen
+            }
+          }
+        }
+      }
+      if (pages == 0L || sr <= 0) (0, 0, 0, 0L, 0L)
+      else (sr, ch, kbps, lastGranule, lastGranule * 1000L / sr)
+    }
+
     /** decodeMeta-compatible projection: (hash, width, height, n_frames).
       * Audio: 0×0, n_frames = PCM sample-frame count. Video: declared
       * dimensions, container frame count. Corrupt: all zeros.
@@ -440,6 +520,10 @@ object Multimodal {
         else (hex, 0, 0, math.min(frames, Int.MaxValue.toLong).toInt)
       } else if (isFlac(payload)) {
         val (sr, _, _, total, _) = parseFlac(payload)
+        if (sr <= 0) (hex, 0, 0, 0)
+        else (hex, 0, 0, math.min(total, Int.MaxValue.toLong).toInt)
+      } else if (isOgg(payload)) {
+        val (sr, _, _, total, _) = parseOgg(payload)
         if (sr <= 0) (hex, 0, 0, 0)
         else (hex, 0, 0, math.min(total, Int.MaxValue.toLong).toInt)
       } else (hex, 0, 0, 0)
@@ -573,6 +657,10 @@ object Multimodal {
           val (rate, ch, _, total, durMs) = ContainerCodec.parseFlac(p)
           ContainerMeta(r.media_id, p.length.toLong, hex, "audio",
             rate, ch, durMs, if (rate > 0) 1 else 0, 0, 0, total)
+        } else if (ContainerCodec.isOgg(p)) {
+          val (rate, ch, kbps, total, durMs) = ContainerCodec.parseOgg(p)
+          ContainerMeta(r.media_id, p.length.toLong, hex, "audio",
+            rate, ch, durMs, if (rate > 0) 1 else 0, 0, 0, total, kbps)
         } else if (ImageCodec.isSupportedImage(p)) {
           val (_, w, h, frames) = ImageCodec.decode(p)
           ContainerMeta(r.media_id, p.length.toLong, hex, "image",
@@ -982,6 +1070,66 @@ object Multimodal {
         filler ++
         blockHeader(last = false, typ = 0, 34) ++ si ++
         blockHeader(last = true, typ = 1, 4) ++ new Array[Byte](4) // PADDING
+    }
+
+    /** Minimal Ogg/Vorbis stream: a BOS page carrying the 30-byte Vorbis
+      * identification header, then `dataPages` payload pages with
+      * monotonically increasing granule positions ending at `totalSamples`
+      * on the EOS page. Page CRCs are left zero — parseOgg documents that
+      * it does not verify them (metadata walk, not integrity check), and
+      * the q204 formula oracle provides builder/parser independence the
+      * same way the MP3/FLAC gates do. Packet bodies are deterministic
+      * filler a header-walk parser must never read.
+      */
+    def ogg(rate: Int, channels: Int, nominalKbps: Int, dataPages: Int,
+        totalSamples: Long): Array[Byte] = {
+      require(rate > 0 && channels >= 1 && channels <= 255 &&
+        nominalKbps >= 0 && dataPages >= 1 && totalSamples >= 0)
+      def page(headerType: Int, granule: Long, seq: Int,
+          payload: Array[Byte]): Array[Byte] = {
+        // segments < 255 bytes each → one lacing byte per segment; the
+        // 255-continuation path is covered by the golden-bytes spec
+        require(payload.length < 255)
+        val out = new Array[Byte](27 + 1 + payload.length)
+        out(0) = 'O'; out(1) = 'g'; out(2) = 'g'; out(3) = 'S'
+        out(4) = 0 // stream-structure version
+        out(5) = headerType.toByte
+        var i = 0
+        while (i < 8) { out(6 + i) = ((granule >>> (8 * i)) & 0xff).toByte; i += 1 }
+        // serial (fixed) + page sequence, both LE
+        out(14) = 0x34; out(15) = 0x12
+        i = 0
+        while (i < 4) { out(18 + i) = ((seq >>> (8 * i)) & 0xff).toByte; i += 1 }
+        // bytes 22..25: CRC left zero (not verified by the walk)
+        out(26) = 1 // one segment
+        out(27) = payload.length.toByte
+        System.arraycopy(payload, 0, out, 28, payload.length)
+        out
+      }
+      val id = new Array[Byte](30)
+      id(0) = 0x01
+      "vorbis".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .copyToArray(id, 1)
+      // bytes 7..10: vorbis_version = 0 (already zero)
+      id(11) = channels.toByte
+      val bps = nominalKbps * 1000
+      var i = 0
+      while (i < 4) {
+        id(12 + i) = ((rate >>> (8 * i)) & 0xff).toByte
+        id(20 + i) = ((bps >>> (8 * i)) & 0xff).toByte // bitrate_nominal
+        i += 1
+      }
+      id(28) = 0x88.toByte // blocksize_1 = blocksize_0 = 256 (2^8)
+      id(29) = 0x01 // framing flag
+      val bos = page(0x02, 0L, 0, id)
+      val data = (1 to dataPages).map { k =>
+        val body = new Array[Byte]((50 + 37 * k % 120))
+        var j = 0
+        while (j < body.length) { body(j) = ((j * 19 + 3) % 251).toByte; j += 1 }
+        page(if (k == dataPages) 0x04 else 0x00,
+          totalSamples * k / dataPages, k, body)
+      }
+      data.foldLeft(bos)(_ ++ _)
     }
 
     /** Minimal ISO-BMFF video: ftyp + moov(mvhd v0, video trak(tkhd w×h,

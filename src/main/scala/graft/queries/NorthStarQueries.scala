@@ -841,5 +841,55 @@ object NorthStarQueries {
              |FROM documents
              |ORDER BY media_id ASC""".stripMargin),
       "real FLAC STREAMINFO bit-field parse: rate/channels/depth/samples/duration == formula oracle"),
+
+    // ------------------------------------------------------------------
+    // q204: Ogg/Vorbis container metadata — completes the audio container
+    // family (WAV/q45, MP4/q173, MP3/q202, FLAC/q203) with the page-framed
+    // one (public specs: RFC 3533 framing + Vorbis I identification
+    // header). The parse is a page walk: lacing tables give each page's
+    // payload length, the BOS packet's Vorbis ID header gives
+    // rate/channels/nominal bitrate, and the LAST page's 64-bit granule
+    // position IS the stream's total sample count — duration costs zero
+    // packet reads. The DuckDB oracle recomputes all five fields from the
+    // synthesis formula without seeing a byte, so a builder/parser
+    // disagreement on LE field layout, lacing arithmetic, or the granule
+    // walk is a hash mismatch, never a self-consistent roundtrip. 100 TB:
+    // pure map-side header walk at the codec boundary, metadata-sized
+    // output — the duration/bitrate corpus filter for Ogg audio.
+    GQuery(
+      "q204_ogg_meta",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id,
+                Multimodal.SyntheticMedia.ogg(
+                  rate = Array(8000, 16000, 22050, 44100, 48000)((id % 5).toInt),
+                  channels = (1 + id % 2).toInt,
+                  nominalKbps = (64 + (id % 8) * 16).toInt,
+                  dataPages = (1 + id % 4).toInt,
+                  totalSamples = 10000 + (id * 7) % 90000),
+                "audio/ogg")
+            }
+          }
+        Multimodal.containerMeta(media).toDF()
+          .select(col("media_id"), col("media_kind"), col("sample_rate"),
+            col("n_channels"), col("bitrate_kbps"),
+            col("n_frames").as("total_samples"), col("duration_ms"))
+          .orderBy(col("media_id").asc)
+      },
+      Some("""SELECT doc_id AS media_id, 'audio' AS media_kind,
+             |  CAST(list_extract([8000,16000,22050,44100,48000],
+             |       CAST(doc_id % 5 AS INT) + 1) AS INT) AS sample_rate,
+             |  CAST(1 + doc_id % 2 AS INT) AS n_channels,
+             |  CAST(64 + (doc_id % 8) * 16 AS INT) AS bitrate_kbps,
+             |  CAST(10000 + (doc_id * 7) % 90000 AS BIGINT) AS total_samples,
+             |  CAST((10000 + (doc_id * 7) % 90000) * 1000
+             |       // list_extract([8000,16000,22050,44100,48000], CAST(doc_id % 5 AS INT) + 1)
+             |       AS BIGINT) AS duration_ms
+             |FROM documents
+             |ORDER BY media_id ASC""".stripMargin),
+      "real Ogg/Vorbis page walk: rate/channels/bitrate/granule-samples/duration == formula oracle"),
   )
 }

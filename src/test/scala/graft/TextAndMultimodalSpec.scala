@@ -501,4 +501,70 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(!ContainerCodec.isFlac("flac is a codec".getBytes("US-ASCII")))
     assert(!ContainerCodec.isFlac(Array.empty[Byte]))
   }
+
+  test("Ogg page walk matches independent golden bytes (incl. 255-lacing continuation)") {
+    import Multimodal.ContainerCodec
+    // Hand-built, NOT via SyntheticMedia.ogg. Page header: "OggS" v0,
+    // header_type, granule LE64, serial, seq, crc, nsegs, lacing.
+    def pageHdr(htype: Int, granule: Long, nsegs: Int, lacing: Array[Int]): Array[Byte] = {
+      val h = new Array[Byte](27 + nsegs)
+      h(0) = 'O'; h(1) = 'g'; h(2) = 'g'; h(3) = 'S'; h(5) = htype.toByte
+      for (i <- 0 until 8) h(6 + i) = ((granule >>> (8 * i)) & 0xff).toByte
+      h(26) = nsegs.toByte
+      for (i <- 0 until nsegs) h(27 + i) = lacing(i).toByte
+      h
+    }
+    // Vorbis ID header: 22050 Hz, 2 ch, nominal 96000 bps
+    val id = new Array[Byte](30)
+    id(0) = 1; "vorbis".getBytes("US-ASCII").copyToArray(id, 1)
+    id(11) = 2
+    id(12) = 0x22; id(13) = 0x56 // 22050 = 0x5622 LE
+    id(20) = 0x00; id(21) = 0x77; id(22) = 0x01 // 96000 = 0x017700 LE
+    val bos = pageHdr(0x02, 0L, 1, Array(30)) ++ id
+    // data page whose single packet spans a 255-lacing continuation:
+    // payload 255+45 = 300 bytes, granule = 77777 samples, EOS
+    val eos = pageHdr(0x04, 77777L, 2, Array(255, 45)) ++ new Array[Byte](300)
+    val (sr, ch, kbps, total, durMs) = ContainerCodec.parseOgg(bos ++ eos)
+    assert((sr, ch, kbps, total) == ((22050, 2, 96, 77777L)),
+      s"got ($sr,$ch,$kbps,$total)")
+    assert(durMs == 77777L * 1000L / 22050L)
+  }
+
+  test("Ogg parse: builder roundtrip, truncation clamp, -1 granule, garbage rejection") {
+    import Multimodal.{ContainerCodec, SyntheticMedia}
+    for (pages <- Seq(1, 4); ch <- Seq(1, 2)) {
+      val p = SyntheticMedia.ogg(48000, ch, nominalKbps = 128,
+        dataPages = pages, totalSamples = 123456L)
+      val (sr, c, kbps, total, durMs) = ContainerCodec.parseOgg(p)
+      assert((sr, c, kbps, total) == ((48000, ch, 128, 123456L)), s"pages=$pages")
+      assert(durMs == 123456L * 1000L / 48000L)
+    }
+    // truncated final page: its granule must NOT be counted — duration
+    // falls back to the last complete page's granule
+    val full = SyntheticMedia.ogg(8000, 1, 64, dataPages = 2, totalSamples = 9000L)
+    val cut = full.take(full.length - 10)
+    val (_, _, _, totalCut, _) = ContainerCodec.parseOgg(cut)
+    assert(totalCut == 4500L, s"got $totalCut") // page 1 of 2: 9000*1/2
+    // a -1 granule (page ends mid-packet) is skipped for the duration
+    val minus1 = {
+      val p = SyntheticMedia.ogg(8000, 1, 64, dataPages = 1, totalSamples = 500L)
+      // BOS is 28+30=58 bytes; flip the data page's granule to -1, then
+      // append a proper EOS page via a second stream walk — simpler: just
+      // check the -1 page alone leaves the BOS granule (0) in place
+      for (i <- 0 until 8) p(58 + 6 + i) = 0xff.toByte
+      p
+    }
+    assert(ContainerCodec.parseOgg(minus1)._4 == 0L, "-1 granule ignored")
+    // ordinary text beginning "OggS" fails the structural sniff (version
+    // byte is printable ASCII, not 0) — the ID3 -text hazard
+    assert(!ContainerCodec.isOgg("OggS is a capture pattern".getBytes("US-ASCII")))
+    // an Ogg page whose first packet is NOT a Vorbis ID header → zeros
+    val notVorbis = {
+      val p = SyntheticMedia.ogg(8000, 1, 64, dataPages = 1, totalSamples = 10L)
+      p(28 + 1) = 'x'.toByte // corrupt the "vorbis" magic inside the packet
+      p
+    }
+    assert(ContainerCodec.parseOgg(notVorbis) == ((0, 0, 0, 0L, 0L)))
+    assert(ContainerCodec.parseOgg(Array.empty[Byte]) == ((0, 0, 0, 0L, 0L)))
+  }
 }
