@@ -497,7 +497,16 @@ object Multimodal {
         }
       }
       if (pages == 0L || sr <= 0) (0, 0, 0, 0L, 0L)
-      else (sr, ch, kbps, lastGranule, lastGranule * 1000L / sr)
+      else {
+        // granule is a raw 64-bit field: split the ms conversion so the
+        // *1000 can't wrap (remainder < sr ≤ Int.Max), clamping only the
+        // physically impossible >292-million-year case
+        val secPart = lastGranule / sr
+        val durMs =
+          if (secPart > Long.MaxValue / 1000L) Long.MaxValue
+          else secPart * 1000L + (lastGranule % sr) * 1000L / sr
+        (sr, ch, kbps, lastGranule, durMs)
+      }
     }
 
     /** decodeMeta-compatible projection: (hash, width, height, n_frames).
@@ -629,7 +638,7 @@ object Multimodal {
       width: Int,
       height: Int,
       n_frames: Long,
-      bitrate_kbps: Int = 0) // nonzero only where the container declares it (MP3 frame headers)
+      bitrate_kbps: Int = 0) // nonzero only where the container declares it (MP3 frame headers, Vorbis nominal bitrate)
 
   /** Per-partition container parse — the audio/video analog of
     * [[decodeMeta]], surfacing the full header metadata (duration, sample
@@ -697,7 +706,7 @@ object Multimodal {
           r.media_type == "application/octet-stream"
         val isContainer = ContainerCodec.isWav(r.payload) ||
           ContainerCodec.isMp4(r.payload) || ContainerCodec.isMp3(r.payload) ||
-          ContainerCodec.isFlac(r.payload)
+          ContainerCodec.isFlac(r.payload) || ContainerCodec.isOgg(r.payload)
         val (hex, w, h, frames) =
           if (declaredImage || (untyped && ImageCodec.isSupportedImage(r.payload)))
             ImageCodec.decode(r.payload)

@@ -566,5 +566,37 @@ class TextAndMultimodalSpec extends SparkTestBase {
     }
     assert(ContainerCodec.parseOgg(notVorbis) == ((0, 0, 0, 0L, 0L)))
     assert(ContainerCodec.parseOgg(Array.empty[Byte]) == ((0, 0, 0, 0L, 0L)))
+    // a raw 64-bit granule near Long.MaxValue must not wrap the *1000 ms
+    // conversion negative (split-divide discipline)
+    val huge = {
+      val p = SyntheticMedia.ogg(8000, 1, 64, dataPages = 1, totalSamples = 1L)
+      val g = Long.MaxValue - 3
+      for (i <- 0 until 8) p(58 + 6 + i) = ((g >>> (8 * i)) & 0xff).toByte
+      p
+    }
+    val (_, _, _, hugeTotal, hugeDur) = ContainerCodec.parseOgg(huge)
+    assert(hugeTotal == Long.MaxValue - 3 && hugeDur > 0,
+      s"granule overflow: total=$hugeTotal dur=$hugeDur")
+    assert(hugeDur == (Long.MaxValue - 3) / 8000L * 1000L +
+      (Long.MaxValue - 3) % 8000L * 1000L / 8000L)
+  }
+
+  test("decodeMeta routes Ogg payloads through the real page walk") {
+    import Multimodal.SyntheticMedia
+    import spark.implicits._
+    val ogg = SyntheticMedia.ogg(16000, 2, 96, dataPages = 3, totalSamples = 4242L)
+    val media = Seq(
+      Multimodal.MediaRow(1L, ogg, "audio/ogg"),
+      // untyped payload with the OggS magic routes through the sniff
+      Multimodal.MediaRow(2L, ogg, "application/octet-stream"),
+      // sniffable header but the BOS page is cut mid-payload: corrupt-media
+      // zeros, not fake data (a <27-byte stub instead fails the sniff and
+      // keeps the documented FakeCodec stand-in for declared a/v)
+      Multimodal.MediaRow(3L, ogg.take(40), "audio/ogg")).toDS()
+    val dm = Multimodal.decodeMeta(media.repartition(2)).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(dm(1L).n_frames == 4242 && dm(1L).width == 0, s"${dm(1L)}")
+    assert(dm(2L).n_frames == 4242, s"${dm(2L)}")
+    assert(dm(3L).n_frames == 0, s"${dm(3L)}")
   }
 }
