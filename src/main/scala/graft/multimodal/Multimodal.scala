@@ -509,6 +509,73 @@ object Multimodal {
       }
     }
 
+    /** Structural AVI sniff: the RIFF magic plus the 'AVI ' form type at
+      * offset 8 (the WAV sniff's shape with a different form) — text
+      * beginning "RIFF" alone never matches.
+      */
+    def isAvi(p: Array[Byte]): Boolean =
+      p.length >= 12 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+    /** (width, height, total_frames, usec_per_frame, duration_ms) from an
+      * AVI main header ('avih' inside LIST/hdrl — the public RIFF/AVI
+      * layout), or zeros. Chunk walk only: fourcc + LE32 size, bodies
+      * padded to even length per RIFF; every read bounds-checked, any
+      * structural violation reports the corrupt-media contract. Frame
+      * PIXEL decode for the uncompressed-DIB case is [[VideoOps]]; this
+      * is the header-priced metadata half.
+      */
+    def parseAvi(p: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      def le32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      def fcc(o: Int, s: String): Boolean =
+        p(o) == s.charAt(0) && p(o + 1) == s.charAt(1) &&
+          p(o + 2) == s.charAt(2) && p(o + 3) == s.charAt(3)
+      if (!isAvi(p)) return (0, 0, 0L, 0L, 0L)
+      var w = 0L; var h = 0L; var n = 0L; var mspf = 0L
+      // Long offsets: chunk sizes are attacker-controlled u32 — the
+      // never-throw discipline of the MP3/FLAC/Ogg walks. A truncated
+      // LIST is walked up to the bytes actually present (parseWav's clamp
+      // rule); a truncated LEAF chunk is skipped, never partially read.
+      var off = 12L
+      while (off + 12 <= p.length) {
+        val o = off.toInt
+        val size = le32(o + 4)
+        val body = off + 8
+        if (fcc(o, "LIST") && size >= 4 && fcc(o + 8, "hdrl")) {
+          var so = body + 4
+          val end = math.min(body + size, p.length.toLong)
+          var sok = true
+          while (sok && so + 8 <= end) {
+            val s = so.toInt
+            val ssz = le32(s + 4)
+            if (so + 8 + ssz > end) sok = false
+            else {
+              if (fcc(s, "avih") && ssz >= 40) {
+                mspf = le32(s + 8)
+                n = le32(s + 8 + 16)
+                w = le32(s + 8 + 32)
+                h = le32(s + 8 + 36)
+              }
+              so += 8 + ssz + (ssz & 1)
+            }
+          }
+        }
+        off = body + size + (size & 1)
+      }
+      // DWORD fields above Int.MaxValue are physically impossible declared
+      // dimensions → corrupt, not a negative-Int surprise downstream
+      if (w <= 0 || h <= 0 || mspf <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+        (0, 0, 0L, 0L, 0L)
+      else {
+        val durMs =
+          if (n > Long.MaxValue / mspf) Long.MaxValue
+          else n * mspf / 1000L
+        (w.toInt, h.toInt, n, mspf, durMs)
+      }
+    }
+
     /** decodeMeta-compatible projection: (hash, width, height, n_frames).
       * Audio: 0×0, n_frames = PCM sample-frame count. Video: declared
       * dimensions, container frame count. Corrupt: all zeros.
@@ -535,6 +602,10 @@ object Multimodal {
         val (sr, _, _, total, _) = parseOgg(payload)
         if (sr <= 0) (hex, 0, 0, 0)
         else (hex, 0, 0, math.min(total, Int.MaxValue.toLong).toInt)
+      } else if (isAvi(payload)) {
+        val (w, h, frames, _, _) = parseAvi(payload)
+        if (w <= 0) (hex, 0, 0, 0)
+        else (hex, w, h, math.min(frames, Int.MaxValue.toLong).toInt)
       } else (hex, 0, 0, 0)
     }
   }
@@ -670,6 +741,10 @@ object Multimodal {
           val (rate, ch, kbps, total, durMs) = ContainerCodec.parseOgg(p)
           ContainerMeta(r.media_id, p.length.toLong, hex, "audio",
             rate, ch, durMs, if (rate > 0) 1 else 0, 0, 0, total, kbps)
+        } else if (ContainerCodec.isAvi(p)) {
+          val (w, h, frames, _, durMs) = ContainerCodec.parseAvi(p)
+          ContainerMeta(r.media_id, p.length.toLong, hex, "video",
+            0, 0, durMs, if (w > 0) 1 else 0, w, h, frames)
         } else if (ImageCodec.isSupportedImage(p)) {
           val (_, w, h, frames) = ImageCodec.decode(p)
           ContainerMeta(r.media_id, p.length.toLong, hex, "image",
@@ -706,7 +781,8 @@ object Multimodal {
           r.media_type == "application/octet-stream"
         val isContainer = ContainerCodec.isWav(r.payload) ||
           ContainerCodec.isMp4(r.payload) || ContainerCodec.isMp3(r.payload) ||
-          ContainerCodec.isFlac(r.payload) || ContainerCodec.isOgg(r.payload)
+          ContainerCodec.isFlac(r.payload) || ContainerCodec.isOgg(r.payload) ||
+          ContainerCodec.isAvi(r.payload)
         val (hex, w, h, frames) =
           if (declaredImage || (untyped && ImageCodec.isSupportedImage(r.payload)))
             ImageCodec.decode(r.payload)
@@ -928,6 +1004,97 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "width", "height", "sum_lum", "dhash")
+    }
+  }
+
+  /** Real VIDEO sample decode for the codec-less container: AVI frames
+    * stored as uncompressed bottom-up BGR24 DIBs ('00db' chunks, BI_RGB —
+    * the public RIFF/AVI + BITMAPINFOHEADER layout) need no codec library;
+    * the chunk body IS the pixels, rows padded to 4 bytes and stored
+    * bottom-up. This retires video-frame decode from [[FakeCodec]] for the
+    * uncompressed family the same way [[AudioCodec]] did for PCM WAV;
+    * compressed video (H.264/VP9 — no JVM codec here) honestly stays
+    * behind FakeCodec.
+    *
+    * Per-frame features mirror [[ImageOps.gifFrameFeatures]]: top-left
+    * nearest-neighbor 8×8 luminance grid (blue channel — callers
+    * synthesize gray, r=g=b) → sum_lum + 56-bit dHash. Integer math only,
+    * so a SQL oracle that knows the source pixel formula recomputes every
+    * feature without seeing a byte.
+    *
+    * Scale shape: pure map work at the mapPartitions codec boundary —
+    * frame decode never shuffles pixels; output is frame-metadata-sized.
+    */
+  object VideoOps {
+    /** One row per decodable frame: (media_id, frame_idx, n_frames, width,
+      * height, duration_ms, sum_lum, dhash). Corrupt/undecodable media
+      * fans out to no rows; a malformed FRAME chunk (size ≠ the DIB
+      * geometry) drops only that frame, its stream position preserved —
+      * frame_idx counts every video chunk walked, emitted or not.
+      */
+    def aviFrameFeatures(media: Dataset[MediaRow]): DataFrame = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { rows =>
+        rows.filter(_.payload != null).flatMap(r => decodeAviFrames(r.media_id, r.payload))
+      }.toDF("media_id", "frame_idx", "n_frames", "width", "height",
+        "duration_ms", "sum_lum", "dhash")
+    }
+
+    private[graft] def decodeAviFrames(id: Long, p: Array[Byte])
+        : Seq[(Long, Int, Long, Int, Int, Long, Long, Long)] = {
+      def le32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      def fcc(o: Int, s: String): Boolean =
+        p(o) == s.charAt(0) && p(o + 1) == s.charAt(1) &&
+          p(o + 2) == s.charAt(2) && p(o + 3) == s.charAt(3)
+      val (w, h, n, _, durMs) = ContainerCodec.parseAvi(p)
+      // frames smaller than the 8×8 grid carry no stable fingerprint —
+      // same floor as the image tiers
+      if (w < 8 || h < 8) return Seq.empty
+      val rowBytes = (3 * w + 3) & ~3
+      val frameSize = rowBytes.toLong * h
+      val out = Seq.newBuilder[(Long, Int, Long, Int, Int, Long, Long, Long)]
+      var idx = 0
+      var off = 12L
+      // truncated LIST → walk the bytes present (the container clamp
+      // rule); a truncated FRAME chunk is dropped, never partially decoded
+      while (off + 12 <= p.length) {
+        val o = off.toInt
+        val size = le32(o + 4)
+        val body = off + 8
+        if (fcc(o, "LIST") && size >= 4 && fcc(o + 8, "movi")) {
+          var so = body + 4
+          val end = math.min(body + size, p.length.toLong)
+          var sok = true
+          while (sok && so + 8 <= end) {
+            val s = so.toInt
+            val ssz = le32(s + 4)
+            if (so + 8 + ssz > end) sok = false
+            else {
+              // '00db' = stream 0 uncompressed DIB; '00dc' = compressed
+              // (kept for stream position, never decoded here)
+              val isDib = fcc(s, "00db")
+              val isVideoChunk = isDib || fcc(s, "00dc")
+              if (isDib && ssz == frameSize) {
+                val base = s + 8
+                // bottom-up DIB: logical row y lives at file row h-1-y;
+                // BGR byte order → the blue channel is byte 0 of a pixel
+                val g = Array.tabulate(8, 8) { (y, x) =>
+                  val sy = y * h / 8
+                  val sx = x * w / 8
+                  p(base + (h - 1 - sy) * rowBytes + 3 * sx) & 0xff
+                }
+                out += ((id, idx, n, w, h, durMs,
+                  g.map(_.map(_.toLong).sum).sum, ImageOps.dHash56(g)))
+              }
+              if (isVideoChunk) idx += 1
+              so += 8 + ssz + (ssz & 1)
+            }
+          }
+        }
+        off = body + size + (size & 1)
+      }
+      out.result()
     }
   }
 
@@ -1175,6 +1342,88 @@ object Multimodal {
         box("mdia", box("minf", box("stbl", stts(160 -> 1)))))
       val ftyp = box("ftyp", "isom".getBytes(ascii) ++ Array.fill[Byte](4)(0))
       ftyp ++ box("moov", mvhd ++ videoTrak ++ audioTrak)
+    }
+
+    /** Deterministic uncompressed-DIB AVI: w = 8 + key%11, h = 8 + key%5,
+      * n_frames = 2 + key%3, µs/frame = 20000·(1 + key%5), pixel
+      * L(x,y,f) = (7x + 13y + 29f + 31·key) mod 256 — the GIF tier's
+      * formula over a different container, every field a pure function of
+      * `key` so the oracle recomputes all downstream features
+      * relationally. Spec-conformant RIFF: LIST/hdrl carries 'avih' +
+      * LIST/strl ('strh' 'vids'/'DIB ', 'strf' BITMAPINFOHEADER,
+      * BI_RGB 24-bit); LIST/movi carries n '00db' frames, rows padded to
+      * 4 bytes and stored bottom-up. Gray is written to all three BGR
+      * channels — lossless by construction, no palette or colorspace
+      * transform anywhere.
+      */
+    def avi(key: Long): Array[Byte] = {
+      val w = 8 + (key % 11).toInt
+      val h = 8 + (key % 5).toInt
+      val n = 2 + (key % 3).toInt
+      val mspf = (20000L * (1 + key % 5)).toInt
+      val rowBytes = (3 * w + 3) & ~3
+      val frameSize = rowBytes * h
+      val strlSize = 4 + (8 + 56) + (8 + 40)
+      val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+      val moviSize = 4 + n * (8 + frameSize)
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(ascii)).putInt(riffSize).put("AVI ".getBytes(ascii))
+      bb.put("LIST".getBytes(ascii)).putInt(hdrlSize).put("hdrl".getBytes(ascii))
+      bb.put("avih".getBytes(ascii)).putInt(56)
+        .putInt(mspf) // dwMicroSecPerFrame
+        .putInt(0) // dwMaxBytesPerSec
+        .putInt(0) // dwPaddingGranularity
+        .putInt(0) // dwFlags
+        .putInt(n) // dwTotalFrames
+        .putInt(0) // dwInitialFrames
+        .putInt(1) // dwStreams
+        .putInt(frameSize) // dwSuggestedBufferSize
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      bb.put("LIST".getBytes(ascii)).putInt(strlSize).put("strl".getBytes(ascii))
+      bb.put("strh".getBytes(ascii)).putInt(56)
+        .put("vids".getBytes(ascii)).put("DIB ".getBytes(ascii))
+        .putInt(0) // dwFlags
+        .putShort(0).putShort(0) // wPriority, wLanguage
+        .putInt(0) // dwInitialFrames
+        .putInt(mspf) // dwScale
+        .putInt(1000000) // dwRate → fps = rate/scale
+        .putInt(0) // dwStart
+        .putInt(n) // dwLength (frames)
+        .putInt(frameSize) // dwSuggestedBufferSize
+        .putInt(0) // dwQuality
+        .putInt(0) // dwSampleSize
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+      bb.put("strf".getBytes(ascii)).putInt(40)
+        .putInt(40) // biSize
+        .putInt(w).putInt(h) // biHeight > 0 = bottom-up
+        .putShort(1) // biPlanes
+        .putShort(24) // biBitCount
+        .putInt(0) // biCompression = BI_RGB
+        .putInt(frameSize) // biSizeImage
+        .putInt(0).putInt(0).putInt(0).putInt(0) // pels/clr fields
+      bb.put("LIST".getBytes(ascii)).putInt(moviSize).put("movi".getBytes(ascii))
+      var f = 0
+      while (f < n) {
+        bb.put("00db".getBytes(ascii)).putInt(frameSize)
+        var fy = h - 1 // bottom-up: first stored row is the last logical one
+        while (fy >= 0) {
+          var x = 0
+          while (x < w) {
+            val l = ((7L * x + 13L * fy + 29L * f + 31L * key) % 256L).toByte
+            bb.put(l).put(l).put(l) // B, G, R — gray
+            x += 1
+          }
+          var pad = rowBytes - 3 * w
+          while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+          fy -= 1
+        }
+        f += 1
+      }
+      bb.array()
     }
   }
 }

@@ -920,5 +920,69 @@ object NorthStarQueries {
              |FROM documents
              |ORDER BY media_id ASC""".stripMargin),
       "real Ogg/Vorbis page walk: rate/channels/bitrate/granule-samples/duration == formula oracle"),
+
+    // ------------------------------------------------------------------
+    // q205: real VIDEO sample decode — AVI frames stored as uncompressed
+    // bottom-up BGR24 DIBs ('00db', BI_RGB) are plain bytes, no codec
+    // library needed, so the video half of the old FakeCodec boundary is
+    // retired for the uncompressed family exactly as AudioCodec retired
+    // it for PCM WAV (compressed video honestly stays behind FakeCodec).
+    // Payloads are deterministic gray AVIs (SyntheticMedia.avi: container
+    // geometry, frame count, µs/frame and every pixel a pure formula of
+    // doc_id % 97); VideoOps walks LIST/movi, decodes each frame's DIB
+    // (bottom-up rows, 4-byte padding, BGR order), and emits the q201
+    // per-frame resize + dHash. The DuckDB oracle recomputes every field
+    // INCLUDING the avih-derived duration from the formula without seeing
+    // a byte — a builder/parser disagreement on RIFF sizes, row order,
+    // padding, or the time-axis term is a hash mismatch, never a
+    // self-consistent roundtrip. 100 TB: pure map-side decode at the
+    // codec boundary; frame-metadata-sized output, pixels never shuffle.
+    GQuery(
+      "q205_avi_frames",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 97).as("key"))
+          .as[(Long, Long)]
+          .map { case (id, key) =>
+            Multimodal.MediaRow(id, Multimodal.SyntheticMedia.avi(key), "video/x-msvideo")
+          }
+        Multimodal.VideoOps.aviFrameFeatures(media)
+          .orderBy(col("media_id").asc, col("frame_idx").asc)
+      },
+      Some("""WITH dim AS (
+             |  SELECT doc_id, doc_id % 97 AS key,
+             |         CAST(8 + (doc_id % 97) % 11 AS INT) AS w,
+             |         CAST(8 + (doc_id % 97) % 5 AS INT) AS h,
+             |         CAST(2 + (doc_id % 97) % 3 AS INT) AS n,
+             |         CAST((2 + (doc_id % 97) % 3) * 20 * (1 + (doc_id % 97) % 5)
+             |              AS BIGINT) AS dur_ms
+             |  FROM documents),
+             |fr AS (
+             |  SELECT dim.*, CAST(f.f AS INT) AS f
+             |  FROM dim, range(0,4) f(f) WHERE f.f < n),
+             |px AS (
+             |  SELECT doc_id, f, w, h, n, dur_ms, y.y AS y, x.x AS x,
+             |         (7*((x.x*w)//8) + 13*((y.y*h)//8) + 29*f + 31*key) % 256 AS l
+             |  FROM fr, range(0,8) y(y), range(0,8) x(x)),
+             |s AS (SELECT doc_id, f, CAST(SUM(l) AS BIGINT) AS sum_lum
+             |      FROM px GROUP BY doc_id, f),
+             |hb AS (
+             |  SELECT a.doc_id, a.f,
+             |         CAST(COALESCE(SUM(CASE WHEN b.l > a.l
+             |           THEN CAST(1 AS BIGINT) << CAST(a.y*7 + a.x AS INT)
+             |           ELSE 0 END), 0) AS BIGINT) AS dhash
+             |  FROM px a JOIN px b
+             |    ON b.doc_id = a.doc_id AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+             |  WHERE a.x < 7
+             |  GROUP BY a.doc_id, a.f)
+             |SELECT s.doc_id AS media_id, s.f AS frame_idx,
+             |       CAST(d.n AS BIGINT) AS n_frames,
+             |       d.w AS width, d.h AS height, d.dur_ms AS duration_ms,
+             |       s.sum_lum, hb.dhash
+             |FROM s JOIN hb ON hb.doc_id = s.doc_id AND hb.f = s.f
+             |     JOIN dim d ON d.doc_id = s.doc_id
+             |ORDER BY media_id ASC, frame_idx ASC""".stripMargin),
+      "real AVI/DIB video frame decode: per-frame resize + dHash + duration == pixel-formula oracle"),
   )
 }

@@ -599,4 +599,102 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(dm(2L).n_frames == 4242, s"${dm(2L)}")
     assert(dm(3L).n_frames == 0, s"${dm(3L)}")
   }
+
+  test("AVI/DIB: real decode of every frame matches the pixel formula") {
+    import spark.implicits._
+    import Multimodal.{ImageOps, VideoOps, SyntheticMedia, ContainerCodec}
+    for (key <- Seq(0L, 7L, 42L, 96L)) {
+      val (w, h, n) = (8 + (key % 11).toInt, 8 + (key % 5).toInt, 2 + (key % 3).toInt)
+      val durMs = n.toLong * 20L * (1 + key % 5)
+      val payload = SyntheticMedia.avi(key)
+      assert(ContainerCodec.isAvi(payload) && !ContainerCodec.isWav(payload))
+      val (pw, ph, pn, mspf, pd) = ContainerCodec.parseAvi(payload)
+      assert((pw, ph, pn, pd) == ((w, h, n.toLong, durMs)), s"header for key=$key")
+      assert(mspf == 20000L * (1 + key % 5))
+      val rows = VideoOps.aviFrameFeatures(
+        Seq(Multimodal.MediaRow(key, payload, "video/x-msvideo")).toDS())
+        .orderBy(col("frame_idx")).collect()
+      assert(rows.length == n, s"frame fan-out for key=$key")
+      rows.zipWithIndex.foreach { case (r, f) =>
+        val grid = Array.tabulate(8, 8)((y, x) =>
+          ((7L * (x * w / 8) + 13L * (y * h / 8) + 29L * f + 31L * key) % 256L).toInt)
+        assert(r.getInt(1) == f && r.getLong(2) == n.toLong)
+        assert(r.getInt(3) == w && r.getInt(4) == h)
+        assert(r.getLong(5) == durMs, s"duration key=$key")
+        assert(r.getLong(6) == grid.map(_.map(_.toLong).sum).sum,
+          s"sum_lum key=$key frame=$f")
+        assert(r.getLong(7) == ImageOps.dHash56(grid), s"dhash key=$key frame=$f")
+      }
+    }
+    // text beginning "RIFF...AVI " sniffs structurally but has no hdrl:
+    // corrupt-media contract (zeros / no frame rows), never a throw
+    val textHazard = "RIFFxxxxAVI not actually a movie".getBytes("US-ASCII")
+    assert(ContainerCodec.isAvi(textHazard))
+    assert(ContainerCodec.parseAvi(textHazard) == ((0, 0, 0L, 0L, 0L)))
+    val junk = Seq(
+      Multimodal.MediaRow(1L, textHazard, "video/x-msvideo"),
+      Multimodal.MediaRow(2L, null, "video/x-msvideo")).toDS()
+    assert(VideoOps.aviFrameFeatures(junk).count() == 0L)
+  }
+
+  test("AVI walk matches independent golden bytes (padding, corrupt frame, truncation)") {
+    import spark.implicits._
+    import Multimodal.{ImageOps, VideoOps, ContainerCodec}
+    // Hand-packed 8×8 AVI, independent of SyntheticMedia: a JUNK chunk
+    // with an ODD size (exercises RIFF even-padding at the top level),
+    // hdrl with only avih, and a movi stream of: valid 00db, a 5-byte
+    // 00dc (compressed — skipped but stream position advances), a 00db
+    // whose size disagrees with the DIB geometry (191 ≠ 192 — dropped,
+    // position advances), and a second valid 00db. Declared total = 4.
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def frame(off: Int): Array[Byte] = {
+      val b = new Array[Byte](192) // rowBytes=24, h=8, no pad (3*8=24)
+      for (j <- 0 until 8; x <- 0 until 8) {
+        val y = 7 - j // bottom-up storage
+        val l = ((x * 8 + y + off) % 256).toByte
+        b(j * 24 + 3 * x) = l; b(j * 24 + 3 * x + 1) = l; b(j * 24 + 3 * x + 2) = l
+      }
+      b
+    }
+    val bb = java.nio.ByteBuffer.allocate(738)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)).putInt(730).put("AVI ".getBytes(ascii))
+    bb.put("JUNK".getBytes(ascii)).putInt(7).put(new Array[Byte](8)) // 7 + 1 pad
+    bb.put("LIST".getBytes(ascii)).putInt(68).put("hdrl".getBytes(ascii))
+    bb.put("avih".getBytes(ascii)).putInt(56)
+      .putInt(40000).putInt(0).putInt(0).putInt(0)
+      .putInt(4).putInt(0).putInt(1).putInt(192)
+      .putInt(8).putInt(8).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put("LIST".getBytes(ascii)).putInt(626).put("movi".getBytes(ascii))
+    bb.put("00db".getBytes(ascii)).putInt(192).put(frame(0))
+    bb.put("00dc".getBytes(ascii)).putInt(5).put(new Array[Byte](6)) // 5 + pad
+    bb.put("00db".getBytes(ascii)).putInt(191).put(new Array[Byte](192)) // 191 + pad
+    bb.put("00db".getBytes(ascii)).putInt(192).put(frame(100))
+    val golden = bb.array()
+    assert(ContainerCodec.parseAvi(golden) == ((8, 8, 4L, 40000L, 160L)))
+    val rows = VideoOps.decodeAviFrames(9L, golden)
+    assert(rows.map(_._2) == Seq(0, 3), "emitted stream positions")
+    rows.foreach { case (_, idx, n, w, h, durMs, sumLum, dhash) =>
+      val off = if (idx == 0) 0 else 100
+      val grid = Array.tabulate(8, 8)((y, x) => (x * 8 + y + off) % 256)
+      assert((n, w, h, durMs) == ((4L, 8, 8, 160L)))
+      assert(sumLum == grid.map(_.map(_.toLong).sum).sum, s"sum_lum idx=$idx")
+      assert(dhash == ImageOps.dHash56(grid), s"dhash idx=$idx")
+    }
+    // tail truncation: hdrl intact, last frame cut mid-body → the frames
+    // actually present decode, the cut one is dropped (clamp rule)
+    val cut = VideoOps.decodeAviFrames(9L, golden.dropRight(50))
+    assert(cut.map(_._2) == Seq(0), "truncated stream keeps its whole frames")
+    // decodeMeta + containerMeta routing: declared video and untyped both
+    // reach the real walk; containerMeta reports the video kind + duration
+    val media = Seq(
+      Multimodal.MediaRow(1L, golden, "video/x-msvideo"),
+      Multimodal.MediaRow(2L, golden, "application/octet-stream")).toDS()
+    val dm = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
+    assert(dm(1L).width == 8 && dm(1L).height == 8 && dm(1L).n_frames == 4)
+    assert(dm(2L).n_frames == 4)
+    val cm = Multimodal.containerMeta(media).collect().head
+    assert(cm.media_kind == "video" && cm.duration_ms == 160L &&
+      cm.width == 8 && cm.n_frames == 4L && cm.n_tracks == 1)
+  }
 }
