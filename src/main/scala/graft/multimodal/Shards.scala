@@ -1,0 +1,270 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Shard-archive ingestion — the container tier for TRAINING SHARDS.
+  *
+  * Large multimodal corpora ship as archive shards (the WebDataset
+  * convention: a corpus is millions of tar shards, each holding a few
+  * thousand (sample.jpg, sample.txt, sample.json) member groups), so a
+  * 100 TB pipeline's first real operator is "explode shard bytes into
+  * member rows" — exactly the map-side fan-out shape of
+  * [[Multimodal.decodeMeta]]: archives arrive as opaque binary columns,
+  * the member walk runs once per row at the mapPartitions codec
+  * boundary, and only member METADATA (names, sizes, checksums) ever
+  * shuffles, never the payload bytes unless a downstream step selects
+  * them.
+  *
+  * Both formats here are public fixed layouts, parsed with the same
+  * never-throw, bounds-checked discipline as the audio/video container
+  * walks (reference semantics: dbkit treats malformed input as
+  * row-level nulls, src/error.rs; a corrupt shard yields no member
+  * rows, never a task failure):
+  *
+  *  - POSIX ustar tar (IEEE 1003.1): 512-byte header blocks — member
+  *    name NUL-padded at offset 0, size as ASCII OCTAL at 124 (the
+  *    field a naive parser reads as decimal), typeflag at 156, the
+  *    "ustar" magic at 257 — each followed by the member body padded to
+  *    a 512 multiple; two zero blocks terminate the archive.
+  *  - gzip (RFC 1952) via the JDK's built-in Inflater path
+  *    (`java.util.zip.GZIPInputStream`) — REAL decompression, not a
+  *    stand-in: compressed training text is the norm, and the
+  *    decompressed stream's length/content are deterministic facts of
+  *    the payload even though the compressed encoding itself is
+  *    producer-specific (which is why gates oracle the DECOMPRESSED
+  *    features only).
+  */
+object Shards {
+
+  /** One tar member's metadata + content fingerprint: byte_sum is the
+    * plain Σ of unsigned byte values — integer-exact, so a SQL oracle
+    * that knows the member-content formula recomputes it relationally
+    * (the AudioCodec.pcmStats discipline).
+    */
+  case class TarMember(
+      shard_id: Long,
+      member_idx: Int,
+      name: String,
+      size: Long,
+      byte_sum: Long)
+
+  object ArchiveCodec {
+
+    /** Parse the ASCII-octal number fields of a ustar header (size,
+      * mtime): NUL/space-terminated octal digits. Returns -1 on any
+      * non-octal byte — a corrupt header ends the walk rather than
+      * misreading a size and desynchronizing every later member.
+      */
+    private[graft] def octal(p: Array[Byte], off: Int, len: Int): Long = {
+      var v = 0L
+      var i = off
+      val end = off + len
+      var seen = false
+      while (i < end) {
+        val b = p(i) & 0xff
+        if (b == 0 || b == ' ') {
+          if (seen) i = end // terminator after digits: done
+          else i += 1 // leading padding
+        } else if (b >= '0' && b <= '7') {
+          v = (v << 3) | (b - '0')
+          seen = true
+          i += 1
+        } else return -1L
+      }
+      if (seen) v else -1L
+    }
+
+    private def isUstar(p: Array[Byte], base: Int): Boolean =
+      base + 263 <= p.length &&
+        p(base + 257) == 'u' && p(base + 258) == 's' && p(base + 259) == 't' &&
+        p(base + 260) == 'a' && p(base + 261) == 'r'
+
+    /** True iff the payload starts with a valid ustar header block. */
+    def isTar(p: Array[Byte]): Boolean =
+      p.length >= 512 && isUstar(p, 0) && octal(p, 124, 12) >= 0
+
+    /** Walk every member of a ustar archive. Truncated archives yield
+      * the members fully present (the container clamp rule); a header
+      * that is neither ustar nor all-zero ends the walk; non-file
+      * members (directories, links — typeflag ≠ '0'/NUL) advance the
+      * stream but emit no row.
+      */
+    def tarMembers(id: Long, p: Array[Byte]): Seq[TarMember] = {
+      val out = Seq.newBuilder[TarMember]
+      var off = 0L
+      var idx = 0
+      var done = false
+      while (!done && off + 512 <= p.length) {
+        val base = off.toInt
+        // terminator: an all-zero block
+        var allZero = true
+        var i = base
+        while (allZero && i < base + 512) { if (p(i) != 0) allZero = false; i += 1 }
+        if (allZero) done = true
+        else if (!isUstar(p, base)) done = true
+        else {
+          val size = octal(p, base + 124, 12)
+          if (size < 0) done = true
+          else {
+            val dataEnd = off + 512 + size
+            val typeflag = p(base + 156)
+            if (dataEnd > p.length) done = true // truncated member: dropped
+            else {
+              if (typeflag == '0' || typeflag == 0) {
+                var nameEnd = base
+                while (nameEnd < base + 100 && p(nameEnd) != 0) nameEnd += 1
+                val name = new String(p, base, nameEnd - base,
+                  java.nio.charset.StandardCharsets.US_ASCII)
+                var sum = 0L
+                var j = (off + 512).toInt
+                val e = dataEnd.toInt
+                while (j < e) { sum += p(j) & 0xff; j += 1 }
+                out += TarMember(id, idx, name, size, sum)
+              }
+              idx += 1
+              // body padded to the next 512 boundary
+              off = off + 512 + ((size + 511L) / 512L) * 512L
+            }
+          }
+        }
+      }
+      out.result()
+    }
+
+    /** REAL gzip decompression (RFC 1952, JDK Inflater):
+      * (decompressed_len, byte_sum) of the decompressed stream, or
+      * (-1, 0) for anything that is not a well-formed gzip stream —
+      * including trailing-garbage and CRC failures, which the stream
+      * surfaces as IOException at the final read. `maxOut` caps the
+      * inflated size so a decompression bomb (a few KB inflating to
+      * GBs) degrades to the corrupt-media contract instead of an
+      * executor OOM — the ImageCodec header-only lesson applied to
+      * compression.
+      */
+    def gunzipStats(p: Array[Byte], maxOut: Long = 64L << 20): (Long, Long) = {
+      if (p.length < 18 || (p(0) & 0xff) != 0x1f || (p(1) & 0xff) != 0x8b)
+        return (-1L, 0L)
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val buf = new Array[Byte](8192)
+        var len = 0L
+        var sum = 0L
+        var n = in.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i < n) { sum += buf(i) & 0xff; i += 1 }
+          len += n
+          if (len > maxOut) return (-1L, 0L)
+          n = in.read(buf)
+        }
+        (len, sum)
+      } catch {
+        case _: java.io.IOException => (-1L, 0L)
+      } finally in.close()
+    }
+  }
+
+  /** Per-partition tar member walk at the codec boundary: one row per
+    * regular-file member, metadata-sized output. Corrupt or non-tar
+    * payloads fan out to no rows.
+    */
+  def tarMemberRows(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.payload != null)
+        .flatMap(r => ArchiveCodec.tarMembers(r.media_id, r.payload))
+    }.toDF()
+  }
+
+  /** Per-partition gzip decompress-and-fingerprint: (media_id, out_len,
+    * byte_sum) with the corrupt-media contract (-1, 0) for non-gzip
+    * payloads. Only decompressed FEATURES leave the boundary — the
+    * compressed encoding is producer-specific, the decompressed stream
+    * is the deterministic fact.
+    */
+  def gunzipStatsRows(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.payload != null).map { r =>
+        val (len, sum) = ArchiveCodec.gunzipStats(r.payload)
+        (r.media_id, len, sum)
+      }
+    }.toDF("media_id", "out_len", "byte_sum")
+  }
+
+  /** Deterministic shard builders (the SyntheticMedia discipline: every
+    * field a pure formula of the key, so gates recompute the walk's
+    * output relationally without seeing a byte).
+    */
+  object SyntheticShards {
+
+    /** Member `i` of shard `key`: L = 10 + (7·key + 13·i) mod 90 bytes,
+      * byte j = (11·j + 29·i + 31·key) mod 256.
+      */
+    private[graft] def memberBytes(key: Long, i: Int): Array[Byte] = {
+      val len = (10 + (7 * key + 13 * i) % 90).toInt
+      Array.tabulate(len)(j => ((11L * j + 29L * i + 31L * key) % 256L).toByte)
+    }
+
+    /** ustar shard with 2 + key%3 regular-file members plus one
+      * directory member (typeflag '5' — walked over, never emitted) in
+      * the middle, so the non-file path is exercised by the gate itself.
+      */
+    def tarShard(key: Long): Array[Byte] = {
+      val n = 2 + (key % 3).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      def header(name: String, size: Long, typeflag: Byte): Array[Byte] = {
+        val h = new Array[Byte](512)
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        val nb = name.getBytes(ascii)
+        System.arraycopy(nb, 0, h, 0, nb.length)
+        def oct(v: Long, off: Int, len: Int): Unit = {
+          val s = ("%0" + (len - 1) + "o").format(v)
+          System.arraycopy(s.getBytes(ascii), 0, h, off, s.length)
+        }
+        oct(420, 100, 8) // mode 0644
+        oct(0, 108, 8); oct(0, 116, 8) // uid/gid
+        oct(size, 124, 12)
+        oct(0, 136, 12) // mtime
+        java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum spaces
+        h(156) = typeflag
+        System.arraycopy("ustar".getBytes(ascii), 0, h, 257, 5)
+        h(263) = '0'; h(264) = '0' // version "00"
+        var sum = 0L
+        var i = 0
+        while (i < 512) { sum += h(i) & 0xff; i += 1 }
+        // ustar checksum encoding: six octal digits, NUL, space
+        val cs = "%06o".format(sum).getBytes(ascii)
+        System.arraycopy(cs, 0, h, 148, 6)
+        h(154) = 0; h(155) = ' '
+        h
+      }
+      var i = 0
+      while (i < n) {
+        if (i == 1) bos.write(header(s"shard$key/sub/", 0, '5'))
+        val body = memberBytes(key, i)
+        bos.write(header(s"shard$key/doc$i.txt", body.length.toLong, '0'))
+        bos.write(body)
+        val pad = (512 - body.length % 512) % 512
+        bos.write(new Array[Byte](pad))
+        i += 1
+      }
+      bos.write(new Array[Byte](1024)) // two terminator blocks
+      bos.toByteArray
+    }
+
+    /** gzip of the same member-content formula (member index 0),
+      * compressed by the JDK's GZIPOutputStream. The COMPRESSED bytes
+      * are producer-specific and never gated; the decompressed
+      * length/byte-sum are the formula's.
+      */
+    def gzipDoc(key: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(memberBytes(key, 0))
+      gz.close()
+      bos.toByteArray
+    }
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.GQuery
 import graft.sources.Tables
 import graft.functions.{MinHash, SimHash, Similarity, TextFunctions => TF}
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, Shards}
 
 /** North-star training-data pipeline operators (SURVEY.md §2.11): the
   * dedup family (exact, fingerprint, MinHash+LSH, SimHash, n-gram Jaccard,
@@ -984,5 +984,97 @@ object NorthStarQueries {
              |     JOIN dim d ON d.doc_id = s.doc_id
              |ORDER BY media_id ASC, frame_idx ASC""".stripMargin),
       "real AVI/DIB video frame decode: per-frame resize + dHash + duration == pixel-formula oracle"),
+
+    // ------------------------------------------------------------------
+    // q206: tar shard ingestion — the WebDataset-shaped first operator of
+    // a 100 TB multimodal pipeline: corpora ship as millions of tar
+    // shards, and "explode shard bytes into member rows" is the map-side
+    // fan-out every downstream step builds on. Shards.ArchiveCodec walks
+    // real POSIX ustar blocks (NUL-padded names, ASCII-OCTAL sizes — the
+    // field a naive parser reads as decimal — typeflag dispatch, 512-byte
+    // body padding, zero-block termination). Each gated shard carries a
+    // DIRECTORY member in the middle so the non-file skip path (position
+    // advances, no row) is exercised by the gate, not just specs. The
+    // DuckDB oracle recomputes member names, sizes, stream positions, and
+    // content byte-sums from the synthesis formula without seeing a byte.
+    // 100 TB: pure map-side walk at the codec boundary; member METADATA
+    // shuffles, payload bytes never do.
+    GQuery(
+      "q206_tar_members",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id,
+                Shards.SyntheticShards.tarShard(id % 101), "application/x-tar")
+            }
+          }
+        Shards.tarMemberRows(media)
+          .orderBy(col("shard_id").asc, col("member_idx").asc)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, doc_id % 101 AS key, CAST(i.i AS INT) AS i
+             |  FROM documents, range(0,4) i(i)
+             |  WHERE i.i < 2 + (doc_id % 101) % 3),
+             |d AS (
+             |  SELECT doc_id, key, i,
+             |         CAST(CASE WHEN i = 0 THEN 0 ELSE i + 1 END AS INT) AS member_idx,
+             |         'shard' || key || '/doc' || i || '.txt' AS name,
+             |         CAST(10 + (7*key + 13*i) % 90 AS BIGINT) AS size
+             |  FROM m),
+             |s AS (
+             |  SELECT d.doc_id, d.i,
+             |         CAST(SUM((11*j.j + 29*d.i + 31*d.key) % 256) AS BIGINT) AS byte_sum
+             |  FROM d, range(0,99) j(j) WHERE j.j < d.size
+             |  GROUP BY d.doc_id, d.i)
+             |SELECT d.doc_id AS shard_id, d.member_idx, d.name, d.size, s.byte_sum
+             |FROM d JOIN s ON s.doc_id = d.doc_id AND s.i = d.i
+             |ORDER BY shard_id ASC, member_idx ASC""".stripMargin),
+      "real ustar shard walk: member names/octal sizes/positions/byte-sums == formula oracle"),
+
+    // ------------------------------------------------------------------
+    // q207: real gzip decompression (RFC 1952, the JDK Inflater) at the
+    // codec boundary — compressed text is the norm for training corpora,
+    // and this is ACTUAL decompression, not a stand-in. The gate's
+    // contract is deliberately asymmetric: the COMPRESSED encoding is
+    // producer-specific (deflate choices vary), so only DECOMPRESSED
+    // features are gated — length and content byte-sum, both pure
+    // formulas of the key. Every 7th doc's payload is truncated
+    // mid-stream, so the corrupt contract ((-1, 0) — surfaced by the
+    // Inflater, not a sniff) is part of the gated output. A maxOut cap
+    // degrades decompression bombs to the same contract instead of an
+    // executor OOM. 100 TB: map-side decompress, feature-sized output.
+    GQuery(
+      "q207_gzip_corpus",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val full = Shards.SyntheticShards.gzipDoc(id % 103)
+              val payload = if (id % 7 == 0) full.dropRight(6) else full
+              Multimodal.MediaRow(id, payload, "application/gzip")
+            }
+          }
+        Shards.gunzipStatsRows(media).orderBy(col("media_id").asc)
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, doc_id % 103 AS key,
+             |         10 + (7 * (doc_id % 103)) % 90 AS len
+             |  FROM documents),
+             |s AS (
+             |  SELECT k.doc_id,
+             |         CAST(SUM((11*j.j + 31*k.key) % 256) AS BIGINT) AS content_sum
+             |  FROM k, range(0,99) j(j) WHERE j.j < k.len
+             |  GROUP BY k.doc_id)
+             |SELECT k.doc_id AS media_id,
+             |       CAST(CASE WHEN k.doc_id % 7 = 0 THEN -1 ELSE k.len END
+             |            AS BIGINT) AS out_len,
+             |       CAST(CASE WHEN k.doc_id % 7 = 0 THEN 0 ELSE s.content_sum END
+             |            AS BIGINT) AS byte_sum
+             |FROM k JOIN s ON s.doc_id = k.doc_id
+             |ORDER BY media_id ASC""".stripMargin),
+      "real gzip decompress: decompressed length/byte-sum == formula oracle, truncation -> corrupt contract"),
   )
 }
