@@ -163,6 +163,50 @@ object Shards {
         case _: java.io.IOException => (-1L, 0L)
       } finally in.close()
     }
+
+    /** Zstandard magic (RFC 8878 §3.1.1): 0xFD2FB528 little-endian. */
+    def isZstd(p: Array[Byte]): Boolean =
+      p.length >= 8 && (p(0) & 0xff) == 0x28 && (p(1) & 0xff) == 0xb5 &&
+        (p(2) & 0xff) == 0x2f && (p(3) & 0xff) == 0xfd
+
+    /** REAL zstd decompression via zstd-jni (shipped in Spark's own jar
+      * directory — the codec Spark itself uses for shuffle/parquet):
+      * same contract as [[gunzipStats]].
+      */
+    def unzstdStats(p: Array[Byte], maxOut: Long = 64L << 20): (Long, Long) = {
+      if (!isZstd(p)) return (-1L, 0L)
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val buf = new Array[Byte](8192)
+        var len = 0L
+        var sum = 0L
+        var n = in.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i < n) { sum += buf(i) & 0xff; i += 1 }
+          len += n
+          if (len > maxOut) return (-1L, 0L)
+          n = in.read(buf)
+        }
+        (len, sum)
+      } catch {
+        case _: java.io.IOException => (-1L, 0L)
+      } finally in.close()
+    }
+
+    /** Magic-dispatched decompression over the codecs a shard corpus
+      * actually mixes: ("gzip" | "zstd" | "unknown", len, byte_sum) —
+      * unknown or corrupt payloads report ("unknown"/codec, -1, 0).
+      */
+    def decompressStats(p: Array[Byte], maxOut: Long = 64L << 20): (String, Long, Long) =
+      if (p.length >= 2 && (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b) {
+        val (len, sum) = gunzipStats(p, maxOut)
+        ("gzip", len, sum)
+      } else if (isZstd(p)) {
+        val (len, sum) = unzstdStats(p, maxOut)
+        ("zstd", len, sum)
+      } else ("unknown", -1L, 0L)
   }
 
   /** Per-partition tar member walk at the codec boundary: one row per
@@ -191,6 +235,23 @@ object Shards {
         (r.media_id, len, sum)
       }
     }.toDF("media_id", "out_len", "byte_sum")
+  }
+
+  /** Per-partition magic-dispatched decompress-and-fingerprint over a
+    * MIXED-codec corpus: (media_id, codec, out_len, byte_sum). Real
+    * corpora mix producers (gzip legacy shards next to zstd re-packs),
+    * so the dispatch itself is part of the operator — the codec label
+    * is a gated fact, and corrupt payloads keep their sniffed label
+    * with the (-1, 0) contract.
+    */
+  def decompressStatsRows(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.payload != null).map { r =>
+        val (codec, len, sum) = ArchiveCodec.decompressStats(r.payload)
+        (r.media_id, codec, len, sum)
+      }
+    }.toDF("media_id", "codec", "out_len", "byte_sum")
   }
 
   /** Deterministic shard builders (the SyntheticMedia discipline: every
@@ -264,6 +325,20 @@ object Shards {
       val gz = new java.util.zip.GZIPOutputStream(bos)
       gz.write(memberBytes(key, 0))
       gz.close()
+      bos.toByteArray
+    }
+
+    /** zstd of the same member-content formula (member index 0),
+      * compressed by zstd-jni's ZstdOutputStream — the other codec of
+      * [[ArchiveCodec.decompressStats]]'s dispatch. Same asymmetry as
+      * [[gzipDoc]]: compressed bytes are producer-specific, only the
+      * decompressed features are gated.
+      */
+    def zstdDoc(key: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zs = new com.github.luben.zstd.ZstdOutputStream(bos)
+      zs.write(memberBytes(key, 0))
+      zs.close()
       bos.toByteArray
     }
   }

@@ -1076,5 +1076,58 @@ object NorthStarQueries {
              |FROM k JOIN s ON s.doc_id = k.doc_id
              |ORDER BY media_id ASC""".stripMargin),
       "real gzip decompress: decompressed length/byte-sum == formula oracle, truncation -> corrupt contract"),
+
+    // ------------------------------------------------------------------
+    // q208: magic-dispatched MIXED-codec decompression — real corpora mix
+    // producers (legacy gzip shards next to zstd re-packs, the codec
+    // Spark itself ships zstd-jni for), so the dispatch is part of the
+    // operator: the sniffed codec label is a gated fact alongside the
+    // decompressed features. One third of the corpus is gzip, one third
+    // zstd (BOTH real decompressors), one third raw formula bytes that
+    // match neither magic (provably: byte0 = 31k mod 256 = 0x1f forces
+    // k ≡ 1, whence byte1 = 42 ≠ 0x8b; = 0x28 forces k ≡ 216, whence
+    // byte1 = 51 ≠ 0xb5 — so "unknown" is structural, not luck). Every
+    // 7th doc is truncated mid-stream: the label survives the sniff, the
+    // features degrade to the corrupt contract (-1, 0) — surfaced by the
+    // real Inflater/zstd frame walk, not by a length check. 100 TB: pure
+    // map-side decode at the codec boundary, feature-sized output.
+    GQuery(
+      "q208_mixed_codecs",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val key = id % 97
+              val full = (id % 3) match {
+                case 0 => Shards.SyntheticShards.gzipDoc(key)
+                case 1 => Shards.SyntheticShards.zstdDoc(key)
+                case _ => Shards.SyntheticShards.memberBytes(key, 0)
+              }
+              val payload = if (id % 7 == 0) full.dropRight(6) else full
+              Multimodal.MediaRow(id, payload, "application/octet-stream")
+            }
+          }
+        Shards.decompressStatsRows(media).orderBy(col("media_id").asc)
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, doc_id % 97 AS key, doc_id % 3 AS c,
+             |         10 + (7 * (doc_id % 97)) % 90 AS len
+             |  FROM documents),
+             |s AS (
+             |  SELECT k.doc_id,
+             |         CAST(SUM((11*j.j + 31*k.key) % 256) AS BIGINT) AS content_sum
+             |  FROM k, range(0,99) j(j) WHERE j.j < k.len
+             |  GROUP BY k.doc_id)
+             |SELECT k.doc_id AS media_id,
+             |       CASE k.c WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd'
+             |            ELSE 'unknown' END AS codec,
+             |       CAST(CASE WHEN k.c = 2 OR k.doc_id % 7 = 0 THEN -1
+             |            ELSE k.len END AS BIGINT) AS out_len,
+             |       CAST(CASE WHEN k.c = 2 OR k.doc_id % 7 = 0 THEN 0
+             |            ELSE s.content_sum END AS BIGINT) AS byte_sum
+             |FROM k JOIN s ON s.doc_id = k.doc_id
+             |ORDER BY media_id ASC""".stripMargin),
+      "magic-dispatched gzip/zstd decompress over a mixed corpus: codec label + features == formula oracle"),
   )
 }
