@@ -149,11 +149,24 @@ object Multimodal {
     * never an exception out of the task.
     */
   object ContainerCodec {
+    /** Little-endian u32 read — THE authoritative copy for every RIFF-
+      * family walk in this file (parseWav/parseAvi/pcmStats/VideoOps):
+      * a bounds-handling fix applied here cannot silently miss a
+      * duplicated local copy.
+      */
+    private[multimodal] def le32(p: Array[Byte], o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+
+    /** FourCC compare at offset `o` (caller guarantees o+4 in bounds). */
+    private[multimodal] def fccIs(p: Array[Byte], o: Int, s: String): Boolean =
+      p(o) == s.charAt(0) && p(o + 1) == s.charAt(1) &&
+        p(o + 2) == s.charAt(2) && p(o + 3) == s.charAt(3)
+
     /** (sample_rate, n_channels, duration_ms, n_sample_frames) or zeros. */
     def parseWav(p: Array[Byte]): (Int, Int, Long, Long) = {
       def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
-      def le32(o: Int) = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
-        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      def le32(o: Int) = ContainerCodec.le32(p, o)
       if (!isWav(p)) return (0, 0, 0L, 0L)
       var off = 12
       var rate = 0; var channels = 0; var byteRate = 0L; var blockAlign = 0
@@ -527,11 +540,8 @@ object Multimodal {
       * is the header-priced metadata half.
       */
     def parseAvi(p: Array[Byte]): (Int, Int, Long, Long, Long) = {
-      def le32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
-        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
-      def fcc(o: Int, s: String): Boolean =
-        p(o) == s.charAt(0) && p(o + 1) == s.charAt(1) &&
-          p(o + 2) == s.charAt(2) && p(o + 3) == s.charAt(3)
+      def le32(o: Int): Long = ContainerCodec.le32(p, o)
+      def fcc(o: Int, s: String): Boolean = ContainerCodec.fccIs(p, o, s)
       if (!isAvi(p)) return (0, 0, 0L, 0L, 0L)
       var w = 0L; var h = 0L; var n = 0L; var mspf = 0L
       // Long offsets: chunk sizes are attacker-controlled u32 — the
@@ -633,8 +643,7 @@ object Multimodal {
       */
     def pcmStats(p: Array[Byte]): (Long, Long, Long, Int) = {
       def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
-      def le32(o: Int) = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
-        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      def le32(o: Int) = ContainerCodec.le32(p, o)
       if (!ContainerCodec.isWav(p)) return (0L, 0L, 0L, 0)
       var off = 12
       var fmtOk = false
@@ -1042,17 +1051,21 @@ object Multimodal {
 
     private[graft] def decodeAviFrames(id: Long, p: Array[Byte])
         : Seq[(Long, Int, Long, Int, Int, Long, Long, Long)] = {
-      def le32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
-        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
-      def fcc(o: Int, s: String): Boolean =
-        p(o) == s.charAt(0) && p(o + 1) == s.charAt(1) &&
-          p(o + 2) == s.charAt(2) && p(o + 3) == s.charAt(3)
+      def le32(o: Int): Long = ContainerCodec.le32(p, o)
+      def fcc(o: Int, s: String): Boolean = ContainerCodec.fccIs(p, o, s)
       val (w, h, n, _, durMs) = ContainerCodec.parseAvi(p)
       // frames smaller than the 8×8 grid carry no stable fingerprint —
       // same floor as the image tiers
       if (w < 8 || h < 8) return Seq.empty
-      val rowBytes = (3 * w + 3) & ~3
-      val frameSize = rowBytes.toLong * h
+      // Long geometry: w/h are attacker-declared u32s (parseAvi only
+      // bounds them to Int), so 3*w and rowBytes*h must not wrap. A
+      // declared frame larger than the payload can't have a matching
+      // '00db' chunk anyway (chunk bodies are bounds-checked below), so
+      // rejecting it here also proves every later pixel index fits Int.
+      val rowBytesL = (3L * w + 3L) & ~3L
+      val frameSize = rowBytesL * h
+      if (frameSize > p.length) return Seq.empty
+      val rowBytes = rowBytesL.toInt
       val out = Seq.newBuilder[(Long, Int, Long, Int, Int, Long, Long, Long)]
       var idx = 0
       var off = 12L

@@ -131,22 +131,20 @@ object Shards {
       out.result()
     }
 
-    /** REAL gzip decompression (RFC 1952, JDK Inflater):
-      * (decompressed_len, byte_sum) of the decompressed stream, or
-      * (-1, 0) for anything that is not a well-formed gzip stream —
-      * including trailing-garbage and CRC failures, which the stream
-      * surfaces as IOException at the final read. `maxOut` caps the
-      * inflated size so a decompression bomb (a few KB inflating to
-      * GBs) degrades to the corrupt-media contract instead of an
-      * executor OOM — the ImageCodec header-only lesson applied to
-      * compression.
+    /** Shared decompress-and-fingerprint loop: (decompressed_len,
+      * byte_sum) of the stream `mk` yields, or (-1, 0) if construction
+      * or any read throws IOException (truncation, bad header, CRC
+      * failure — JDK GZIPInputStream parses the header EAGERLY in its
+      * constructor, so `mk` runs inside the try) or the inflated size
+      * exceeds `maxOut` — the decompression-bomb cap that degrades a
+      * few-KB-inflates-to-GBs payload to the corrupt-media contract
+      * instead of an executor OOM (the ImageCodec header-only lesson
+      * applied to compression).
       */
-    def gunzipStats(p: Array[Byte], maxOut: Long = 64L << 20): (Long, Long) = {
-      if (p.length < 18 || (p(0) & 0xff) != 0x1f || (p(1) & 0xff) != 0x8b)
-        return (-1L, 0L)
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(p))
+    private def streamStats(mk: () => java.io.InputStream, maxOut: Long): (Long, Long) = {
+      var in: java.io.InputStream = null
       try {
+        in = mk()
         val buf = new Array[Byte](8192)
         var len = 0L
         var sum = 0L
@@ -161,8 +159,25 @@ object Shards {
         (len, sum)
       } catch {
         case _: java.io.IOException => (-1L, 0L)
-      } finally in.close()
+      } finally if (in != null) in.close()
     }
+
+    /** gzip magic (RFC 1952 §2.3.1): 0x1f 0x8b. */
+    def isGzip(p: Array[Byte]): Boolean =
+      p.length >= 2 && (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b
+
+    /** REAL gzip decompression (RFC 1952, JDK Inflater):
+      * (decompressed_len, byte_sum), or (-1, 0) for a corrupt stream —
+      * truncation, bad header, and CRC failures all surface as
+      * IOException inside [[streamStats]]. Trailing garbage after a
+      * complete member is IGNORED by the JDK reader (its concatenated-
+      * member probe swallows the non-header case), so such payloads
+      * report the valid prefix's stats — spec-pinned behavior.
+      */
+    def gunzipStats(p: Array[Byte], maxOut: Long = 64L << 20): (Long, Long) =
+      if (p.length < 18 || !isGzip(p)) (-1L, 0L)
+      else streamStats(() => new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(p)), maxOut)
 
     /** Zstandard magic (RFC 8878 §3.1.1): 0xFD2FB528 little-endian. */
     def isZstd(p: Array[Byte]): Boolean =
@@ -173,34 +188,17 @@ object Shards {
       * directory — the codec Spark itself uses for shuffle/parquet):
       * same contract as [[gunzipStats]].
       */
-    def unzstdStats(p: Array[Byte], maxOut: Long = 64L << 20): (Long, Long) = {
-      if (!isZstd(p)) return (-1L, 0L)
-      val in = new com.github.luben.zstd.ZstdInputStream(
-        new java.io.ByteArrayInputStream(p))
-      try {
-        val buf = new Array[Byte](8192)
-        var len = 0L
-        var sum = 0L
-        var n = in.read(buf)
-        while (n > 0) {
-          var i = 0
-          while (i < n) { sum += buf(i) & 0xff; i += 1 }
-          len += n
-          if (len > maxOut) return (-1L, 0L)
-          n = in.read(buf)
-        }
-        (len, sum)
-      } catch {
-        case _: java.io.IOException => (-1L, 0L)
-      } finally in.close()
-    }
+    def unzstdStats(p: Array[Byte], maxOut: Long = 64L << 20): (Long, Long) =
+      if (!isZstd(p)) (-1L, 0L)
+      else streamStats(() => new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(p)), maxOut)
 
     /** Magic-dispatched decompression over the codecs a shard corpus
       * actually mixes: ("gzip" | "zstd" | "unknown", len, byte_sum) —
       * unknown or corrupt payloads report ("unknown"/codec, -1, 0).
       */
     def decompressStats(p: Array[Byte], maxOut: Long = 64L << 20): (String, Long, Long) =
-      if (p.length >= 2 && (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b) {
+      if (isGzip(p)) {
         val (len, sum) = gunzipStats(p, maxOut)
         ("gzip", len, sum)
       } else if (isZstd(p)) {

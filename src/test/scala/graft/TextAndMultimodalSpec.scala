@@ -697,4 +697,28 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(cm.media_kind == "video" && cm.duration_ms == 160L &&
       cm.width == 8 && cm.n_frames == 4L && cm.n_tracks == 1)
   }
+
+  test("AVI frame decode: huge declared width cannot wrap pixel arithmetic") {
+    import Multimodal.{ContainerCodec, VideoOps}
+    // w chosen so the OLD Int math wrapped: 3*1431655787 = 4294967361
+    // ≡ 65 (mod 2^32) → rowBytes 68, frameSize 544 — and a crafted 544-
+    // byte '00db' chunk would then pass the size gate and index ~2^29
+    // bytes past the array. The Long-geometry gate must instead reject
+    // the frame (34 GB > payload) and emit no rows, never throw.
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bb = java.nio.ByteBuffer.allocate(652)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)).putInt(644).put("AVI ".getBytes(ascii))
+    bb.put("LIST".getBytes(ascii)).putInt(68).put("hdrl".getBytes(ascii))
+    bb.put("avih".getBytes(ascii)).putInt(56)
+      .putInt(40000).putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(0).putInt(1).putInt(544)
+      .putInt(1431655787).putInt(8).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put("LIST".getBytes(ascii)).putInt(556).put("movi".getBytes(ascii))
+    bb.put("00db".getBytes(ascii)).putInt(544).put(new Array[Byte](544))
+    val crafted = bb.array()
+    val (w, h, n, _, _) = ContainerCodec.parseAvi(crafted)
+    assert((w, h, n) == ((1431655787, 8, 1L)), "header parses as declared")
+    assert(VideoOps.decodeAviFrames(1L, crafted).isEmpty)
+  }
 }
