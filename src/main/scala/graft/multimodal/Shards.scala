@@ -205,6 +205,59 @@ object Shards {
         val (len, sum) = unzstdStats(p, maxOut)
         ("zstd", len, sum)
       } else ("unknown", -1L, 0L)
+
+    /** Local-file-header magic "PK" (APPNOTE 4.3.7) — the
+      * signature a STREAM walk starts at (EOCD/central directory live at
+      * the tail and are not needed).
+      */
+    def isZip(p: Array[Byte]): Boolean =
+      p.length >= 4 && p(0) == 'P' && p(1) == 'K' && p(2) == 3 && p(3) == 4
+
+    /** Walk every member of a zip via the JDK's REAL streaming reader
+      * (ZipInputStream: local headers + Inflater, data descriptors
+      * handled) — `size` is the DECOMPRESSED length, `byte_sum` the
+      * decompressed content's Σ, i.e. facts the compressed encoding
+      * cannot vary. Same contracts as [[tarMembers]]: directory entries
+      * advance the stream but emit no row (member_idx still counts
+      * them); a mid-stream corruption or truncation keeps the members
+      * fully read before it; a member inflating past `maxOut` (zip
+      * bomb) aborts the walk — later offsets can't be trusted.
+      */
+    def zipMembers(id: Long, p: Array[Byte],
+        maxOut: Long = 64L << 20): Seq[TarMember] = {
+      if (!isZip(p)) return Seq.empty
+      val out = Seq.newBuilder[TarMember]
+      var in: java.util.zip.ZipInputStream = null
+      try {
+        in = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(p))
+        val buf = new Array[Byte](8192)
+        var idx = 0
+        var e = in.getNextEntry
+        var ok = true
+        while (ok && e != null) {
+          if (!e.isDirectory) {
+            var len = 0L
+            var sum = 0L
+            var n = in.read(buf)
+            while (ok && n > 0) {
+              var i = 0
+              while (i < n) { sum += buf(i) & 0xff; i += 1 }
+              len += n
+              if (len > maxOut) ok = false else n = in.read(buf)
+            }
+            // emit only after the FULL member read (a read that threw
+            // or tripped the bomb cap never emits a partial row)
+            if (ok) out += TarMember(id, idx, e.getName, len, sum)
+          }
+          idx += 1
+          e = if (ok) in.getNextEntry else null
+        }
+      } catch {
+        case _: java.io.IOException => () // truncated/corrupt tail: members read so far stand
+      } finally if (in != null) in.close()
+      out.result()
+    }
   }
 
   /** Per-partition tar member walk at the codec boundary: one row per
@@ -217,6 +270,45 @@ object Shards {
       rows.filter(_.payload != null)
         .flatMap(r => ArchiveCodec.tarMembers(r.media_id, r.payload))
     }.toDF()
+  }
+
+  /** Per-partition zip member walk: one row per regular-file entry with
+    * DECOMPRESSED size/byte-sum (real Inflater work, not a directory
+    * read). Corrupt or non-zip payloads fan out to no rows.
+    */
+  def zipMemberRows(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.payload != null)
+        .flatMap(r => ArchiveCodec.zipMembers(r.media_id, r.payload))
+    }.toDF()
+  }
+
+  /** WebDataset sample assembly: archive members sharing a basename are
+    * ONE training sample (img.jpg + img.txt + img.json), so the member
+    * stream regroups by (shard, basename) into per-sample rows — part
+    * count, total bytes, content fingerprint, and the sorted extension
+    * list (the modality signature a downstream filter dispatches on).
+    *
+    * 100 TB shape: the input is member METADATA (payloads never left
+    * the codec boundary), and a sample's members are emitted by the
+    * same shard row on the same partition, so the groupBy's map-side
+    * partial aggregation collapses each sample locally — the exchange
+    * carries one row per SAMPLE, not per member.
+    */
+  def assembleSamples(members: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = regexp_extract(col("name"), "^(.*)\\.[^./]+$", 1)
+    val ext = regexp_extract(col("name"), "\\.([^./]+)$", 1)
+    members
+      .withColumn("sample_key", when(base =!= "", base).otherwise(col("name")))
+      .withColumn("ext", ext)
+      .groupBy(col("shard_id"), col("sample_key"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("size")).as("total_size"),
+        sum(col("byte_sum")).as("total_byte_sum"),
+        array_join(array_sort(collect_list(col("ext"))), ",").as("exts"))
   }
 
   /** Per-partition gzip decompress-and-fingerprint: (media_id, out_len,
@@ -270,46 +362,97 @@ object Shards {
       * directory member (typeflag '5' — walked over, never emitted) in
       * the middle, so the non-file path is exercised by the gate itself.
       */
+    private def ustarHeader(name: String, size: Long, typeflag: Byte): Array[Byte] = {
+      val h = new Array[Byte](512)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val nb = name.getBytes(ascii)
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val s = ("%0" + (len - 1) + "o").format(v)
+        System.arraycopy(s.getBytes(ascii), 0, h, off, s.length)
+      }
+      oct(420, 100, 8) // mode 0644
+      oct(0, 108, 8); oct(0, 116, 8) // uid/gid
+      oct(size, 124, 12)
+      oct(0, 136, 12) // mtime
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum spaces
+      h(156) = typeflag
+      System.arraycopy("ustar".getBytes(ascii), 0, h, 257, 5)
+      h(263) = '0'; h(264) = '0' // version "00"
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += h(i) & 0xff; i += 1 }
+      // ustar checksum encoding: six octal digits, NUL, space
+      val cs = "%06o".format(sum).getBytes(ascii)
+      System.arraycopy(cs, 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      h
+    }
+
+    private def writeTarMember(bos: java.io.ByteArrayOutputStream,
+        name: String, body: Array[Byte]): Unit = {
+      bos.write(ustarHeader(name, body.length.toLong, '0'))
+      bos.write(body)
+      bos.write(new Array[Byte]((512 - body.length % 512) % 512))
+    }
+
     def tarShard(key: Long): Array[Byte] = {
       val n = 2 + (key % 3).toInt
       val bos = new java.io.ByteArrayOutputStream()
-      def header(name: String, size: Long, typeflag: Byte): Array[Byte] = {
-        val h = new Array[Byte](512)
-        val ascii = java.nio.charset.StandardCharsets.US_ASCII
-        val nb = name.getBytes(ascii)
-        System.arraycopy(nb, 0, h, 0, nb.length)
-        def oct(v: Long, off: Int, len: Int): Unit = {
-          val s = ("%0" + (len - 1) + "o").format(v)
-          System.arraycopy(s.getBytes(ascii), 0, h, off, s.length)
-        }
-        oct(420, 100, 8) // mode 0644
-        oct(0, 108, 8); oct(0, 116, 8) // uid/gid
-        oct(size, 124, 12)
-        oct(0, 136, 12) // mtime
-        java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum spaces
-        h(156) = typeflag
-        System.arraycopy("ustar".getBytes(ascii), 0, h, 257, 5)
-        h(263) = '0'; h(264) = '0' // version "00"
-        var sum = 0L
-        var i = 0
-        while (i < 512) { sum += h(i) & 0xff; i += 1 }
-        // ustar checksum encoding: six octal digits, NUL, space
-        val cs = "%06o".format(sum).getBytes(ascii)
-        System.arraycopy(cs, 0, h, 148, 6)
-        h(154) = 0; h(155) = ' '
-        h
-      }
       var i = 0
       while (i < n) {
-        if (i == 1) bos.write(header(s"shard$key/sub/", 0, '5'))
-        val body = memberBytes(key, i)
-        bos.write(header(s"shard$key/doc$i.txt", body.length.toLong, '0'))
-        bos.write(body)
-        val pad = (512 - body.length % 512) % 512
-        bos.write(new Array[Byte](pad))
+        if (i == 1) bos.write(ustarHeader(s"shard$key/sub/", 0, '5'))
+        writeTarMember(bos, s"shard$key/doc$i.txt", memberBytes(key, i))
         i += 1
       }
       bos.write(new Array[Byte](1024)) // two terminator blocks
+      bos.toByteArray
+    }
+
+    /** WebDataset-convention shard: 2 + key%3 SAMPLES, each a
+      * (.txt, .json, .bin) member triple sharing the basename `s<i>` —
+      * part `c` of sample `i` carries [[memberBytes]](key, 3·i + c), so
+      * every per-sample aggregate is a pure formula of the key.
+      */
+    def wdsShard(key: Long): Array[Byte] = {
+      val n = 2 + (key % 3).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < 3) {
+          val ext = c match { case 0 => "txt"; case 1 => "json"; case _ => "bin" }
+          writeTarMember(bos, s"s$i.$ext", memberBytes(key, 3 * i + c))
+          c += 1
+        }
+        i += 1
+      }
+      bos.write(new Array[Byte](1024))
+      bos.toByteArray
+    }
+
+    /** DEFLATE zip of the same member-content formula: 2 + key%3 entries
+      * named `doc<i>.txt` carrying [[memberBytes]](key, i), plus a
+      * directory entry in the middle (walked over, never emitted — the
+      * tarShard discipline). Compressed bytes are producer-specific;
+      * only decompressed features are gated.
+      */
+    def zipShard(key: Long): Array[Byte] = {
+      val n = 2 + (key % 3).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      val zo = new java.util.zip.ZipOutputStream(bos)
+      var i = 0
+      while (i < n) {
+        if (i == 1) {
+          zo.putNextEntry(new java.util.zip.ZipEntry(s"shard$key/"))
+          zo.closeEntry()
+        }
+        zo.putNextEntry(new java.util.zip.ZipEntry(s"doc$i.txt"))
+        zo.write(memberBytes(key, i))
+        zo.closeEntry()
+        i += 1
+      }
+      zo.close()
       bos.toByteArray
     }
 

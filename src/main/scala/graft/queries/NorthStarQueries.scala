@@ -1129,5 +1129,109 @@ object NorthStarQueries {
              |FROM k JOIN s ON s.doc_id = k.doc_id
              |ORDER BY media_id ASC""".stripMargin),
       "magic-dispatched gzip/zstd decompress over a mixed corpus: codec label + features == formula oracle"),
+
+    // ------------------------------------------------------------------
+    // q209: WebDataset sample assembly — the operator that makes a tar
+    // shard a TRAINING corpus: members sharing a basename (img.jpg +
+    // img.txt + img.json) are one sample, so the member stream regroups
+    // by (shard, basename) into per-sample rows carrying part count,
+    // total bytes, content fingerprint, and the sorted extension list
+    // (the modality signature downstream filters dispatch on). 100 TB:
+    // members of a sample come off the same shard row on the same
+    // partition, so map-side partial aggregation collapses each sample
+    // locally — the exchange carries one row per SAMPLE. Gate: the full
+    // walk→regroup pipeline over synthesized wds shards == a formula
+    // oracle that never sees a byte.
+    GQuery(
+      "q209_wds_samples",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id,
+                Shards.SyntheticShards.wdsShard(id % 107), "application/x-tar")
+            }
+          }
+        Shards.assembleSamples(Shards.tarMemberRows(media))
+          .orderBy(col("shard_id").asc, col("sample_key").asc)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, doc_id % 107 AS key,
+             |         CAST(i.i AS INT) AS i, CAST(c.c AS INT) AS c
+             |  FROM documents, range(0,4) i(i), range(0,3) c(c)
+             |  WHERE i.i < 2 + (doc_id % 107) % 3),
+             |d AS (
+             |  SELECT doc_id, key, i, c, 3*i + c AS mi,
+             |         CAST(10 + (7*key + 13*(3*i + c)) % 90 AS BIGINT) AS size
+             |  FROM m),
+             |s AS (
+             |  SELECT d.doc_id, d.i, d.c,
+             |         CAST(SUM((11*j.j + 29*d.mi + 31*d.key) % 256) AS BIGINT) AS byte_sum
+             |  FROM d, range(0,99) j(j) WHERE j.j < d.size
+             |  GROUP BY d.doc_id, d.i, d.c)
+             |SELECT d.doc_id AS shard_id, 's' || d.i AS sample_key,
+             |       CAST(3 AS BIGINT) AS n_parts,
+             |       CAST(SUM(d.size) AS BIGINT) AS total_size,
+             |       CAST(SUM(s.byte_sum) AS BIGINT) AS total_byte_sum,
+             |       'bin,json,txt' AS exts
+             |FROM d JOIN s ON s.doc_id = d.doc_id AND s.i = d.i AND s.c = d.c
+             |GROUP BY d.doc_id, d.i
+             |ORDER BY shard_id ASC, sample_key ASC""".stripMargin),
+      "WebDataset assembly: tar walk + per-sample regroup == formula oracle (parts/bytes/fingerprint/modality signature)"),
+
+    // ------------------------------------------------------------------
+    // q210: real zip member walk — the other archive convention corpora
+    // ship in (image dumps, code corpora). Unlike the tar walk, member
+    // payloads are DEFLATE-compressed, so 'size' and 'byte_sum' here are
+    // REAL decompression output (JDK ZipInputStream: local headers +
+    // Inflater + data descriptors), not header fields — the compressed
+    // encoding is producer-specific, the decompressed features are the
+    // formula's. Corrupt paths in the gated corpus: every 7th doc is raw
+    // formula bytes (provably never the PK\3\4 magic for any key in
+    // range: byte0 = 31k mod 256 = 0x50 needs k ≡ 176, and keys stop at
+    // 108) → no rows; every 5th doc has its EOCD tail clipped → the
+    // STREAM walk is provably unaffected (central directory never read).
+    // A mid-stream directory entry exercises the non-file skip. 100 TB:
+    // map-side inflate at the codec boundary, metadata-sized output.
+    GQuery(
+      "q210_zip_members",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val key = id % 109
+              val payload =
+                if (id % 7 == 0) Shards.SyntheticShards.memberBytes(key, 0)
+                else {
+                  val full = Shards.SyntheticShards.zipShard(key)
+                  if (id % 5 == 0) full.dropRight(6) else full
+                }
+              Multimodal.MediaRow(id, payload, "application/zip")
+            }
+          }
+        Shards.zipMemberRows(media)
+          .orderBy(col("shard_id").asc, col("member_idx").asc)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, doc_id % 109 AS key, CAST(i.i AS INT) AS i
+             |  FROM documents, range(0,4) i(i)
+             |  WHERE i.i < 2 + (doc_id % 109) % 3 AND doc_id % 7 <> 0),
+             |d AS (
+             |  SELECT doc_id, key, i,
+             |         CAST(CASE WHEN i = 0 THEN 0 ELSE i + 1 END AS INT) AS member_idx,
+             |         'doc' || i || '.txt' AS name,
+             |         CAST(10 + (7*key + 13*i) % 90 AS BIGINT) AS size
+             |  FROM m),
+             |s AS (
+             |  SELECT d.doc_id, d.i,
+             |         CAST(SUM((11*j.j + 29*d.i + 31*d.key) % 256) AS BIGINT) AS byte_sum
+             |  FROM d, range(0,99) j(j) WHERE j.j < d.size
+             |  GROUP BY d.doc_id, d.i)
+             |SELECT d.doc_id AS shard_id, d.member_idx, d.name, d.size, s.byte_sum
+             |FROM d JOIN s ON s.doc_id = d.doc_id AND s.i = d.i
+             |ORDER BY shard_id ASC, member_idx ASC""".stripMargin),
+      "real zip stream walk: DECOMPRESSED member sizes/byte-sums == formula oracle; raw bytes never sniff, EOCD clip provably harmless"),
   )
 }

@@ -141,6 +141,70 @@ class ShardsSpec extends SparkTestBase {
         s"raw bytes sniffed as a codec for key=$key")
   }
 
+  test("zip walk: real inflate per member, directory skip, truncation, bomb abort") {
+    val key = 7L
+    val members = ArchiveCodec.zipMembers(9L, Shards.SyntheticShards.zipShard(key))
+    val n = 2 + (key % 3).toInt
+    assert(members.length == n)
+    members.zipWithIndex.foreach { case (m, i) =>
+      val want = Shards.SyntheticShards.memberBytes(key, i)
+      // directory entry sits at stream position 1: emitted idx skips it
+      assert(m.member_idx == (if (i == 0) 0 else i + 1), s"idx for i=$i")
+      assert(m.name == s"doc$i.txt")
+      assert(m.size == want.length.toLong, s"decompressed size for i=$i")
+      assert(m.byte_sum == want.map(_ & 0xff).map(_.toLong).sum, s"sum for i=$i")
+    }
+    // EOCD tail clip: the STREAM walk never reads the central directory
+    val full = Shards.SyntheticShards.zipShard(key)
+    assert(ArchiveCodec.zipMembers(9L, full.dropRight(6)) == members)
+    // mid-stream cut: members fully read before the cut stand, rest drop
+    val cut = ArchiveCodec.zipMembers(9L, full.take(full.length / 3))
+    assert(cut.length < n && cut == members.take(cut.length))
+    // not zip at all / raw formula bytes never sniff
+    assert(ArchiveCodec.zipMembers(9L, "PK but not an archive".getBytes(ascii)).isEmpty)
+    for (k <- 0L until 109L)
+      assert(ArchiveCodec.zipMembers(9L, Shards.SyntheticShards.memberBytes(k, 0)).isEmpty)
+    // zip bomb: a member inflating past maxOut aborts the walk; members
+    // before it stand, the bomb and everything after never emit
+    val bos = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(bos)
+    zo.putNextEntry(new java.util.zip.ZipEntry("ok.txt"))
+    zo.write("small".getBytes(ascii)); zo.closeEntry()
+    zo.putNextEntry(new java.util.zip.ZipEntry("bomb.bin"))
+    zo.write(new Array[Byte](1 << 20)); zo.closeEntry()
+    zo.putNextEntry(new java.util.zip.ZipEntry("after.txt"))
+    zo.write("never reached".getBytes(ascii)); zo.closeEntry()
+    zo.close()
+    val bombed = ArchiveCodec.zipMembers(1L, bos.toByteArray, maxOut = 1000L)
+    assert(bombed.map(_.name) == Seq("ok.txt"))
+  }
+
+  test("wds sample assembly: members regroup by basename into per-sample rows") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, Shards.SyntheticShards.wdsShard(4L), "application/x-tar"),
+      Multimodal.MediaRow(2L, Shards.SyntheticShards.wdsShard(11L), "application/x-tar"))
+      .toDS()
+    val samples = Shards.assembleSamples(Shards.tarMemberRows(media))
+      .orderBy("shard_id", "sample_key").collect()
+    val wantCounts = Map(1L -> (2 + 4 % 3), 2L -> (2 + 11 % 3))
+    assert(samples.groupBy(_.getLong(0)).view.mapValues(_.length).toMap == wantCounts)
+    samples.foreach { r =>
+      val key = if (r.getLong(0) == 1L) 4L else 11L
+      val i = r.getString(1).stripPrefix("s").toInt
+      val parts = (0 until 3).map(c => Shards.SyntheticShards.memberBytes(key, 3 * i + c))
+      assert(r.getLong(2) == 3L, "n_parts")
+      assert(r.getLong(3) == parts.map(_.length.toLong).sum, "total_size")
+      assert(r.getLong(4) == parts.map(_.map(_ & 0xff).map(_.toLong).sum).sum, "total_byte_sum")
+      assert(r.getString(5) == "bin,json,txt", "modality signature")
+    }
+    // a member with no extension keeps its full name as the sample key
+    val bare = Seq((5L, 0, "README", 3L, 10L))
+      .toDF("shard_id", "member_idx", "name", "size", "byte_sum")
+    val row = Shards.assembleSamples(bare).collect().head
+    assert(row.getString(1) == "README" && row.getString(5) == "")
+  }
+
   test("shard dataset plumbing: member fan-out and corrupt-shard drop") {
     import spark.implicits._
     val media = Seq(
