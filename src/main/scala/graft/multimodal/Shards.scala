@@ -131,6 +131,56 @@ object Shards {
       out.result()
     }
 
+    /** Write a POSIX ustar archive from (name, body) members — the
+      * WRITE half of [[tarMembers]] (IEEE 1003.1: NUL-padded names,
+      * ASCII-octal sizes, spaces-then-computed checksum, 512-byte body
+      * padding, two zero terminator blocks). Backs the shard-EXPORT
+      * operator [[Shards.packTarShards]] and the synthetic builders, so
+      * every exported shard is readable by any tar implementation, not
+      * just our own walk.
+      */
+    def tarArchive(members: Iterator[(String, Array[Byte])]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      members.foreach { case (name, body) => writeTarMember(bos, name, body) }
+      bos.write(new Array[Byte](1024)) // two terminator blocks
+      bos.toByteArray
+    }
+
+    private[multimodal] def writeTarMember(bos: java.io.ByteArrayOutputStream,
+        name: String, body: Array[Byte]): Unit = {
+      bos.write(ustarHeader(name, body.length.toLong, '0'))
+      bos.write(body)
+      bos.write(new Array[Byte]((512 - body.length % 512) % 512))
+    }
+
+    private[multimodal] def ustarHeader(
+        name: String, size: Long, typeflag: Byte): Array[Byte] = {
+      val h = new Array[Byte](512)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val nb = name.getBytes(ascii)
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val s = ("%0" + (len - 1) + "o").format(v)
+        System.arraycopy(s.getBytes(ascii), 0, h, off, s.length)
+      }
+      oct(420, 100, 8) // mode 0644
+      oct(0, 108, 8); oct(0, 116, 8) // uid/gid
+      oct(size, 124, 12)
+      oct(0, 136, 12) // mtime
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum spaces
+      h(156) = typeflag
+      System.arraycopy("ustar".getBytes(ascii), 0, h, 257, 5)
+      h(263) = '0'; h(264) = '0' // version "00"
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += h(i) & 0xff; i += 1 }
+      // ustar checksum encoding: six octal digits, NUL, space
+      val cs = "%06o".format(sum).getBytes(ascii)
+      System.arraycopy(cs, 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      h
+    }
+
     /** Shared decompress-and-fingerprint loop: (decompressed_len,
       * byte_sum) of the stream `mk` yields, or (-1, 0) if construction
       * or any read throws IOException (truncation, bad header, CRC
@@ -206,7 +256,7 @@ object Shards {
         ("zstd", len, sum)
       } else ("unknown", -1L, 0L)
 
-    /** Local-file-header magic "PK" (APPNOTE 4.3.7) — the
+    /** Local-file-header magic PK 0x03 0x04 (APPNOTE 4.3.7) — the
       * signature a STREAM walk starts at (EOCD/central directory live at
       * the tail and are not needed).
       */
@@ -270,6 +320,36 @@ object Shards {
       rows.filter(_.payload != null)
         .flatMap(r => ArchiveCodec.tarMembers(r.media_id, r.payload))
     }.toDF()
+  }
+
+  /** One document destined for a packed shard: `name` is the member
+    * path inside the archive, `payload` the member body.
+    */
+  case class ShardDoc(doc_id: Long, name: String, payload: Array[Byte])
+
+  /** Shard EXPORT — the write half of the shard tier: pack documents
+    * into ustar shard payloads, `docsPerShard` per shard, members in
+    * doc_id order (deterministic output bytes, so re-walking an export
+    * is gateable). shard_id = doc_id / docsPerShard keeps assignment a
+    * pure formula — restart-safe, no sequence state.
+    *
+    * 100 TB shape: the one payload shuffle is inherent to packing
+    * (bytes must colocate to concatenate); shard size is bounded by
+    * docsPerShard × max payload, the sort is within a ≤docsPerShard
+    * group, and output shards stream straight to a binary sink. This is
+    * the inverse of [[tarMemberRows]], and the pair is the
+    * re-shard/compaction job of a WebDataset corpus.
+    */
+  def packTarShards(docs: Dataset[ShardDoc], docsPerShard: Int): Dataset[Multimodal.MediaRow] = {
+    require(docsPerShard >= 1, s"docsPerShard must be >= 1 (got $docsPerShard)")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.doc_id / docsPerShard)
+      .mapGroups { (sid, it) =>
+        val members = it.toArray.sortBy(_.doc_id)
+        Multimodal.MediaRow(sid,
+          ArchiveCodec.tarArchive(members.iterator.map(m => (m.name, m.payload))),
+          "application/x-tar")
+      }
   }
 
   /** Per-partition zip member walk: one row per regular-file entry with
@@ -362,47 +442,13 @@ object Shards {
       * directory member (typeflag '5' — walked over, never emitted) in
       * the middle, so the non-file path is exercised by the gate itself.
       */
-    private def ustarHeader(name: String, size: Long, typeflag: Byte): Array[Byte] = {
-      val h = new Array[Byte](512)
-      val ascii = java.nio.charset.StandardCharsets.US_ASCII
-      val nb = name.getBytes(ascii)
-      System.arraycopy(nb, 0, h, 0, nb.length)
-      def oct(v: Long, off: Int, len: Int): Unit = {
-        val s = ("%0" + (len - 1) + "o").format(v)
-        System.arraycopy(s.getBytes(ascii), 0, h, off, s.length)
-      }
-      oct(420, 100, 8) // mode 0644
-      oct(0, 108, 8); oct(0, 116, 8) // uid/gid
-      oct(size, 124, 12)
-      oct(0, 136, 12) // mtime
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum spaces
-      h(156) = typeflag
-      System.arraycopy("ustar".getBytes(ascii), 0, h, 257, 5)
-      h(263) = '0'; h(264) = '0' // version "00"
-      var sum = 0L
-      var i = 0
-      while (i < 512) { sum += h(i) & 0xff; i += 1 }
-      // ustar checksum encoding: six octal digits, NUL, space
-      val cs = "%06o".format(sum).getBytes(ascii)
-      System.arraycopy(cs, 0, h, 148, 6)
-      h(154) = 0; h(155) = ' '
-      h
-    }
-
-    private def writeTarMember(bos: java.io.ByteArrayOutputStream,
-        name: String, body: Array[Byte]): Unit = {
-      bos.write(ustarHeader(name, body.length.toLong, '0'))
-      bos.write(body)
-      bos.write(new Array[Byte]((512 - body.length % 512) % 512))
-    }
-
     def tarShard(key: Long): Array[Byte] = {
       val n = 2 + (key % 3).toInt
       val bos = new java.io.ByteArrayOutputStream()
       var i = 0
       while (i < n) {
-        if (i == 1) bos.write(ustarHeader(s"shard$key/sub/", 0, '5'))
-        writeTarMember(bos, s"shard$key/doc$i.txt", memberBytes(key, i))
+        if (i == 1) bos.write(ArchiveCodec.ustarHeader(s"shard$key/sub/", 0, '5'))
+        ArchiveCodec.writeTarMember(bos, s"shard$key/doc$i.txt", memberBytes(key, i))
         i += 1
       }
       bos.write(new Array[Byte](1024)) // two terminator blocks
@@ -422,7 +468,7 @@ object Shards {
         var c = 0
         while (c < 3) {
           val ext = c match { case 0 => "txt"; case 1 => "json"; case _ => "bin" }
-          writeTarMember(bos, s"s$i.$ext", memberBytes(key, 3 * i + c))
+          ArchiveCodec.writeTarMember(bos, s"s$i.$ext", memberBytes(key, 3 * i + c))
           c += 1
         }
         i += 1

@@ -1233,5 +1233,50 @@ object NorthStarQueries {
              |FROM d JOIN s ON s.doc_id = d.doc_id AND s.i = d.i
              |ORDER BY shard_id ASC, member_idx ASC""".stripMargin),
       "real zip stream walk: DECOMPRESSED member sizes/byte-sums == formula oracle; raw bytes never sniff, EOCD clip provably harmless"),
+
+    // ------------------------------------------------------------------
+    // q211: shard EXPORT roundtrip — the write half of the shard tier
+    // (re-sharding/compacting a WebDataset corpus is pack ∘ walk). Docs
+    // are packed 8-per-shard into REAL ustar bytes (ArchiveCodec
+    // .tarArchive: octal sizes, checksums, 512-padding) by a distributed
+    // groupBy — shard_id = doc_id/8 is a pure formula, so assignment is
+    // restart-safe with no sequence state — then the gate re-walks the
+    // EXPORTED payloads with the real member walk and the oracle
+    // recomputes every member row from the doc formula. A writer bug
+    // (octal field, checksum placement, padding) desynchronizes the walk
+    // and fails the hash; nothing is self-consistent because walk and
+    // oracle never share code. 100 TB: the one payload shuffle is
+    // inherent to packing; the per-group sort is ≤8 rows.
+    GQuery(
+      "q211_shard_export",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Shards.ShardDoc(id, s"doc$id.txt",
+                Shards.SyntheticShards.memberBytes(id % 97, 0))
+            }
+          }
+        Shards.tarMemberRows(Shards.packTarShards(docs, 8))
+          .orderBy(col("shard_id").asc, col("member_idx").asc)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id // 8 AS shard_id, doc_id % 97 AS key,
+             |         CAST(row_number() OVER (
+             |           PARTITION BY doc_id // 8 ORDER BY doc_id) - 1 AS INT)
+             |           AS member_idx,
+             |         'doc' || doc_id || '.txt' AS name,
+             |         CAST(10 + (7 * (doc_id % 97)) % 90 AS BIGINT) AS size
+             |  FROM documents),
+             |s AS (
+             |  SELECT d.doc_id,
+             |         CAST(SUM((11*j.j + 31*d.key) % 256) AS BIGINT) AS byte_sum
+             |  FROM d, range(0,99) j(j) WHERE j.j < d.size
+             |  GROUP BY d.doc_id)
+             |SELECT d.shard_id, d.member_idx, d.name, d.size, s.byte_sum
+             |FROM d JOIN s ON s.doc_id = d.doc_id
+             |ORDER BY shard_id ASC, member_idx ASC""".stripMargin),
+      "shard export roundtrip: pack 8 docs/shard into real ustar bytes, re-walk == formula oracle"),
   )
 }

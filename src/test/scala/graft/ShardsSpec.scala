@@ -205,6 +205,30 @@ class ShardsSpec extends SparkTestBase {
     assert(row.getString(1) == "README" && row.getString(5) == "")
   }
 
+  test("shard export: pack -> external-shape ustar -> walk roundtrip") {
+    import spark.implicits._
+    val docs = (0L until 11L).map(id =>
+      Shards.ShardDoc(id, s"doc$id.txt", Shards.SyntheticShards.memberBytes(id % 5, 0)))
+    val packed = Shards.packTarShards(docs.toDS().repartition(3), 4).collect()
+    assert(packed.map(_.media_id).sorted.toSeq == Seq(0L, 1L, 2L))
+    // every exported payload is structurally valid ustar with the right
+    // member set in doc_id order, independently re-walked
+    packed.foreach { shard =>
+      assert(ArchiveCodec.isTar(shard.payload))
+      val members = ArchiveCodec.tarMembers(shard.media_id, shard.payload)
+      val wantIds = (shard.media_id * 4 until math.min(shard.media_id * 4 + 4, 11L)).toSeq
+      assert(members.map(_.name) == wantIds.map(id => s"doc$id.txt"))
+      members.zip(wantIds).foreach { case (m, id) =>
+        val body = Shards.SyntheticShards.memberBytes(id % 5, 0)
+        assert(m.size == body.length.toLong)
+        assert(m.byte_sum == body.map(_ & 0xff).map(_.toLong).sum)
+      }
+    }
+    // a partial final shard (3 of 4 docs) still terminates correctly
+    assert(ArchiveCodec.tarMembers(2L,
+      packed.find(_.media_id == 2L).get.payload).length == 3)
+  }
+
   test("shard dataset plumbing: member fan-out and corrupt-shard drop") {
     import spark.implicits._
     val media = Seq(
