@@ -243,6 +243,39 @@ object Shards {
       else streamStats(() => new com.github.luben.zstd.ZstdInputStream(
         new java.io.ByteArrayInputStream(p)), maxOut)
 
+    /** Materialized magic-dispatched decompression for COMPOSITION
+      * operators ([[Shards.compressedTarMemberRows]] needs the archive
+      * bytes, not just their stats): the decompressed bytes, or null
+      * for unknown magic / corrupt stream / past-`maxOut` inflation.
+      * Memory contract: at most maxOut bytes live per row, inside one
+      * map task — callers must not retain the result past the row.
+      */
+    def decompressBytes(p: Array[Byte], maxOut: Long = 64L << 20): Array[Byte] = {
+      val mk: () => java.io.InputStream =
+        if (isGzip(p) && p.length >= 18)
+          () => new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(p))
+        else if (isZstd(p))
+          () => new com.github.luben.zstd.ZstdInputStream(new java.io.ByteArrayInputStream(p))
+        else return null
+      var in: java.io.InputStream = null
+      try {
+        in = mk()
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        var n = in.read(buf)
+        while (n > 0) {
+          total += n
+          if (total > maxOut) return null
+          bos.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        bos.toByteArray
+      } catch {
+        case _: java.io.IOException => null
+      } finally if (in != null) in.close()
+    }
+
     /** Magic-dispatched decompression over the codecs a shard corpus
       * actually mixes: ("gzip" | "zstd" | "unknown", len, byte_sum) —
       * unknown or corrupt payloads report ("unknown"/codec, -1, 0).
@@ -319,6 +352,30 @@ object Shards {
     media.mapPartitions { rows =>
       rows.filter(_.payload != null)
         .flatMap(r => ArchiveCodec.tarMembers(r.media_id, r.payload))
+    }.toDF()
+  }
+
+  /** Compressed-shard member walk (.tar.gz / .tar.zst — the wire
+    * format shard corpora actually ship): magic-dispatched decompress
+    * (bomb-capped) then the ustar walk, all inside one map at the codec
+    * boundary — the decompressed archive bytes live only for the
+    * duration of the walk and NEVER shuffle; only member metadata
+    * leaves. Raw (uncompressed) tar payloads pass straight through, so
+    * one operator ingests a mixed-compression corpus. Corrupt
+    * compression or a non-tar decompression result fans out to no rows.
+    */
+  def compressedTarMemberRows(media: Dataset[Multimodal.MediaRow],
+      maxOut: Long = 64L << 20): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.payload != null).flatMap { r =>
+        val archive =
+          if (ArchiveCodec.isGzip(r.payload) || ArchiveCodec.isZstd(r.payload))
+            ArchiveCodec.decompressBytes(r.payload, maxOut)
+          else r.payload
+        if (archive == null) Seq.empty
+        else ArchiveCodec.tarMembers(r.media_id, archive)
+      }
     }.toDF()
   }
 
@@ -502,31 +559,34 @@ object Shards {
       bos.toByteArray
     }
 
-    /** gzip of the same member-content formula (member index 0),
-      * compressed by the JDK's GZIPOutputStream. The COMPRESSED bytes
-      * are producer-specific and never gated; the decompressed
-      * length/byte-sum are the formula's.
+    /** gzip arbitrary bytes (JDK GZIPOutputStream) — compressed
+      * encodings are producer-specific and never gated.
       */
-    def gzipDoc(key: Long): Array[Byte] = {
+    def gzipBytes(b: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val gz = new java.util.zip.GZIPOutputStream(bos)
-      gz.write(memberBytes(key, 0))
+      gz.write(b)
       gz.close()
       bos.toByteArray
     }
 
-    /** zstd of the same member-content formula (member index 0),
-      * compressed by zstd-jni's ZstdOutputStream — the other codec of
-      * [[ArchiveCodec.decompressStats]]'s dispatch. Same asymmetry as
-      * [[gzipDoc]]: compressed bytes are producer-specific, only the
-      * decompressed features are gated.
-      */
-    def zstdDoc(key: Long): Array[Byte] = {
+    /** zstd arbitrary bytes (zstd-jni ZstdOutputStream). */
+    def zstdBytes(b: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val zs = new com.github.luben.zstd.ZstdOutputStream(bos)
-      zs.write(memberBytes(key, 0))
+      zs.write(b)
       zs.close()
       bos.toByteArray
     }
+
+    /** gzip of the member-content formula (member index 0): the
+      * decompressed length/byte-sum are the formula's.
+      */
+    def gzipDoc(key: Long): Array[Byte] = gzipBytes(memberBytes(key, 0))
+
+    /** zstd sibling of [[gzipDoc]] — the other codec of
+      * [[ArchiveCodec.decompressStats]]'s dispatch.
+      */
+    def zstdDoc(key: Long): Array[Byte] = zstdBytes(memberBytes(key, 0))
   }
 }

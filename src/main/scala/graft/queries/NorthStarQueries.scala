@@ -1278,5 +1278,60 @@ object NorthStarQueries {
              |FROM d JOIN s ON s.doc_id = d.doc_id
              |ORDER BY shard_id ASC, member_idx ASC""".stripMargin),
       "shard export roundtrip: pack 8 docs/shard into real ustar bytes, re-walk == formula oracle"),
+
+    // ------------------------------------------------------------------
+    // q212: compressed-shard ingestion (.tar.gz / .tar.zst — the wire
+    // format shard corpora actually SHIP, vs q206's bare tar): magic-
+    // dispatched REAL decompression composed with the ustar walk, all
+    // inside one map at the codec boundary — the decompressed archive
+    // bytes live only for the walk's duration and never shuffle; only
+    // member metadata leaves. One operator ingests a MIXED-compression
+    // corpus: a third gzip, a third zstd, a third raw tar. Every 7th
+    // doc is truncated: for the compressed thirds the Inflater/frame
+    // walk surfaces corruption → no rows; for the raw third the cut
+    // lands in the 1024-byte zero-terminator tail, which the walk
+    // PROVABLY never needs (an all-zero block ends it) — both facts are
+    // part of the gated output. 100 TB: map-side decompress+walk,
+    // payload-free shuffle, bomb cap bounds per-row memory.
+    GQuery(
+      "q212_tgz_shards",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val tar = Shards.SyntheticShards.tarShard(id % 101)
+              val full = (id % 3) match {
+                case 0 => Shards.SyntheticShards.gzipBytes(tar)
+                case 1 => Shards.SyntheticShards.zstdBytes(tar)
+                case _ => tar
+              }
+              val payload = if (id % 7 == 0) full.dropRight(6) else full
+              Multimodal.MediaRow(id, payload, "application/x-tar")
+            }
+          }
+        Shards.compressedTarMemberRows(media)
+          .orderBy(col("shard_id").asc, col("member_idx").asc)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, doc_id % 101 AS key, CAST(i.i AS INT) AS i
+             |  FROM documents, range(0,4) i(i)
+             |  WHERE i.i < 2 + (doc_id % 101) % 3
+             |    AND NOT (doc_id % 3 < 2 AND doc_id % 7 = 0)),
+             |d AS (
+             |  SELECT doc_id, key, i,
+             |         CAST(CASE WHEN i = 0 THEN 0 ELSE i + 1 END AS INT) AS member_idx,
+             |         'shard' || key || '/doc' || i || '.txt' AS name,
+             |         CAST(10 + (7*key + 13*i) % 90 AS BIGINT) AS size
+             |  FROM m),
+             |s AS (
+             |  SELECT d.doc_id, d.i,
+             |         CAST(SUM((11*j.j + 29*d.i + 31*d.key) % 256) AS BIGINT) AS byte_sum
+             |  FROM d, range(0,99) j(j) WHERE j.j < d.size
+             |  GROUP BY d.doc_id, d.i)
+             |SELECT d.doc_id AS shard_id, d.member_idx, d.name, d.size, s.byte_sum
+             |FROM d JOIN s ON s.doc_id = d.doc_id AND s.i = d.i
+             |ORDER BY shard_id ASC, member_idx ASC""".stripMargin),
+      "compressed-shard ingestion: decompress∘walk over a mixed gzip/zstd/raw corpus == formula oracle; zero-tail clip provably harmless"),
   )
 }

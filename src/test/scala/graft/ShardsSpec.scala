@@ -205,6 +205,35 @@ class ShardsSpec extends SparkTestBase {
     assert(row.getString(1) == "README" && row.getString(5) == "")
   }
 
+  test("compressed-shard ingestion: decompressBytes + compose with the tar walk") {
+    import spark.implicits._
+    val key = 5L
+    val tar = Shards.SyntheticShards.tarShard(key)
+    val want = ArchiveCodec.tarMembers(0L, tar).map(m => (m.name, m.size, m.byte_sum))
+    // materialized decompress: roundtrip both codecs, null contracts
+    assert(ArchiveCodec.decompressBytes(Shards.SyntheticShards.gzipBytes(tar)).toSeq == tar.toSeq)
+    assert(ArchiveCodec.decompressBytes(Shards.SyntheticShards.zstdBytes(tar)).toSeq == tar.toSeq)
+    assert(ArchiveCodec.decompressBytes("not compressed".getBytes(ascii)) == null)
+    assert(ArchiveCodec.decompressBytes(
+      Shards.SyntheticShards.gzipBytes(tar).dropRight(6)) == null)
+    assert(ArchiveCodec.decompressBytes(
+      Shards.SyntheticShards.gzipBytes(new Array[Byte](1 << 20)), maxOut = 1000L) == null)
+    // the composed operator over a mixed corpus: gz, zst, raw,
+    // truncated-gz (no rows), raw-with-clipped-zero-tail (unaffected)
+    val media = Seq(
+      Multimodal.MediaRow(1L, Shards.SyntheticShards.gzipBytes(tar), "application/gzip"),
+      Multimodal.MediaRow(2L, Shards.SyntheticShards.zstdBytes(tar), "application/zstd"),
+      Multimodal.MediaRow(3L, tar, "application/x-tar"),
+      Multimodal.MediaRow(4L, Shards.SyntheticShards.gzipBytes(tar).dropRight(6), "application/gzip"),
+      Multimodal.MediaRow(5L, tar.dropRight(6), "application/x-tar"),
+      Multimodal.MediaRow(6L, null, "application/x-tar")).toDS()
+    val rows = Shards.compressedTarMemberRows(media.repartition(2))
+      .collect().map(r => (r.getLong(0), (r.getString(2), r.getLong(3), r.getLong(4))))
+    val byShard = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byShard.keySet == Set(1L, 2L, 3L, 5L))
+    for (id <- Seq(1L, 2L, 3L, 5L)) assert(byShard(id) == want, s"shard $id")
+  }
+
   test("shard export: pack -> external-shape ustar -> walk roundtrip") {
     import spark.implicits._
     val docs = (0L until 11L).map(id =>
