@@ -295,4 +295,27 @@ class PlanShapeSpec extends SparkTestBase {
     // with m=65536,k=3 over ~1.5k keys they should be a tiny fraction
     assert(out - nPlain <= in / 100, s"false-positive volume too high: $out vs $nPlain")
   }
+
+  test("q209/q212 shard walks: payload bytes never cross an exchange; samples pre-aggregate map-side") {
+    // the shard tier's 100 TB claim: archive payloads are consumed at the
+    // mapPartitions codec boundary, so every exchange in the plan carries
+    // member/sample METADATA only — the binary `payload` column in an
+    // exchange's Input means the design regressed to moving corpus bytes.
+    // Formatted-explain detail sections give each Exchange's Input list.
+    def exchangeInputs(p: String): Seq[String] =
+      p.split("\n\\(\\d+\\) ").toSeq.filter(_.startsWith("Exchange"))
+        .map(s => s.linesIterator.find(_.trim.startsWith("Input")).getOrElse(""))
+    for (name <- Seq("q209_wds_samples", "q212_tgz_shards")) {
+      val ins = exchangeInputs(plan(name))
+      assert(ins.nonEmpty, s"$name: expected at least the final-order exchange")
+      ins.foreach(in => assert(!in.contains("payload"),
+        s"$name: payload column crosses an exchange: $in"))
+    }
+    // q209's regroup collapses samples BELOW its exchange: partial
+    // aggregation runs map-side, so one row per sample shuffles, not one
+    // per member
+    val p209 = plan("q209_wds_samples")
+    assert(p209.contains("partial_sum") || p209.contains("partial_count"),
+      "sample regroup must pre-aggregate below its exchange")
+  }
 }
