@@ -1333,5 +1333,41 @@ object NorthStarQueries {
              |FROM d JOIN s ON s.doc_id = d.doc_id AND s.i = d.i
              |ORDER BY shard_id ASC, member_idx ASC""".stripMargin),
       "compressed-shard ingestion: decompress∘walk over a mixed gzip/zstd/raw corpus == formula oracle; zero-tail clip provably harmless"),
+
+    // ------------------------------------------------------------------
+    // q213: STREAMING shard ingestion — shards land continuously in
+    // production (a crawler/exporter writes as it goes), so the member
+    // fan-out must compose with the real micro-batch engine. It does,
+    // unchanged: the mapPartitions codec boundary is a narrow op, legal
+    // in a streaming plan, so streaming ingest inherits the batch tier's
+    // no-payload-shuffle property with no state store and no watermark.
+    // GraftStreamSource emits 90 offsets in 3 checkpointed micro-batches;
+    // every batch's member rows append to the sink; the oracle recomputes
+    // the full member set from the shard formula over the identical
+    // offset stream (the q172 discipline: the streaming EXECUTION itself
+    // runs in the gate).
+    GQuery(
+      "q213_stream_shards",
+      (s, _) => Shards.streamShardGate(s),
+      Some("""WITH m AS (
+             |  SELECT r.rid AS doc_id, r.rid % 101 AS key, CAST(i.i AS INT) AS i
+             |  FROM range(0,90) r(rid), range(0,4) i(i)
+             |  WHERE i.i < 2 + (r.rid % 101) % 3),
+             |d AS (
+             |  SELECT doc_id, key, i,
+             |         CAST(CASE WHEN i = 0 THEN 0 ELSE i + 1 END AS INT) AS member_idx,
+             |         'shard' || key || '/doc' || i || '.txt' AS name,
+             |         CAST(10 + (7*key + 13*i) % 90 AS BIGINT) AS size
+             |  FROM m),
+             |s AS (
+             |  SELECT d.doc_id, d.i,
+             |         CAST(SUM((11*j.j + 29*d.i + 31*d.key) % 256) AS BIGINT) AS byte_sum
+             |  FROM d, range(0,99) j(j) WHERE j.j < d.size
+             |  GROUP BY d.doc_id, d.i)
+             |SELECT CAST(d.doc_id AS BIGINT) AS shard_id, d.member_idx, d.name,
+             |       d.size, s.byte_sum
+             |FROM d JOIN s ON s.doc_id = d.doc_id AND s.i = d.i
+             |ORDER BY shard_id ASC, member_idx ASC""".stripMargin),
+      "streaming shard ingestion via the real micro-batch engine == the batch walk's formula oracle"),
   )
 }
