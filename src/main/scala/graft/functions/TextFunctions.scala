@@ -18,6 +18,43 @@ object TextFunctions {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** The named entities [[htmlToText]] decodes (a documented subset —
+    * the ones boilerplate markup actually carries; numeric forms are out
+    * of scope for the builtin-composition tier). `&amp;` is decoded LAST
+    * so `&amp;lt;` yields the literal text `&lt;`, not `<` — the
+    * single-decode rule real parsers follow.
+    */
+  private val htmlEntities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+    "&nbsp;" -> " ", "&copy;" -> "©", "&amp;" -> "&")
+
+  /** Markup strip — the FIRST text step of a web-corpus pipeline
+    * (C4-style extraction): drop script/style blocks wholesale (their
+    * content is code, not text), replace every remaining tag with a
+    * space, decode the named entities (AFTER tag-strip, so decoded
+    * angle brackets are text, never markup), collapse whitespace,
+    * trim. Pure builtin composition (regexp_replace + literal
+    * replace): fully codegen'd, no UDF, scale shape identical to any
+    * projected expression.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val decoded = htmlEntities.foldLeft(noTags) { case (acc, (ent, ch)) =>
+      replace(acc, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Inverse of [[htmlToText]]'s entity decode for the two markup-
+    * significant characters — what a generator must apply to text
+    * before embedding it in markup (`&` first, then `<`, so escaping
+    * never double-fires).
+    */
+  def htmlEscape(text: Column): Column =
+    replace(replace(text, lit("&"), lit("&amp;")), lit("<"), lit("&lt;"))
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))

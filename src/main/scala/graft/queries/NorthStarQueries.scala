@@ -1369,5 +1369,44 @@ object NorthStarQueries {
              |FROM d JOIN s ON s.doc_id = d.doc_id AND s.i = d.i
              |ORDER BY shard_id ASC, member_idx ASC""".stripMargin),
       "streaming shard ingestion via the real micro-batch engine == the batch walk's formula oracle"),
+
+    // ------------------------------------------------------------------
+    // q214: HTML→text extraction — the FIRST text step of a web-corpus
+    // pipeline (the C4 recipe: strip markup before any quality/dedup
+    // work). htmlToText is pure builtin composition (regexp_replace +
+    // literal replace — fully codegen'd, no UDF): script/style blocks
+    // dropped wholesale, tags → spaces, named entities decoded AFTER
+    // tag-strip (decoded angle brackets are text, never markup; &amp;
+    // last = the decode-once rule), whitespace collapsed. The gate
+    // synthesizes markup around the fixture text IN THE PLAN (escape ∘
+    // embed), extracts, and the oracle recomputes the expected clean
+    // text directly from the raw text — escape∘decode cancels, so any
+    // divergence in strip order, entity table, or whitespace rule is a
+    // hash mismatch. 100 TB: a projected expression, nothing else.
+    GQuery(
+      "q214_html_extract",
+      (s, d) => {
+        import graft.functions.{TextFunctions => TF}
+        val html = concat(
+          lit("<html><head><title>Doc</title>" +
+            "<script type=\"text/javascript\">if (1 &lt; 2) { alert(\"x&amp;y\"); }</script>" +
+            "<style>p { color: red; }</style></head><body><h1>Doc</h1><p>"),
+          TF.htmlEscape(col("text")),
+          lit("</p><div>&amp; &lt;tags&gt; &quot;ok&quot; &copy; 2026</div></body></html>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TF.htmlToText(html).as("clean_text"))
+          .withColumn("n_chars", length(col("clean_text")).cast("long"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT doc_id,
+             |       trim(regexp_replace(
+             |         'Doc Doc ' || text || ' & <tags> "ok" © 2026',
+             |         '\s+', ' ', 'g')) AS clean_text,
+             |       CAST(length(trim(regexp_replace(
+             |         'Doc Doc ' || text || ' & <tags> "ok" © 2026',
+             |         '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+             |FROM documents
+             |ORDER BY doc_id ASC""".stripMargin),
+      "HTML extraction: escape∘embed∘extract == identity on the raw text plus the decoded boilerplate"),
   )
 }

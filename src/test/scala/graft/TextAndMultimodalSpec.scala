@@ -698,6 +698,29 @@ class TextAndMultimodalSpec extends SparkTestBase {
       cm.width == 8 && cm.n_frames == 4L && cm.n_tracks == 1)
   }
 
+  test("htmlToText: tag strip, script/style drop, entity decode-once, whitespace collapse") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    def ext(s: String): String =
+      Seq(s).toDF("h").select(TF.htmlToText(col("h"))).collect().head.getString(0)
+    assert(ext("<p>hello <b>world</b></p>") == "hello world")
+    assert(ext("a<script>var x = '<p>not text</p>';</script>b") == "a b")
+    assert(ext("a<style media=\"all\">p{}</style>b") == "a b")
+    // entities decode AFTER tag strip: decoded brackets are text
+    assert(ext("<div>&lt;kept&gt; &amp; &quot;q&quot; &copy;</div>") == "<kept> & \"q\" ©")
+    // decode-once: &amp;lt; is the literal text &lt;, never <
+    assert(ext("&amp;lt;") == "&lt;")
+    assert(ext("  a \t\n  b  ") == "a b")
+    // multi-line script with attributes, case-insensitive tag
+    assert(ext("x<SCRIPT type=\"a\">\nline1\nline2\n</SCRIPT>y") == "x y")
+    // escape -> embed -> extract is identity on raw text (the q214 law)
+    val raw = "tokens & more <odd> text  with   spaces"
+    val roundtrip = Seq(raw).toDF("t")
+      .select(TF.htmlToText(concat(lit("<p>"), TF.htmlEscape(col("t")), lit("</p>"))))
+      .collect().head.getString(0)
+    assert(roundtrip == "tokens & more <odd> text with spaces")
+  }
+
   test("AVI frame decode: huge declared width cannot wrap pixel arithmetic") {
     import Multimodal.{ContainerCodec, VideoOps}
     // w chosen so the OLD Int math wrapped: 3*1431655787 = 4294967361
