@@ -55,6 +55,17 @@ object TextFunctions {
   def htmlEscape(text: Column): Column =
     replace(replace(text, lit("&"), lit("&amp;")), lit("<"), lit("&lt;"))
 
+  /** The dot-suffix chain of a hostname — `a.b.c` → [a.b.c, b.c, c] —
+    * the matching domain a deny/allow list entry governs at any depth
+    * (blocking `example.org` must block `docs.example.org`). Pure
+    * builtin composition (split + transform + slice), codegen'd.
+    */
+  def domainSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + 1, size(parts) - i), "."))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))

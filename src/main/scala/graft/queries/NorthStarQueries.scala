@@ -1408,5 +1408,47 @@ object NorthStarQueries {
              |FROM documents
              |ORDER BY doc_id ASC""".stripMargin),
       "HTML extraction: escape∘embed∘extract == identity on the raw text plus the decoded boilerplate"),
+
+    // ------------------------------------------------------------------
+    // q215: deny-list domain filtering — the robots/blocklist step of a
+    // web-corpus pipeline. A deny entry governs its domain at ANY depth
+    // (blocking example.org must block docs.example.org), so each host
+    // expands to its dot-suffix chain and a doc is dropped iff any
+    // suffix hits the list. Execution shape: the deny list is
+    // artifact-sized, so the drop is ONE broadcast nested-loop LEFT
+    // ANTI join on array_contains(suffixes, entry) — pure map-side,
+    // ZERO corpus shuffle (the exploded-semi-join-then-anti alternative
+    // would shuffle doc ids twice). The gated deny list exercises all
+    // three match depths: a 2-level suffix blocking a 4-level host, an
+    // exact-host entry blocking one source only, and a never-matching
+    // entry. 100 TB: scan-speed filter.
+    GQuery(
+      "q215_domain_denylist",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.{TextFunctions => TF}
+        val host = concat(col("source"), lit("."),
+          when(col("doc_id") % 3 === 0, "example.com")
+            .when(col("doc_id") % 3 === 1, "docs.example.org")
+            .otherwise("mirror.net"))
+        val deny = Seq("example.org", "src3.mirror.net", "never.test")
+          .toDF("deny_suffix")
+        Tables.documents(s, d)
+          .select(col("doc_id"), host.as("host"),
+            TF.domainSuffixes(host).as("sufs"))
+          .join(broadcast(deny),
+            array_contains(col("sufs"), col("deny_suffix")), "left_anti")
+          .select(col("doc_id"), col("host"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT doc_id,
+             |       source || '.' || CASE CAST(doc_id % 3 AS INT)
+             |         WHEN 0 THEN 'example.com'
+             |         WHEN 1 THEN 'docs.example.org'
+             |         ELSE 'mirror.net' END AS host
+             |FROM documents
+             |WHERE NOT (doc_id % 3 = 1 OR (doc_id % 3 = 2 AND source = 'src3'))
+             |ORDER BY doc_id ASC""".stripMargin),
+      "deny-list domain filter: suffix-chain broadcast anti-join == depth-aware CASE oracle, zero corpus shuffle"),
   )
 }

@@ -721,6 +721,20 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(roundtrip == "tokens & more <odd> text with spaces")
   }
 
+  test("domainSuffixes: full dot-suffix chain, single label, deny-depth law") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    def chain(h: String): Seq[String] =
+      Seq(h).toDF("h").select(TF.domainSuffixes(col("h"))).collect()
+        .head.getSeq[String](0)
+    assert(chain("a.b.example.org") == Seq("a.b.example.org", "b.example.org", "example.org", "org"))
+    assert(chain("localhost") == Seq("localhost"))
+    // the deny-depth law: an entry governs any depth below it
+    assert(chain("docs.example.org").contains("example.org"))
+    assert(!chain("notexample.org").contains("example.org"),
+      "suffix match is label-aligned, never substring")
+  }
+
   test("AVI frame decode: huge declared width cannot wrap pixel arithmetic") {
     import Multimodal.{ContainerCodec, VideoOps}
     // w chosen so the OLD Int math wrapped: 3*1431655787 = 4294967361
