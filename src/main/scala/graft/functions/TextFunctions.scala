@@ -38,9 +38,15 @@ object TextFunctions {
     * projected expression.
     */
   def htmlToText(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    // comments first (they may contain '<', '>', even '<script');
+    // then script/style blocks wholesale; then tags with a QUOTE-AWARE
+    // body — real markup routinely carries '>' inside quoted attribute
+    // values (<img alt="a>b">), which a naive <[^>]*> cuts short,
+    // leaking attribute fragments into the extracted text
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>", " ")
     val decoded = htmlEntities.foldLeft(noTags) { case (acc, (ent, ch)) =>
       replace(acc, lit(ent), lit(ch))
     }
@@ -57,11 +63,16 @@ object TextFunctions {
 
   /** The dot-suffix chain of a hostname — `a.b.c` → [a.b.c, b.c, c] —
     * the matching domain a deny/allow list entry governs at any depth
-    * (blocking `example.org` must block `docs.example.org`). Pure
-    * builtin composition (split + transform + slice), codegen'd.
+    * (blocking `example.org` must block `docs.example.org`). DNS names
+    * are case-insensitive and a trailing dot is the same FQDN, so the
+    * host is lowercased and root-dot-stripped FIRST — otherwise
+    * `Docs.Example.ORG` or `docs.example.org.` would bypass a deny
+    * list. (Deny entries are the caller's to lowercase; they are
+    * config, not data.) Pure builtin composition, codegen'd.
     */
   def domainSuffixes(host: Column): Column = {
-    val parts = split(host, "\\.")
+    val h = regexp_replace(lower(host), "\\.$", "")
+    val parts = split(h, "\\.")
     transform(sequence(lit(0), size(parts) - 1),
       i => array_join(slice(parts, i + 1, size(parts) - i), "."))
   }

@@ -156,6 +156,16 @@ object Shards {
 
     private[multimodal] def ustarHeader(
         name: String, size: Long, typeflag: Byte): Array[Byte] = {
+      // writer-side contract (FAIL FAST with a clear message — the
+      // never-throw rule is for PARSERS of untrusted bytes; a writer
+      // silently truncating past the 100-byte name field or mangling
+      // non-ASCII to '?' would corrupt the export): the classic ustar
+      // name field is 100 bytes; the 155-byte prefix extension is out
+      // of scope and rejected, not mis-encoded.
+      require(name.forall(c => c >= 0x20 && c < 0x7f),
+        s"tar member name must be printable ASCII: '$name'")
+      require(name.getBytes(java.nio.charset.StandardCharsets.US_ASCII).length <= 100,
+        s"tar member name exceeds the 100-byte ustar field: '$name'")
       val h = new Array[Byte](512)
       val ascii = java.nio.charset.StandardCharsets.US_ASCII
       val nb = name.getBytes(ascii)
@@ -338,7 +348,12 @@ object Shards {
           e = if (ok) in.getNextEntry else null
         }
       } catch {
-        case _: java.io.IOException => () // truncated/corrupt tail: members read so far stand
+        // truncated/corrupt tail: members read so far stand. JDK
+        // ZipInputStream also throws IllegalArgumentException (not
+        // IOException) for malformed non-UTF-8 entry NAMES — same
+        // corrupt-shard contract, never a task failure.
+        case _: java.io.IOException => ()
+        case _: IllegalArgumentException => ()
       } finally if (in != null) in.close()
       out.result()
     }
@@ -380,10 +395,6 @@ object Shards {
     }.toDF()
   }
 
-  // memory-sink query names must be unique per ACTIVE query; Bench runs
-  // this gate once per round in one session, so each run takes a fresh name
-  private val shardRunN = new java.util.concurrent.atomic.AtomicInteger(0)
-
   /** Streaming shard ingestion through the REAL micro-batch engine: in
     * production, shards LAND continuously (a crawler or exporter writes
     * them as it goes) and the corpus walks them as they arrive, so the
@@ -411,14 +422,8 @@ object Shards {
       .mapPartitions(ids => ids.map(id =>
         Multimodal.MediaRow(id, SyntheticShards.tarShard(id % 101), "application/x-tar")))
     val members = tarMemberRows(media)
-    val name = s"stream_shards_${shardRunN.incrementAndGet()}"
-    val sunk = graft.streaming.EventStreams.runToMemory(members, name, "append")
-      .orderBy(col("shard_id").asc, col("member_idx").asc)
-    // detach from the memory sink so the temp view drops immediately
-    // (the q172 suite-hygiene rule)
-    val out = sunk.localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    out
+    graft.streaming.EventStreams.runToMemoryDetached(members, "stream_shards", "append")(
+      _.orderBy(col("shard_id").asc, col("member_idx").asc))
   }
 
   /** One document destined for a packed shard: `name` is the member
@@ -442,7 +447,7 @@ object Shards {
   def packTarShards(docs: Dataset[ShardDoc], docsPerShard: Int): Dataset[Multimodal.MediaRow] = {
     require(docsPerShard >= 1, s"docsPerShard must be >= 1 (got $docsPerShard)")
     import docs.sparkSession.implicits._
-    docs.groupByKey(_.doc_id / docsPerShard)
+    docs.groupByKey(d => Math.floorDiv(d.doc_id, docsPerShard)) // floor, not truncation: negative ids keep the size bound
       .mapGroups { (sid, it) =>
         val members = it.toArray.sortBy(_.doc_id)
         Multimodal.MediaRow(sid,
@@ -477,8 +482,13 @@ object Shards {
     */
   def assembleSamples(members: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val base = regexp_extract(col("name"), "^(.*)\\.[^./]+$", 1)
-    val ext = regexp_extract(col("name"), "\\.([^./]+)$", 1)
+    // WebDataset keys a sample on the basename up to the FIRST dot in
+    // the final path segment; everything after it is the part type —
+    // which may itself be dotted ("0001.seg.png" is part "seg.png" of
+    // sample "0001", not sample "0001.seg"). Directories stay in the
+    // key (distinct samples in different prefixes never merge).
+    val base = regexp_extract(col("name"), "^((?:[^/]*/)*[^./]+)\\.", 1)
+    val ext = regexp_extract(col("name"), "^(?:[^/]*/)*[^./]+\\.(.+)$", 1)
     members
       .withColumn("sample_key", when(base =!= "", base).otherwise(col("name")))
       .withColumn("ext", ext)
@@ -555,9 +565,12 @@ object Shards {
     }
 
     /** WebDataset-convention shard: 2 + key%3 SAMPLES, each a
-      * (.txt, .json, .bin) member triple sharing the basename `s<i>` —
-      * part `c` of sample `i` carries [[memberBytes]](key, 3·i + c), so
-      * every per-sample aggregate is a pure formula of the key.
+      * (.txt, .json, .bin, .seg.cls) member QUAD sharing the basename
+      * `s<i>` — part `c` of sample `i` carries [[memberBytes]](key,
+      * 4·i + c), so every per-sample aggregate is a pure formula of the
+      * key. The fourth part's MULTI-DOTTED type ("seg.cls") makes the
+      * gate exercise the first-dot sample-key rule (a last-dot grouper
+      * would split the sample).
       */
     def wdsShard(key: Long): Array[Byte] = {
       val n = 2 + (key % 3).toInt
@@ -565,9 +578,11 @@ object Shards {
       var i = 0
       while (i < n) {
         var c = 0
-        while (c < 3) {
-          val ext = c match { case 0 => "txt"; case 1 => "json"; case _ => "bin" }
-          ArchiveCodec.writeTarMember(bos, s"s$i.$ext", memberBytes(key, 3 * i + c))
+        while (c < 4) {
+          val ext = c match {
+            case 0 => "txt"; case 1 => "json"; case 2 => "bin"; case _ => "seg.cls"
+          }
+          ArchiveCodec.writeTarMember(bos, s"s$i.$ext", memberBytes(key, 4 * i + c))
           c += 1
         }
         i += 1

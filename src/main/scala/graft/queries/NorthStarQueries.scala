@@ -1159,11 +1159,11 @@ object NorthStarQueries {
       Some("""WITH m AS (
              |  SELECT doc_id, doc_id % 107 AS key,
              |         CAST(i.i AS INT) AS i, CAST(c.c AS INT) AS c
-             |  FROM documents, range(0,4) i(i), range(0,3) c(c)
+             |  FROM documents, range(0,4) i(i), range(0,4) c(c)
              |  WHERE i.i < 2 + (doc_id % 107) % 3),
              |d AS (
-             |  SELECT doc_id, key, i, c, 3*i + c AS mi,
-             |         CAST(10 + (7*key + 13*(3*i + c)) % 90 AS BIGINT) AS size
+             |  SELECT doc_id, key, i, c, 4*i + c AS mi,
+             |         CAST(10 + (7*key + 13*(4*i + c)) % 90 AS BIGINT) AS size
              |  FROM m),
              |s AS (
              |  SELECT d.doc_id, d.i, d.c,
@@ -1171,14 +1171,14 @@ object NorthStarQueries {
              |  FROM d, range(0,99) j(j) WHERE j.j < d.size
              |  GROUP BY d.doc_id, d.i, d.c)
              |SELECT d.doc_id AS shard_id, 's' || d.i AS sample_key,
-             |       CAST(3 AS BIGINT) AS n_parts,
+             |       CAST(4 AS BIGINT) AS n_parts,
              |       CAST(SUM(d.size) AS BIGINT) AS total_size,
              |       CAST(SUM(s.byte_sum) AS BIGINT) AS total_byte_sum,
-             |       'bin,json,txt' AS exts
+             |       'bin,json,seg.cls,txt' AS exts
              |FROM d JOIN s ON s.doc_id = d.doc_id AND s.i = d.i AND s.c = d.c
              |GROUP BY d.doc_id, d.i
              |ORDER BY shard_id ASC, sample_key ASC""".stripMargin),
-      "WebDataset assembly: tar walk + per-sample regroup == formula oracle (parts/bytes/fingerprint/modality signature)"),
+      "WebDataset assembly: tar walk + per-sample regroup (FIRST-dot key, multi-dotted part type) == formula oracle"),
 
     // ------------------------------------------------------------------
     // q210: real zip member walk — the other archive convention corpora

@@ -302,10 +302,6 @@ object EventStreams {
     }
   }
 
-  // per-run memory-sink name for the session gate, same convention as the
-  // dedup gate below
-  private val sessRunN = new java.util.concurrent.atomic.AtomicInteger(0)
-
   /** Timer-based sessionization through the REAL micro-batch engine,
     * driver-gated like [[streamDedupGate]]. The deterministic construction:
     * 20 users × 10 real rounds (one event per user per round; 60 s between
@@ -351,7 +347,6 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.Encoders.product[SessionRow])
-    val name = s"stream_sessions_${sessRunN.incrementAndGet()}"
     // transformWithState keeps timers in their own column family — only
     // the RocksDB provider supports that (the HDFS-backed default hard-
     // rejects it). Scoped set/restore: the conf is read at query START,
@@ -360,16 +355,12 @@ object EventStreams {
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val sunk =
-      try runToMemory(sessions.toDF(), name, "append")
-        .orderBy(col("user_id").asc, col("session_start_s").asc)
-      finally prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => spark.conf.unset(providerKey)
-      }
-    val out = sunk.localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    out
+    try runToMemoryDetached(sessions.toDF(), "stream_sessions", "append")(
+      _.orderBy(col("user_id").asc, col("session_start_s").asc))
+    finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 
   /** Run a streaming query over a bounded directory to completion using the
@@ -387,10 +378,29 @@ object EventStreams {
     df.sparkSession.table(name)
   }
 
-  // memory-sink query names must be unique per ACTIVE query; the gated
-  // dedup below runs once per Bench round in one session, so each run
-  // takes a fresh name
-  private val dedupRunN = new java.util.concurrent.atomic.AtomicInteger(0)
+  // memory-sink query names must be unique per ACTIVE query; each gated
+  // stream runs once per Bench round in one session, so each run takes
+  // a fresh name from this shared counter
+  private val gateRunN = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** [[runToMemory]] plus the suite-hygiene tail EVERY streaming gate
+    * needs (one authoritative copy — the idiom previously lived in
+    * three places): unique per-run sink name, caller's projection/
+    * ordering applied via `post`, result DETACHED from the memory sink
+    * by an eager localCheckpoint, and the temp view dropped immediately
+    * — a long bench session would otherwise accumulate one table per
+    * execution, unbounded. The checkpoint blocks are gate-output-sized
+    * and reclaimed by Bench.dropLeftoverBlocks after the query.
+    */
+  def runToMemoryDetached(df: DataFrame, namePrefix: String,
+      outputMode: String)(post: DataFrame => DataFrame): DataFrame = {
+    val name = s"${namePrefix}_${gateRunN.incrementAndGet()}"
+    val spark = df.sparkSession
+    val sunk = post(runToMemory(df, name, outputMode))
+    val out = sunk.localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
 
   /** `dropDuplicatesWithinWatermark` through the REAL micro-batch engine,
     * driver-gated (VERDICT r4 #4). The operator hard-rejects batch frames,
@@ -432,18 +442,9 @@ object EventStreams {
     val dedup = events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    val name = s"stream_dedup_${dedupRunN.incrementAndGet()}"
-    val sunk = runToMemory(dedup, name, "append")
-      .select(col("event_id"), col("id").as("first_id"),
-        (col("id") * 7).as("v")) // v = id·7 is the source's row contract
-      .orderBy(col("event_id").asc)
-    // Detach the result from the memory sink so the temp view can be
-    // dropped immediately: a long bench session would otherwise accumulate
-    // one stream_dedup_* table per execution (6 per bench invocation),
-    // unbounded. localCheckpoint materializes ~keySpace rows into blocks
-    // that Bench.dropLeftoverBlocks reclaims after the query completes.
-    val out = sunk.localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    out
+    runToMemoryDetached(dedup, "stream_dedup", "append")(
+      _.select(col("event_id"), col("id").as("first_id"),
+          (col("id") * 7).as("v")) // v = id·7 is the source's row contract
+        .orderBy(col("event_id").asc))
   }
 }

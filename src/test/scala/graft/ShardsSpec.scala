@@ -179,7 +179,7 @@ class ShardsSpec extends SparkTestBase {
     assert(bombed.map(_.name) == Seq("ok.txt"))
   }
 
-  test("wds sample assembly: members regroup by basename into per-sample rows") {
+  test("wds sample assembly: members regroup by FIRST-dot basename into per-sample rows") {
     import spark.implicits._
     val media = Seq(
       Multimodal.MediaRow(1L, Shards.SyntheticShards.wdsShard(4L), "application/x-tar"),
@@ -192,17 +192,43 @@ class ShardsSpec extends SparkTestBase {
     samples.foreach { r =>
       val key = if (r.getLong(0) == 1L) 4L else 11L
       val i = r.getString(1).stripPrefix("s").toInt
-      val parts = (0 until 3).map(c => Shards.SyntheticShards.memberBytes(key, 3 * i + c))
-      assert(r.getLong(2) == 3L, "n_parts")
+      val parts = (0 until 4).map(c => Shards.SyntheticShards.memberBytes(key, 4 * i + c))
+      assert(r.getLong(2) == 4L, "n_parts")
       assert(r.getLong(3) == parts.map(_.length.toLong).sum, "total_size")
       assert(r.getLong(4) == parts.map(_.map(_ & 0xff).map(_.toLong).sum).sum, "total_byte_sum")
-      assert(r.getString(5) == "bin,json,txt", "modality signature")
+      // the multi-dotted part type exercises the first-dot key rule:
+      // s<i>.seg.cls is part "seg.cls" of sample s<i>, never sample s<i>.seg
+      assert(r.getString(5) == "bin,json,seg.cls,txt", "modality signature")
     }
-    // a member with no extension keeps its full name as the sample key
-    val bare = Seq((5L, 0, "README", 3L, 10L))
+    // a member with no extension keeps its full name as the sample key;
+    // directory prefixes stay in the key (never merge across dirs)
+    val bare = Seq(
+      (5L, 0, "README", 3L, 10L),
+      (5L, 1, "a/0001.jpg", 4L, 20L),
+      (5L, 2, "b/0001.jpg", 5L, 30L))
       .toDF("shard_id", "member_idx", "name", "size", "byte_sum")
-    val row = Shards.assembleSamples(bare).collect().head
-    assert(row.getString(1) == "README" && row.getString(5) == "")
+    val rows = Shards.assembleSamples(bare).orderBy("sample_key").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("README", "a/0001", "b/0001"))
+    assert(rows.head.getString(5) == "")
+  }
+
+  test("shard export: writer fails fast on names the ustar field cannot carry") {
+    intercept[IllegalArgumentException] {
+      ArchiveCodec.tarArchive(Iterator(("x" * 101, Array[Byte](1))))
+    }
+    intercept[IllegalArgumentException] {
+      ArchiveCodec.tarArchive(Iterator(("naïve.txt", Array[Byte](1))))
+    }
+  }
+
+  test("zip walk: malformed non-UTF-8 entry name follows the corrupt contract, no throw") {
+    val full = Shards.SyntheticShards.zipShard(4L)
+    // corrupt the FIRST local header's name bytes (name starts at offset
+    // 30) with an invalid UTF-8 sequence: getNextEntry throws
+    // IllegalArgumentException, which must degrade to no-rows-from-here
+    val bad = full.clone()
+    bad(30) = 0xff.toByte; bad(31) = 0xfe.toByte
+    assert(ArchiveCodec.zipMembers(1L, bad).isEmpty)
   }
 
   test("compressed-shard ingestion: decompressBytes + compose with the tar walk") {

@@ -713,6 +713,10 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(ext("  a \t\n  b  ") == "a b")
     // multi-line script with attributes, case-insensitive tag
     assert(ext("x<SCRIPT type=\"a\">\nline1\nline2\n</SCRIPT>y") == "x y")
+    // '>' inside a quoted attribute value must not cut the tag short
+    assert(ext("<img alt=\"a>b\">hello") == "hello")
+    // comments drop wholesale, even when they contain markup-ish text
+    assert(ext("a<!-- x > y <script>junk</script> -->b") == "a b")
     // escape -> embed -> extract is identity on raw text (the q214 law)
     val raw = "tokens & more <odd> text  with   spaces"
     val roundtrip = Seq(raw).toDF("t")
@@ -733,6 +737,11 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(chain("docs.example.org").contains("example.org"))
     assert(!chain("notexample.org").contains("example.org"),
       "suffix match is label-aligned, never substring")
+    // DNS case-insensitivity and the FQDN trailing dot cannot bypass a
+    // deny list: the chain is normalized
+    assert(chain("Docs.Example.ORG").contains("example.org"))
+    assert(chain("docs.example.org.") ==
+      Seq("docs.example.org", "example.org", "org"))
   }
 
   test("AVI frame decode: huge declared width cannot wrap pixel arithmetic") {
