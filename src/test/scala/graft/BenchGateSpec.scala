@@ -109,4 +109,16 @@ class BenchGateSpec extends AnyFunSuite {
     // (14 queries flagged on a uniformly slower driver) cannot recur
     assert(slow.keySet == Set("qc"))
   }
+
+  test("every registered query has a baseline row in BOTH per-config files") {
+    // the slow gate only covers queries present in the baseline; a new
+    // query registered without recording its medians would silently
+    // escape regression detection (and the BASELINE.md table)
+    val registered = SparkEntry.queries.keySet
+    for (f <- Seq("bench_baseline.json", "bench_baseline_4.json")) {
+      val recorded = Bench.loadBaseline(f).keySet
+      val missing = registered -- recorded
+      assert(missing.isEmpty, s"$f missing baselines for: ${missing.toSeq.sorted}")
+    }
+  }
 }
