@@ -45,7 +45,8 @@ object QueryRegistry {
       graft.queries.IncrementalStatsQueries.all ++
       graft.queries.RecsAndInfoQueries.all ++
       graft.queries.SpanDedupQueries.all ++
-      graft.queries.LayoutQueries.all
+      graft.queries.LayoutQueries.all ++
+      graft.queries.WebCurationQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Unit coverage for the web-curation wave-3 tier (q216–q219): XML
+  * parse/corrupt degradation, the hashed-linear classifier's exact
+  * arithmetic, RRF fixed-point contributions, and the URL
+  * canonicalization rule set on hand-built adversarial URLs (the gated
+  * corpus only exercises the formula-generated shapes).
+  */
+class WebCurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(name: String) =
+    QueryRegistry.queries(name)(spark, sf)
+
+  test("q216: corrupt stripe is exactly doc_id % 13, parse_ok elsewhere") {
+    val rows = run("q216_xml_extract").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val ok = r.getBoolean(6)
+      assert(ok === (id % 13 != 0), s"doc $id parse_ok=$ok")
+      if (ok) {
+        assert(r.getLong(1) === id)   // attribute round-trip
+        assert(!r.isNullAt(4))        // body present
+      } else {
+        assert(r.isNullAt(1) && r.isNullAt(4))
+      }
+    }
+  }
+
+  test("q216: escape∘embed∘from_xml round-trips markup-hostile body text") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("body", StringType)))
+    val nasty = "a & b < c > d &amp; e \"quoted\" 'single'"
+    val df = Seq(nasty).toDF("t")
+      .select(from_xml(
+        concat(lit("<doc><body>"),
+          graft.functions.TextFunctions.htmlEscape(col("t")),
+          lit("</body></doc>")), schema).as("p"))
+      .select(col("p.body"))
+    assert(df.head().getString(0) === nasty)
+  }
+
+  test("q217: classifier score is the exact md5-derived gram-weight sum") {
+    // one hand-checked doc: grams = unigrams ++ bigrams, weight from md5
+    val text = "alpha beta"
+    def weight(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("w:" + g).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    val expected = Seq("alpha", "beta", "alpha beta").map(weight).sum
+    val got = Seq((1L, text)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        concat(graft.functions.TextFunctions.tokens(col("text")),
+          graft.functions.TextFunctions.wordShinglesAll(col("text"), 2)).as("grams"))
+      .select(size(col("grams")).cast("long").as("n"),
+        aggregate(col("grams"), lit(0L), (acc, g) =>
+          acc + ((graft.functions.TextFunctions.md5Hash60(concat(lit("w:"), g)) % 2001) - 1000))
+          .as("raw"))
+      .head()
+    assert(got.getLong(0) === 3L)
+    assert(got.getLong(1) === expected)
+  }
+
+  test("q217: single-token doc has no bigrams; gate covers all docs") {
+    val out = run("q217_quality_classifier").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length.toLong === docs)
+    out.foreach(r => assert(r.getBoolean(3) === (r.getLong(2) > 0)))
+  }
+
+  test("q218: rrf_fp equals the sum of integer contributions of the two ranks") {
+    run("q218_rrf_fusion").collect().foreach { r =>
+      val fp = r.getLong(2)
+      val lex = if (r.isNullAt(3)) 0L else 1000000000L / (60L + r.getLong(3))
+      val sem = if (r.isNullAt(4)) 0L else 1000000000L / (60L + r.getLong(4))
+      assert(fp === lex + sem)
+      assert(!r.isNullAt(3) || !r.isNullAt(4)) // appears in at least one list
+    }
+  }
+
+  test("q218: fused order is rrf_fp desc with doc-id tiebreak, top 20") {
+    val rows = run("q218_rrf_fusion").collect()
+    assert(rows.length === 20)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (fa, fb) = (a.getLong(2), b.getLong(2))
+      assert(fa > fb || (fa == fb && a.getLong(1) < b.getLong(1)))
+    case _ => ()
+    }
+  }
+
+  test("q219: canonicalization rules on hand-built adversarial URLs") {
+    // exercise each rule OUTSIDE the gate's formula-generated corpus:
+    // non-default port kept, http:80 dropped, host trailing dot, empty
+    // path → '/', fragment-only suffix, all-utm query dropped entirely,
+    // param sort, repeated '&'
+    val cases = Seq(
+      ("HTTP://WWW.Ex.COM:80/a/?z=1&a=2#f", "http://ex.com/a?a=2&z=1"),
+      ("https://ex.com:8443/p", "https://ex.com:8443/p"),
+      ("https://www.ex.com.", "https://ex.com/"),
+      ("https://EX.com?utm_source=x&utm_b=y", "https://ex.com/"),
+      ("https://ex.com/deep/path/#frag", "https://ex.com/deep/path"),
+      ("https://ex.com/p?b=2&&a=1", "https://ex.com/p?a=1&b=2"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.queries.WebCurationQueries.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
+  }
+
+  test("q219: election groups by canonical key with min-id survivor") {
+    val rows = run("q219_url_canonicalize").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total === docs) // every doc lands in exactly one group
+    rows.foreach(r => assert(r.getLong(2) >= 0))
+  }
+}
