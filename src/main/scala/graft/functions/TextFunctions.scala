@@ -61,21 +61,76 @@ object TextFunctions {
   def htmlEscape(text: Column): Column =
     replace(replace(text, lit("&"), lit("&amp;")), lit("<"), lit("&lt;"))
 
+  /** DNS hostname normalization: names are case-insensitive and a
+    * trailing dot is the same FQDN, so lowercase + root-dot strip. ONE
+    * definition shared by the denylist suffix chain (q215) and the URL
+    * canonical key (q219) — if host rules ever change (IDN etc.) the two
+    * dedup/filter paths must move together, never diverge.
+    */
+  def normalizeHost(host: Column): Column =
+    regexp_replace(lower(host), "\\.$", "")
+
   /** The dot-suffix chain of a hostname — `a.b.c` → [a.b.c, b.c, c] —
     * the matching domain a deny/allow list entry governs at any depth
-    * (blocking `example.org` must block `docs.example.org`). DNS names
-    * are case-insensitive and a trailing dot is the same FQDN, so the
-    * host is lowercased and root-dot-stripped FIRST — otherwise
-    * `Docs.Example.ORG` or `docs.example.org.` would bypass a deny
-    * list. (Deny entries are the caller's to lowercase; they are
-    * config, not data.) Pure builtin composition, codegen'd.
+    * (blocking `example.org` must block `docs.example.org`). The host is
+    * [[normalizeHost]]-ed FIRST — otherwise `Docs.Example.ORG` or
+    * `docs.example.org.` would bypass a deny list. (Deny entries are the
+    * caller's to lowercase; they are config, not data.) Pure builtin
+    * composition, codegen'd.
     */
   def domainSuffixes(host: Column): Column = {
-    val h = regexp_replace(lower(host), "\\.$", "")
+    val h = normalizeHost(host)
     val parts = split(h, "\\.")
     transform(sequence(lit(0), size(parts) - 1),
       i => array_join(slice(parts, i + 1, size(parts) - i), "."))
   }
+
+  /** Crawl URL canonicalization as pure builtin composition (codegen'd,
+    * no UDF, no parse_url dependence — the rules must be ours to pin, not
+    * a library's): lowercase scheme+host, strip `www.` and a root
+    * trailing dot ([[normalizeHost]]), drop scheme-default ports
+    * (https:443 / http:80), strip one trailing path slash (empty path →
+    * "/"), drop `utm_*` and empty query params, sort the survivors, drop
+    * the fragment. The query-string extraction is anchored BEFORE the
+    * first '#' — a '?' inside a fragment is fragment text, never a query
+    * (…/p#a?b=1 canonicalizes to …/p, not …/p?b=1). The q219 gate proves
+    * the composition against construction-time ground truth; adversarial
+    * shapes (non-default port, all-utm query, repeated `&`, '?' in
+    * fragment) are spec-pinned in WebCurationSpec.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(url, "^[^:]+://([^/?#]+)", 1)
+    val host = regexp_replace(
+      normalizeHost(regexp_extract(hostport, "^([^:]+)", 1)), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "https" && port === "443") &&
+      !(scheme === "http" && port === "80")
+    val path0 = regexp_extract(url, "^[^:]+://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "" || path0 === "/", lit("/"))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val qs = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    val params = filter(split(qs, "&"),
+      p => p =!= "" && substring(p, 1, 4) =!= "utm_")
+    val qcanon = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(qcanon === "", lit("")).otherwise(concat(lit("?"), qcanon)))
+  }
+
+  /** Escape for embedding text as XML character data: `&`, `<` (the two
+    * HTML-significant ones, via [[htmlEscape]]) AND `>` — XML forbids the
+    * literal sequence `]]>` in character data, so a body containing it
+    * would otherwise make the record ill-formed and silently break the
+    * escape∘embed∘parse identity q216 pins. The parser decodes `&gt;`
+    * back to `>`, so the identity holds for any text free of literal
+    * control characters (which XML 1.0 cannot carry at all — the honest
+    * boundary of text-in-XML, documented here rather than papered over).
+    */
+  def xmlEscape(text: Column): Column =
+    replace(htmlEscape(text), lit(">"), lit("&gt;"))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -26,38 +26,6 @@ import graft.sources.Tables
   */
 object WebCurationQueries {
 
-  /** Crawl URL canonicalization as pure builtin composition (codegen'd, no
-    * UDF, no parse_url dependence — the rules must be ours to pin, not a
-    * library's): lowercase scheme+host, strip `www.` and a root trailing
-    * dot, drop scheme-default ports (https:443 / http:80), strip one
-    * trailing path slash (empty path → "/"), drop `utm_*` and empty query
-    * params, sort the survivors, drop the fragment. The q219 gate proves
-    * the composition against construction-time ground truth; the
-    * adversarial shapes (non-default port, all-utm query, repeated `&`)
-    * are spec-pinned.
-    */
-  def canonicalizeUrl(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = regexp_extract(url, "^[^:]+://([^/?#]+)", 1)
-    val host = regexp_replace(regexp_replace(
-      lower(regexp_extract(hostport, "^([^:]+)", 1)), "\\.$", ""), "^www\\.", "")
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
-    val keepPort = port =!= "" &&
-      !(scheme === "https" && port === "443") &&
-      !(scheme === "http" && port === "80")
-    val path0 = regexp_extract(url, "^[^:]+://[^/?#]+([^?#]*)", 1)
-    val path = when(path0 === "" || path0 === "/", lit("/"))
-      .otherwise(regexp_replace(path0, "/$", ""))
-    val qs = regexp_extract(url, "\\?([^#]*)", 1)
-    val params = filter(split(qs, "&"),
-      p => p =!= "" && substring(p, 1, 4) =!= "utm_")
-    val qcanon = array_join(array_sort(params), "&")
-    concat(scheme, lit("://"), host,
-      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
-      path,
-      when(qcanon === "", lit("")).otherwise(concat(lit("?"), qcanon)))
-  }
-
   val all: Seq[GQuery] = Seq(
     // ------------------------------------------------------------------
     // q216: XML extraction — web corpora carry sitemaps/feeds/metadata as
@@ -85,7 +53,7 @@ object WebCurationQueries {
           lit("<doc id=\""), col("doc_id").cast("string"),
           lit("\" lang=\""), col("lang"),
           lit("\" source=\""), col("source"),
-          lit("\"><body>"), TF.htmlEscape(col("text")),
+          lit("\"><body>"), TF.xmlEscape(col("text")),
           lit("</body><n>"), col("n_chars").cast("string"),
           lit("</n></doc>"))
         // corrupt stripe: the record is cut mid-way through </body> — a
@@ -259,7 +227,7 @@ object WebCurationQueries {
           when(col("doc_id") % 7 === 0, lit("#section-3")).otherwise(lit("")))
         Tables.documents(s, d)
           .select(col("doc_id"), messy.as("url"))
-          .select(col("doc_id"), canonicalizeUrl(col("url")).as("canonical_url"))
+          .select(col("doc_id"), TF.canonicalizeUrl(col("url")).as("canonical_url"))
           .groupBy(col("canonical_url"))
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
           .orderBy(col("canonical_url").asc)

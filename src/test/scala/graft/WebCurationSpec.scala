@@ -34,11 +34,14 @@ class WebCurationSpec extends SparkTestBase {
   test("q216: escape∘embed∘from_xml round-trips markup-hostile body text") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("body", StringType)))
-    val nasty = "a & b < c > d &amp; e \"quoted\" 'single'"
+    // "]]>" is the sequence XML forbids in raw character data — xmlEscape
+    // must encode '>' so the record stays well-formed (a plain HTML-style
+    // &-and-< escape would silently null the row in PERMISSIVE mode)
+    val nasty = "a & b < c > d &amp; e \"quoted\" 'single' cdata ]]> tail"
     val df = Seq(nasty).toDF("t")
       .select(from_xml(
         concat(lit("<doc><body>"),
-          graft.functions.TextFunctions.htmlEscape(col("t")),
+          graft.functions.TextFunctions.xmlEscape(col("t")),
           lit("</body></doc>")), schema).as("p"))
       .select(col("p.body"))
     assert(df.head().getString(0) === nasty)
@@ -68,6 +71,15 @@ class WebCurationSpec extends SparkTestBase {
   }
 
   test("q217: single-token doc has no bigrams; gate covers all docs") {
+    // the size(ws) >= 2 guard: a one-token doc contributes exactly its
+    // unigram, never a null or degenerate "bigram"
+    val one = Seq("alpha").toDF("text")
+      .select(concat(graft.functions.TextFunctions.tokens(col("text")),
+        graft.functions.TextFunctions.wordShinglesAll(col("text"), 2)).as("grams"))
+      .select(size(col("grams")).as("n"), col("grams"))
+      .head()
+    assert(one.getInt(0) === 1)
+    assert(one.getSeq[String](1) === Seq("alpha"))
     val out = run("q217_quality_classifier").collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(out.length.toLong === docs)
@@ -98,16 +110,18 @@ class WebCurationSpec extends SparkTestBase {
     // exercise each rule OUTSIDE the gate's formula-generated corpus:
     // non-default port kept, http:80 dropped, host trailing dot, empty
     // path → '/', fragment-only suffix, all-utm query dropped entirely,
-    // param sort, repeated '&'
+    // param sort, repeated '&', and a '?' INSIDE the fragment (fragment
+    // text, never a query — the unanchored-regex hazard)
     val cases = Seq(
       ("HTTP://WWW.Ex.COM:80/a/?z=1&a=2#f", "http://ex.com/a?a=2&z=1"),
       ("https://ex.com:8443/p", "https://ex.com:8443/p"),
       ("https://www.ex.com.", "https://ex.com/"),
       ("https://EX.com?utm_source=x&utm_b=y", "https://ex.com/"),
       ("https://ex.com/deep/path/#frag", "https://ex.com/deep/path"),
-      ("https://ex.com/p?b=2&&a=1", "https://ex.com/p?a=1&b=2"))
+      ("https://ex.com/p?b=2&&a=1", "https://ex.com/p?a=1&b=2"),
+      ("https://ex.com/p#a?b=1", "https://ex.com/p"))
     val got = cases.map(_._1).toDF("url")
-      .select(graft.queries.WebCurationQueries.canonicalizeUrl(col("url")).as("c"))
+      .select(graft.functions.TextFunctions.canonicalizeUrl(col("url")).as("c"))
       .collect().map(_.getString(0))
     got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
   }
@@ -116,8 +130,25 @@ class WebCurationSpec extends SparkTestBase {
     val rows = run("q219_url_canonicalize").collect()
     assert(rows.nonEmpty)
     val total = rows.map(_.getLong(1)).sum
-    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
-    assert(total === docs) // every doc lands in exactly one group
-    rows.foreach(r => assert(r.getLong(2) >= 0))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+    assert(total === docs.length.toLong) // every doc in exactly one group
+    // independent election ground truth: the canonical key is a pure
+    // function of (source, doc_id % 50) by the gate's construction, so
+    // the expected survivor/count per group is computable WITHOUT running
+    // canonicalizeUrl — a max-id (or any non-min) election would fail here
+    val expected = docs.map(r => (r.getString(1), r.getLong(0) % 50) -> r.getLong(0))
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> (vs.length.toLong, vs.map(_._2).min)
+      }
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val url = r.getString(0)
+      val src = url.stripPrefix("https://").takeWhile(_ != '.')
+      val k = url.substring(url.indexOf("/Articles/") + 10).takeWhile(_ != '?').toLong
+      val (n, minId) = expected((src, k))
+      assert(r.getLong(1) === n, s"group $url count")
+      assert(r.getLong(2) === minId, s"group $url survivor")
+    }
   }
 }
