@@ -46,7 +46,8 @@ object QueryRegistry {
       graft.queries.RecsAndInfoQueries.all ++
       graft.queries.SpanDedupQueries.all ++
       graft.queries.LayoutQueries.all ++
-      graft.queries.WebCurationQueries.all
+      graft.queries.WebCurationQueries.all ++
+      graft.queries.SemanticCurationQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

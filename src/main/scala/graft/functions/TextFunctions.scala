@@ -132,6 +132,38 @@ object TextFunctions {
   def xmlEscape(text: Column): Column =
     replace(htmlEscape(text), lit(">"), lit("&gt;"))
 
+  /** Content-defined chunking (the CDC/FastCDC shape, q223): a chunk
+    * boundary falls after position i iff the 8-char window ending at i
+    * hashes to 0 (mod 64) — boundaries are a pure function of LOCAL
+    * content, so an edit re-cuts only the chunks it touches, while
+    * fixed-width chunking would shift every chunk after the edit (the
+    * property CdC storage dedup and corpus near-dup both rely on;
+    * spec-pinned in SemanticCurationSpec). Expected chunk ≈ 64 chars.
+    * Pure higher-order builtins — map-side, and exactly replayable in
+    * any engine with md5 + substr. Empty text → empty array.
+    */
+  def cdcChunks(text: Column): Column = {
+    val len = length(text)
+    val hits = when(len >= 8,
+      filter(sequence(lit(8), len), i =>
+        md5Hash60(substr(text, i - 7, lit(8))) % 64 === 0))
+      .otherwise(array().cast("array<int>"))
+    // 0 and len bracket the hit positions; array_distinct drops the
+    // duplicate when a hit lands exactly at len (order is preserved —
+    // inputs are sorted, distinct keeps first occurrences)
+    val bounds = array_distinct(concat(
+      when(len > 0, array(lit(0))).otherwise(array().cast("array<int>")),
+      hits,
+      when(len > 0, array(len)).otherwise(array().cast("array<int>"))))
+    val mk = (b: Column) => when(size(b) >= 2,
+      transform(sequence(lit(0), size(b) - 2), j =>
+        substr(text,
+          element_at(b, j + 1) + 1,
+          element_at(b, j + 2) - element_at(b, j + 1))))
+      .otherwise(array().cast("array<string>"))
+    mk(bounds)
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
