@@ -47,7 +47,8 @@ object QueryRegistry {
       graft.queries.SpanDedupQueries.all ++
       graft.queries.LayoutQueries.all ++
       graft.queries.WebCurationQueries.all ++
-      graft.queries.SemanticCurationQueries.all
+      graft.queries.SemanticCurationQueries.all ++
+      graft.queries.GovernanceQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

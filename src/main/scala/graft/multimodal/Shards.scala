@@ -240,6 +240,26 @@ object Shards {
       else streamStats(() => new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(p)), maxOut)
 
+    /** REAL deflate COMPRESSION length (RFC 1951 via the JDK Deflater,
+      * fixed level/strategy, no preset dictionary) — the compression-
+      * ratio quality signal (CCNet/Gopher: highly repetitive text
+      * compresses suspiciously well; binary-ish noise doesn't compress).
+      * The exact byte count is zlib-implementation-dependent, so gates
+      * built on this must output INVARIANT verdicts (ratio bounds,
+      * comparative laws), never raw lengths — the q72–q74 discipline.
+      */
+    def deflateLen(p: Array[Byte], level: Int = 6): Long = {
+      val d = new java.util.zip.Deflater(level, true)
+      try {
+        d.setInput(p)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total
+      } finally d.end()
+    }
+
     /** Zstandard magic (RFC 8878 §3.1.1): 0xFD2FB528 little-endian. */
     def isZstd(p: Array[Byte]): Boolean =
       p.length >= 8 && (p(0) & 0xff) == 0x28 && (p(1) & 0xff) == 0xb5 &&
@@ -514,6 +534,26 @@ object Shards {
         (r.media_id, len, sum)
       }
     }.toDF("media_id", "out_len", "byte_sum")
+  }
+
+  /** Per-partition compression-ratio features for the q227 quality gate:
+    * (doc_id, raw_len, def_len, def2_len) where def_len = deflate(text)
+    * and def2_len = deflate(text ++ text) — the doubled form isolates the
+    * REPETITION signal (the second copy should be one long back-reference,
+    * so def2 ≈ def_len + ε, nowhere near 2×, for any text shorter than
+    * the 32 KiB deflate window). Codec boundary shape: compression runs
+    * map-side inside one task; only the three lengths leave the boundary.
+    */
+  def compressRatioRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (id, b.length.toLong, ArchiveCodec.deflateLen(b),
+            ArchiveCodec.deflateLen(b ++ b))
+        }
+      }.toDF("doc_id", "raw_len", "def_len", "def2_len")
   }
 
   /** Per-partition magic-dispatched decompress-and-fingerprint over a

@@ -425,6 +425,47 @@ object EventStreams {
     * streams hold state only for the delay window, the property that makes
     * this the 100 TB streaming-ingest dedup primitive.
     */
+  /** Streaming URL-canonicalization dedup (q228): the crawl-frontier
+    * composition — messy URLs arrive continuously, the canonical key
+    * ([[graft.functions.TextFunctions.canonicalizeUrl]], a pure projected
+    * expression, streaming-legal by construction) is computed in-flight,
+    * and `dropDuplicatesWithinWatermark` keeps the FIRST arrival per
+    * canonical key. The three batches present the SAME canonical key in
+    * three DIFFERENT messy spellings (case-mangled host + www., explicit
+    * :443 + a utm param, trailing root-dot + trailing slash + fragment) —
+    * the dedup must fold them despite no two raw strings matching.
+    * Determinism: rowsPerBatch == keySpace, so batch 0 carries each key
+    * exactly once and every survivor is id == k; batches commit in offset
+    * order. Scale: state is one entry per canonical key, watermark-expired.
+    */
+  def streamCanonicalGate(
+      spark: SparkSession,
+      totalRows: Long = 300,
+      keySpace: Long = 100): DataFrame = {
+    val raw = spark.readStream.format("graft.sources.GraftStreamSource")
+      .option("maxRows", totalRows.toString)
+      .option("rowsPerBatch", keySpace.toString)
+      .load()
+    val k = (col("id") % keySpace).cast("string")
+    val messy = when(col("id") < keySpace,
+        concat(lit("https://www.Host"), k, lit(".Example.com/p/"), k, lit("?a=1")))
+      .when(col("id") < 2 * keySpace,
+        concat(lit("HTTPS://HOST"), k, lit(".EXAMPLE.COM:443/p/"), k,
+          lit("?utm_src=x&a=1")))
+      .otherwise(
+        concat(lit("https://host"), k, lit(".example.com./p/"), k, lit("/?a=1#f")))
+    val urls = raw.select(
+      col("id"),
+      graft.functions.TextFunctions.canonicalizeUrl(messy).as("canonical_url"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("ts"))
+    val dedup = urls
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("canonical_url")
+    runToMemoryDetached(dedup, "stream_canonical", "append")(
+      _.select(col("canonical_url"), col("id").as("first_id"))
+        .orderBy(col("first_id").asc))
+  }
+
   def streamDedupGate(
       spark: SparkSession,
       totalRows: Long = 300,
