@@ -87,30 +87,47 @@ object TextFunctions {
 
   /** Crawl URL canonicalization as pure builtin composition (codegen'd,
     * no UDF, no parse_url dependence — the rules must be ours to pin, not
-    * a library's): lowercase scheme+host, strip `www.` and a root
-    * trailing dot ([[normalizeHost]]), drop scheme-default ports
-    * (https:443 / http:80), strip one trailing path slash (empty path →
-    * "/"), drop `utm_*` and empty query params, sort the survivors, drop
-    * the fragment. The query-string extraction is anchored BEFORE the
-    * first '#' — a '?' inside a fragment is fragment text, never a query
-    * (…/p#a?b=1 canonicalizes to …/p, not …/p?b=1). The q219 gate proves
-    * the composition against construction-time ground truth; adversarial
-    * shapes (non-default port, all-utm query, repeated `&`, '?' in
-    * fragment) are spec-pinned in WebCurationSpec.
+    * a library's): strip userinfo (RFC 3986 §3.2.1 — `user@ex.com` and
+    * `ex.com` are the same page, and credentials must never become dedup
+    * keys), lowercase scheme+host, strip `www.` and a root trailing dot
+    * ([[normalizeHost]]), drop scheme-default ports (https:443 /
+    * http:80), strip one trailing path slash (empty path → "/"), drop
+    * `utm_*` and empty query params, sort the survivors, drop the
+    * fragment. The query-string extraction is anchored at the FIRST '?'
+    * and BEFORE the first '#' — a literal '?' inside the query is query
+    * text (…/p?a=1?b=2 keeps `a=1?b=2`, legal per RFC 3986), and a '?'
+    * inside a fragment is fragment text, never a query (…/p#a?b=1
+    * canonicalizes to …/p). Bracketed IPv6 hosts keep their brackets as
+    * the host token (`[::1]` — lowercase/port rules still apply; IPv6
+    * textual normalization like `0:0:0:0:0:0:0:1`→`::1` is out of scope
+    * and documented here, not silently half-applied). The q219 gate
+    * proves the composition against construction-time ground truth;
+    * adversarial shapes (non-default port, all-utm query, repeated `&`,
+    * '?' in fragment AND in query, userinfo, IPv6) are spec-pinned in
+    * WebCurationSpec.
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = regexp_extract(url, "^[^:]+://([^/?#]+)", 1)
-    val host = regexp_replace(
-      normalizeHost(regexp_extract(hostport, "^([^:]+)", 1)), "^www\\.", "")
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    // strip an optional userinfo prefix BEFORE the host/port split — a
+    // '@' inside the authority can only introduce userinfo (RFC 3986)
+    val hostport = regexp_replace(
+      regexp_extract(url, "^[^:]+://([^/?#]+)", 1), "^[^@]*@", "")
+    // a bracketed IPv6 literal is one host token (its colons are not a
+    // port separator); otherwise host = everything before the first ':'
+    val rawHost = when(hostport.startsWith("["),
+      regexp_extract(hostport, "^(\\[[^\\]]*\\])", 1))
+      .otherwise(regexp_extract(hostport, "^([^:]+)", 1))
+    val host = regexp_replace(normalizeHost(rawHost), "^www\\.", "")
+    val port = regexp_extract(hostport, "\\]?:([0-9]+)$", 1)
     val keepPort = port =!= "" &&
       !(scheme === "https" && port === "443") &&
       !(scheme === "http" && port === "80")
     val path0 = regexp_extract(url, "^[^:]+://[^/?#]+([^?#]*)", 1)
     val path = when(path0 === "" || path0 === "/", lit("/"))
       .otherwise(regexp_replace(path0, "/$", ""))
-    val qs = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    // anchored at the FIRST '?' ([^?#]* cannot cross it) and never past
+    // a '#' — a later '?' stays query TEXT, a '?' after '#' is fragment
+    val qs = regexp_extract(url, "^[^?#]*\\?([^#]*)", 1)
     val params = filter(split(qs, "&"),
       p => p =!= "" && substring(p, 1, 4) =!= "utm_")
     val qcanon = array_join(array_sort(params), "&")
@@ -134,19 +151,41 @@ object TextFunctions {
 
   /** Content-defined chunking (the CDC/FastCDC shape, q223): a chunk
     * boundary falls after position i iff the 8-char window ending at i
-    * hashes to 0 (mod 64) — boundaries are a pure function of LOCAL
+    * hashes to 0 (mod 61) — boundaries are a pure function of LOCAL
     * content, so an edit re-cuts only the chunks it touches, while
     * fixed-width chunking would shift every chunk after the edit (the
-    * property CdC storage dedup and corpus near-dup both rely on;
-    * spec-pinned in SemanticCurationSpec). Expected chunk ≈ 64 chars.
-    * Pure higher-order builtins — map-side, and exactly replayable in
-    * any engine with md5 + substr. Empty text → empty array.
+    * property CDC storage dedup and corpus near-dup both rely on;
+    * spec-pinned in SemanticCurationSpec). Expected chunk ≈ 61 chars.
+    *
+    * The window hash is a POLYNOMIAL over the code points — Horner with
+    * base 131 over the 8 window chars, exact in BIGINT (max value
+    * ≈ 2^57) — the FastCDC/gear discipline: O(1) integer work per
+    * position instead of a full digest (the per-position md5 this
+    * replaced made q223 the slowest query in the suite, ~100× the
+    * arithmetic cost, for zero extra dedup power — any well-mixing
+    * content hash defines equally valid boundaries). The codepoint array
+    * is computed ONCE per document and bound through a single-element
+    * `transform` lambda, so the per-position work is 8 O(1) array
+    * indexes — never a re-split. Exactly replayable in any engine with
+    * ascii + integer arithmetic. Empty text → empty array.
     */
+  val CdcBase = 131L
+  val CdcMod = 61L
+
   def cdcChunks(text: Column): Column = {
     val len = length(text)
-    val hits = when(len >= 8,
+    // bind the per-doc codepoint array once: transform over a 1-element
+    // array makes `cs` a lambda variable (evaluated a single time), so
+    // the 8 element_at calls per position index an ArrayData in O(1)
+    // instead of re-evaluating the split
+    val codes = transform(split(text, ""), c => ascii(c).cast("long"))
+    val hitsOf = (cs: Column) =>
       filter(sequence(lit(8), len), i =>
-        md5Hash60(substr(text, i - 7, lit(8))) % 64 === 0))
+        (0 until 8).foldLeft(lit(0L)) { (acc, j) =>
+          acc * CdcBase + element_at(cs, i - 7 + j)
+        } % CdcMod === 0)
+    val hits = when(len >= 8,
+      element_at(transform(array(codes), hitsOf), 1))
       .otherwise(array().cast("array<int>"))
     // 0 and len bracket the hit positions; array_distinct drops the
     // duplicate when a hit lands exactly at len (order is preserved —

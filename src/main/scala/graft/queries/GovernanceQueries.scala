@@ -21,12 +21,13 @@ object GovernanceQueries {
     // whose quasi-identifier combination (here lang × source × a coarse
     // length bucket) identifies fewer than k=5 individuals are SUPPRESSED
     // (Sweeney's k-anonymity, the standard release gate). Shape: one
-    // groupBy on the QI tuple for class sizes, broadcast-join the class
-    // table back (QI classes are few), suppress small classes. Output is
-    // the per-class verdict plus the released/suppressed row accounting —
-    // the audit artifact a governance pipeline logs. 100 TB: class table
-    // is artifact-sized (|QI| ≪ corpus), corpus passes map-side except
-    // the one class-size groupBy.
+    // groupBy on the QI tuple for class sizes + the per-class release
+    // verdict — the audit artifact a governance pipeline logs. The
+    // row-level application is a broadcast join of this artifact back to
+    // the corpus (class_size already IS the released/suppressed row
+    // count per class, so the gate stops at the artifact). 100 TB: class
+    // table is artifact-sized (|QI| ≪ corpus), corpus passes map-side
+    // except the one class-size groupBy.
     GQuery(
       "q224_k_anonymity",
       (s, d) => {

@@ -224,8 +224,11 @@ object SemanticCurationQueries {
     // content window hashes to a magic value, so an insertion shifts at
     // most the chunks it touches (fixed-width chunking — q179 — would
     // re-cut everything after the edit). Boundary rule: after position i
-    // iff md5₆₀(text[i-7..i]) ≡ 0 (mod 64) — an 8-char window, expected
-    // chunk ~64 chars, exactly replayable cross-engine. The chunk
+    // iff the base-131 polynomial of the 8-char window ending at i ≡ 0
+    // (mod 61) — O(1) integer work per position (the FastCDC gear-hash
+    // discipline; the per-position md5 this replaced was ~100× the
+    // arithmetic for identical dedup power), expected chunk ~61 chars,
+    // exactly replayable cross-engine via ascii + BIGINT Horner. The chunk
     // transform is pure higher-order builtins (map-side); dedup is the
     // one hash groupBy on chunk content. Output per doc: chunk count,
     // how many of its chunks are corpus-duplicated, and an order-exact
@@ -253,8 +256,14 @@ object SemanticCurationQueries {
       Some("""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
              |hit AS (
              |  SELECT doc_id, i FROM d, unnest(range(8, len + 1)) t(i)
-             |  WHERE CAST(('0x'||substr(md5(substr(text, CAST(i - 7 AS INT), 8)),1,15)) AS BIGINT)
-             |        % 64 = 0),
+             |  WHERE (((((((CAST(ascii(substr(text, CAST(i - 7 AS INT), 1)) AS BIGINT)
+             |        * 131 + ascii(substr(text, CAST(i - 6 AS INT), 1)))
+             |        * 131 + ascii(substr(text, CAST(i - 5 AS INT), 1)))
+             |        * 131 + ascii(substr(text, CAST(i - 4 AS INT), 1)))
+             |        * 131 + ascii(substr(text, CAST(i - 3 AS INT), 1)))
+             |        * 131 + ascii(substr(text, CAST(i - 2 AS INT), 1)))
+             |        * 131 + ascii(substr(text, CAST(i - 1 AS INT), 1)))
+             |        * 131 + ascii(substr(text, CAST(i AS INT), 1))) % 61 = 0),
              |b AS (
              |  SELECT doc_id, 0 AS pos FROM d WHERE len > 0
              |  UNION SELECT doc_id, CAST(i AS INT) FROM hit

@@ -425,7 +425,30 @@ object EventStreams {
     * streams hold state only for the delay window, the property that makes
     * this the 100 TB streaming-ingest dedup primitive.
     */
-  /** Streaming URL-canonicalization dedup (q228): the crawl-frontier
+  def streamDedupGate(
+      spark: SparkSession,
+      totalRows: Long = 300,
+      keySpace: Long = 100): DataFrame = {
+    val raw = spark.readStream.format("graft.sources.GraftStreamSource")
+      .option("maxRows", totalRows.toString)
+      .option("rowsPerBatch", keySpace.toString)
+      .load()
+    val events = raw.select(
+      col("id"),
+      (col("id") % keySpace).as("event_id"),
+      // event times all inside one watermark window: every duplicate is
+      // within-watermark, so exactly one row per key must survive
+      timestamp_seconds(lit(1700000000L) + col("id")).as("ts"))
+    val dedup = events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    runToMemoryDetached(dedup, "stream_dedup", "append")(
+      _.select(col("event_id"), col("id").as("first_id"),
+          (col("id") * 7).as("v")) // v = id·7 is the source's row contract
+        .orderBy(col("event_id").asc))
+  }
+
+  /** Streaming URL-canonicalization dedup (q230): the crawl-frontier
     * composition — messy URLs arrive continuously, the canonical key
     * ([[graft.functions.TextFunctions.canonicalizeUrl]], a pure projected
     * expression, streaming-legal by construction) is computed in-flight,
@@ -464,28 +487,5 @@ object EventStreams {
     runToMemoryDetached(dedup, "stream_canonical", "append")(
       _.select(col("canonical_url"), col("id").as("first_id"))
         .orderBy(col("first_id").asc))
-  }
-
-  def streamDedupGate(
-      spark: SparkSession,
-      totalRows: Long = 300,
-      keySpace: Long = 100): DataFrame = {
-    val raw = spark.readStream.format("graft.sources.GraftStreamSource")
-      .option("maxRows", totalRows.toString)
-      .option("rowsPerBatch", keySpace.toString)
-      .load()
-    val events = raw.select(
-      col("id"),
-      (col("id") % keySpace).as("event_id"),
-      // event times all inside one watermark window: every duplicate is
-      // within-watermark, so exactly one row per key must survive
-      timestamp_seconds(lit(1700000000L) + col("id")).as("ts"))
-    val dedup = events
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
-    runToMemoryDetached(dedup, "stream_dedup", "append")(
-      _.select(col("event_id"), col("id").as("first_id"),
-          (col("id") * 7).as("v")) // v = id·7 is the source's row contract
-        .orderBy(col("event_id").asc))
   }
 }

@@ -97,14 +97,14 @@ class SemanticCurationSpec extends SparkTestBase {
       val cs = r.getSeq[String](1)
       assert(cs.mkString("") === text)
       if (text.isEmpty) assert(cs.isEmpty)
-      // every interior boundary satisfies the window rule
+      // every interior boundary satisfies the window rule: base-131
+      // Horner over the 8 codepoints ending at the boundary ≡ 0 (mod 61)
       var off = 0
       cs.dropRight(1).foreach { c =>
         off += c.length
         val win = text.substring(off - 8, off)
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(win.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
-        assert(java.lang.Long.parseLong(hex, 16) % 64 === 0, s"boundary at $off")
+        val h = win.foldLeft(0L)((acc, ch) => acc * 131L + ch.toLong)
+        assert(h % 61 === 0, s"boundary at $off")
       }
     }
   }

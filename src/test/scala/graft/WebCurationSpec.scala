@@ -119,7 +119,19 @@ class WebCurationSpec extends SparkTestBase {
       ("https://EX.com?utm_source=x&utm_b=y", "https://ex.com/"),
       ("https://ex.com/deep/path/#frag", "https://ex.com/deep/path"),
       ("https://ex.com/p?b=2&&a=1", "https://ex.com/p?a=1&b=2"),
-      ("https://ex.com/p#a?b=1", "https://ex.com/p"))
+      ("https://ex.com/p#a?b=1", "https://ex.com/p"),
+      // a literal '?' INSIDE the query is query text (RFC 3986): the
+      // extraction must anchor at the FIRST '?', not the last — the
+      // greedy-regex hazard silently dropped 'a=1?' here
+      ("https://ex.com/p?a=1?b=2", "https://ex.com/p?a=1?b=2"),
+      // userinfo never becomes part of the dedup key (same page with
+      // and without credentials must collide)
+      ("https://user:pw@ex.com/p", "https://ex.com/p"),
+      ("https://USER@WWW.Ex.com/p", "https://ex.com/p"),
+      // bracketed IPv6: the host token keeps its brackets, the colons
+      // inside are not a port separator, default-port drop still applies
+      ("https://[2001:DB8::1]:443/p", "https://[2001:db8::1]/p"),
+      ("http://[::1]:8080/x", "http://[::1]:8080/x"))
     val got = cases.map(_._1).toDF("url")
       .select(graft.functions.TextFunctions.canonicalizeUrl(col("url")).as("c"))
       .collect().map(_.getString(0))
