@@ -204,6 +204,73 @@ object Similarity {
           .as("qvec"))
   }
 
+  /** Formula-derived centroid table: `count` rows of 64-dim vectors whose
+    * components are md5-derived integers in [-1000, 1000] divided by 1024
+    * — dyadic, so exactly representable in FLOAT and DOUBLE, replayable
+    * in any engine with md5 (the q220 discipline). `salt` keeps
+    * independent centroid draws (fine vs coarse) uncorrelated.
+    */
+  def formulaCentroids(spark: org.apache.spark.sql.SparkSession,
+      salt: String, idName: String, count: Int, vecName: String): DataFrame =
+    spark.range(count.toLong).toDF(idName)
+      .select(col(idName).cast("int").as(idName),
+        transform(sequence(lit(0), lit(63)), dd =>
+          ((TextFunctions.md5Hash60(concat(lit(salt), col(idName).cast("string"),
+            lit(":"), dd.cast("string"))) % 2001) - 1000).cast("double") / 1024.0)
+          .cast("array<float>").as(vecName))
+
+  /** Hierarchical two-level quantizer assignment (the SemDeDup/IVF coarse
+    * step at the scale where K itself is corpus-proportional): K fine
+    * formula-centroids partitioned under K₁ = ⌈√K⌉ coarse ones. A flat
+    * n×K broadcast argmax is n²/256 cosine evaluations under an O(n)
+    * broadcast when K = ⌈n/256⌉; this costs n·√K twice — (1) each fine
+    * centroid argmaxes over the broadcast coarse table (K·√K), (2) each
+    * vector argmaxes over the coarse cells that own ≥1 child (n·√K,
+    * O(√n) broadcast), (3) a SHUFFLE join on the coarse cell id scores
+    * each vector against its cell's ~√K children (n·√K; the child table
+    * is O(K) rows and is merge-hinted so it can NEVER broadcast —
+    * plan-locked in PlanShapeSpec). Ties break toward the lower
+    * centroid id at every level; both argmax stages replay exactly as
+    * stacked row_number CTEs in a SQL oracle. Output: (idCol, cluster).
+    */
+  def hierarchicalAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val fine = formulaCentroids(spark, "c:", "cid", k, "cvec")
+    val coarse = formulaCentroids(spark, "g:", "gid", k1, "gvec")
+    val child = fine.crossJoin(broadcast(coarse))
+      .select(col("cid"), col("cvec"),
+        struct(cosine(col("cvec"), col("gvec")).as("csim"),
+          (-col("gid")).as("ngid")).as("sc"))
+      .groupBy(col("cid"), col("cvec"))
+      .agg(max(col("sc")).as("b"))
+      .select((-col("b.ngid")).as("gid"), col("cid"), col("cvec"))
+      // consumed by the used-gid restriction AND the refine join
+      .localCheckpoint(false)
+    // only coarse cells that own ≥1 fine child are probe targets —
+    // otherwise a vector could land in a childless cell
+    val usedCoarse = coarse.join(child.select(col("gid")).distinct(), Seq("gid"))
+    val vecCoarse = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(usedCoarse))
+      .select(col(idCol),
+        struct(cosine(col(vecCol), col("gvec")).as("csim"),
+          (-col("gid")).as("ngid")).as("sc"))
+      .groupBy(col(idCol))
+      .agg(max(col("sc")).as("b"))
+      .select(col(idCol), (-col("b.ngid")).as("gid"))
+    df.select(col(idCol), col(vecCol))
+      .join(vecCoarse, Seq(idCol))
+      .hint("merge")
+      .join(child.hint("merge"), Seq("gid"))
+      .select(col(idCol),
+        struct(cosine(col(vecCol), col("cvec")).as("csim"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy(col(idCol))
+      .agg(max(col("sc")).as("best"))
+      .select(col(idCol), (-col("best.ncid")).as("cluster"))
+  }
+
   /** Exact near-duplicate pairs by cosine threshold within blocking keys —
     * O(Σ block²) instead of O(n²); mirror the blocking in any oracle.
     */

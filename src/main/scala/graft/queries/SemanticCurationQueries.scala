@@ -23,39 +23,44 @@ object SemanticCurationQueries {
     // q220: semantic dedup, SemDeDup shape (Abbas et al. 2023: cluster
     // embeddings with a coarse quantizer, then prune near-duplicates
     // WITHIN each cell — never across the full corpus). The quantizer
-    // here is K formula-derived centroids (components n/1024 with
-    // |n| ≤ 1000 — dyadic, so exactly representable in FLOAT and DOUBLE
-    // on both engines); K scales with the corpus (max(4, ⌈n/256⌉)), the
+    // is K formula-derived centroids (components n/1024 with |n| ≤ 1000
+    // — dyadic, so exactly representable in FLOAT and DOUBLE on both
+    // engines); K scales with the corpus (max(4, ⌈n/256⌉)), the
     // property that keeps within-cell pair work LINEAR in corpus size —
     // the 100 TB lever (cells stay ~256 vectors no matter how big the
     // corpus; a fixed K would make cells, and the pair join, grow
-    // linearly → quadratic work). Assignment is a broadcast cross join
-    // (centroid table is artifact-sized) + map-side partial max-struct
-    // argmax; the pair join shuffles on the cell key only. Election:
-    // a vector is pruned iff a LOWER-id cell-mate sits above the cosine
-    // threshold (greedy min-id representative, the q36/q138 law).
+    // linearly → quadratic work).
+    //
+    // Assignment is HIERARCHICAL (the r7 VERDICT scale fix): because
+    // K ∝ n, a flat n×K broadcast-cross-join argmax is n²/256 cosine
+    // evaluations under an O(n) broadcast — quadratic, the one shape
+    // this whole gate exists to avoid. Instead a two-level quantizer:
+    //   1. K₁ = ⌈√K⌉ COARSE formula-centroids; each fine centroid is
+    //      assigned to its nearest coarse one (K·√K work, √K-row
+    //      broadcast) — the child table (cid, cvec, gid);
+    //   2. each vector argmaxes over the ≤K₁ coarse centroids that own
+    //      ≥1 child (n·√K work, broadcast O(√K) = O(√n) rows — never
+    //      grows past artifact size);
+    //   3. refine: a SHUFFLE join on gid against the child table (O(K)
+    //      rows — must NEVER broadcast; merge-hinted and plan-locked in
+    //      PlanShapeSpec) scores each vector against its coarse cell's
+    //      ~√K children — n·√K work again.
+    // Total n·√K = n^1.5/16 instead of n²/256, max broadcast O(√n);
+    // both argmax stages replay in DuckDB as stacked row_number CTEs,
+    // so the gate is exact, not approximate. Map-side partial
+    // max-struct argmax everywhere; the pair join shuffles on the fine
+    // cell key only. Election: a vector is pruned iff a LOWER-id
+    // cell-mate sits above the cosine threshold (greedy min-id
+    // representative, the q36/q138 law).
     GQuery(
       "q220_semdedup",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val n = emb.count()
         val k = math.max(4, math.ceil(n / 256.0).toInt)
-        // centroid components derived from md5 — replayable in any engine;
-        // /1024 keeps them dyadic (exact float), /1000 would not be
-        val centroids = s.range(k.toLong).toDF("cid")
-          .select(col("cid").cast("int").as("cid"),
-            transform(sequence(lit(0), lit(63)), dd =>
-              ((TF.md5Hash60(concat(lit("c:"), col("cid").cast("string"),
-                lit(":"), dd.cast("string"))) % 2001) - 1000).cast("double") / 1024.0)
-              .cast("array<float>").as("cvec"))
         // consumed by the pair join AND the final output — materialize once
-        val assigned = emb.crossJoin(broadcast(centroids))
-          .select(col("vec_id"),
-            struct(Similarity.cosine(col("embedding"), col("cvec")).as("csim"),
-              (-col("cid")).as("ncid")).as("sc"))
-          .groupBy(col("vec_id"))
-          .agg(max(col("sc")).as("best"))
-          .select(col("vec_id"), (-col("best.ncid")).as("cluster"))
+        val assigned = Similarity.hierarchicalAssign(
+            emb, "vec_id", "embedding", k)
           .localCheckpoint(false)
         val withVec = emb.select(col("vec_id"), col("embedding"))
           .join(assigned, Seq("vec_id"))
@@ -71,6 +76,7 @@ object SemanticCurationQueries {
       Some("""WITH k AS (
              |  SELECT GREATEST(4, CAST(CEIL(COUNT(*) / 256.0) AS INT)) AS k
              |  FROM embeddings),
+             |k1 AS (SELECT CAST(CEIL(SQRT(k)) AS INT) AS k1 FROM k),
              |cent AS (
              |  SELECT CAST(ck.cid AS INT) AS cid,
              |         list((CAST(('0x'||substr(md5('c:'||ck.cid||':'||dd.d),1,15)) AS BIGINT)
@@ -78,13 +84,39 @@ object SemanticCurationQueries {
              |  FROM (SELECT unnest(range(0, (SELECT k FROM k))) AS cid) ck,
              |       (SELECT unnest(range(0, 64)) AS d) dd
              |  GROUP BY ck.cid),
+             |coarse AS (
+             |  SELECT CAST(ck.gid AS INT) AS gid,
+             |         list((CAST(('0x'||substr(md5('g:'||ck.gid||':'||dd.d),1,15)) AS BIGINT)
+             |               % 2001 - 1000) / 1024.0 ORDER BY dd.d) AS gvec
+             |  FROM (SELECT unnest(range(0, (SELECT k1 FROM k1))) AS gid) ck,
+             |       (SELECT unnest(range(0, 64)) AS d) dd
+             |  GROUP BY ck.gid),
+             |child AS (
+             |  SELECT gid, cid, cvec FROM (
+             |    SELECT c.cid, c.cvec, g.gid,
+             |           row_number() OVER (PARTITION BY c.cid ORDER BY
+             |             list_cosine_similarity(c.cvec, g.gvec) DESC, g.gid ASC) AS rn
+             |    FROM cent c CROSS JOIN coarse g)
+             |  WHERE rn = 1),
+             |used AS (SELECT g.gid, g.gvec
+             |         FROM coarse g JOIN (SELECT DISTINCT gid FROM child) u USING (gid)),
+             |vg AS (
+             |  SELECT vec_id, gid FROM (
+             |    SELECT e.vec_id, g.gid,
+             |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), g.gvec) DESC,
+             |             g.gid ASC) AS rn
+             |    FROM embeddings e CROSS JOIN used g)
+             |  WHERE rn = 1),
              |asg AS (
              |  SELECT vec_id, cid AS cluster FROM (
-             |    SELECT e.vec_id, c.cid,
-             |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |    SELECT v.vec_id, c.cid,
+             |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
              |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
              |             c.cid ASC) AS rn
-             |    FROM embeddings e CROSS JOIN cent c)
+             |    FROM vg v
+             |    JOIN embeddings e ON e.vec_id = v.vec_id
+             |    JOIN child c ON c.gid = v.gid)
              |  WHERE rn = 1),
              |pruned AS (
              |  SELECT DISTINCT b.vec_id
@@ -96,7 +128,7 @@ object SemanticCurationQueries {
              |SELECT g.vec_id, g.cluster, p.vec_id IS NULL AS keep
              |FROM asg g LEFT JOIN pruned p ON p.vec_id = g.vec_id
              |ORDER BY g.vec_id ASC""".stripMargin),
-      "SemDeDup: formula-centroid coarse quantization (K ∝ n) + within-cell min-id prune == DuckDB replay"),
+      "SemDeDup: hierarchical two-level formula quantizer (n·√K assignment, O(√n) max broadcast) + within-cell min-id prune == DuckDB replay"),
 
     // ------------------------------------------------------------------
     // q221: per-language quality buckets — the CCNet head/middle/tail

@@ -318,4 +318,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p209.contains("partial_sum") || p209.contains("partial_count"),
       "sample regroup must pre-aggregate below its exchange")
   }
+
+  test("q220 hierarchical assignment: the O(K)-row child table never broadcasts") {
+    // K ∝ n, so the fine-centroid (child) table is corpus-proportional —
+    // broadcasting it is the O(n)-broadcast scale defect the two-level
+    // quantizer exists to remove. The refine join on gid must stay a
+    // shuffle join regardless of how small the gate-scale table is; the
+    // only broadcasts in the assignment plan are the O(√K) coarse tables
+    // (cross-join argmax → BroadcastNestedLoopJoin) and gate-constant
+    // artifacts. Inspect the assignment sub-plan directly (the gate
+    // checkpoints it, which would hide the joins behind a LogicalRDD).
+    // (the used-gid restriction join IS allowed to broadcast — its build
+    // side is the O(√K) distinct-gid set, not the child table; the
+    // defect is specifically a broadcast that carries the fine-centroid
+    // vectors, so the check is structural on the cvec column)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val asg = graft.functions.Similarity.hierarchicalAssign(
+      emb, "vec_id", "embedding", k = 64)
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val phys = asg.queryExecution.sparkPlan
+    val badBcast = phys.collect {
+      case b: BroadcastHashJoinExec
+          if b.children.exists(_.output.exists(_.name == "cvec")) => b
+    }
+    assert(badBcast.isEmpty,
+      "child table (cvec side) broadcast — O(n) broadcast at scale")
+    val refine = phys.collect {
+      case s: SortMergeJoinExec
+          if s.children.exists(_.output.exists(_.name == "cvec")) => s
+    }
+    assert(refine.nonEmpty,
+      s"refine join on gid must be a shuffle join:\n${phys.toString.take(3000)}")
+    // assignment output is total: every vector gets exactly one cluster
+    assert(asg.count() === emb.count())
+  }
 }
