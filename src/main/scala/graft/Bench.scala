@@ -265,8 +265,15 @@ object Bench {
     val baseline = loadBaseline(baselinePath)
     val envFactor = environmentFactor(published.toMap, baseline)
     val slow = slowQueries(published.toMap, baseline, envFactor = envFactor)
+    // a flagged query publishes its EVERY per-round observation (r7
+    // VERDICT #2): cold-vs-warm and round-to-round spread distinguish a
+    // one-off materialization cost, an environment drift, and a real
+    // regression without anyone re-running the suite
     val slowJson = slow.toSeq.sortBy(-_._2._1).map { case (n, (t, b)) =>
-      "\"" + n + "\":{\"stat\":" + fmt(t) + ",\"baseline\":" + fmt(b) + "}"
+      val perRound = rounds.take(math.max(roundsCompleted, 1))
+        .map(m => m.get(n).map(fmt).getOrElse("-1.0")).mkString("[", ",", "]")
+      "\"" + n + "\":{\"stat\":" + fmt(t) + ",\"baseline\":" + fmt(b) +
+        ",\"rounds\":" + perRound + "}"
     }.mkString("{", ",", "}")
     slow.foreach { case (n, (t, b)) =>
       System.err.println(f"[bench] SLOW $n: stat $t%.2fs > ${SlowFactor}x env-adjusted baseline $b%.2fs (env $envFactor%.2fx)")

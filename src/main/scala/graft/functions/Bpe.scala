@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  private val MemOnly = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+
   final case class Trained(merges: Vector[DataFrame], syms: DataFrame)
 
   /** (word, pos, sym) char-level symbol rows, pos 1-based. Callers must
@@ -48,7 +50,10 @@ object Bpe {
         .groupBy(col("sym"), col("nxt")).agg(sum(col("cnt")).as("c"))
         .select(col("sym").as("a"), col("nxt").as("b"), col("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc).limit(1)
-        .localCheckpoint(false) // consumed by the merge AND the caller
+        // consumed by the merge AND the caller; MEMORY_ONLY — these are
+        // 1-row / dictionary-sized tables, a disk-backed level only adds
+        // block-write latency per round (the q68/q175 driver lesson)
+        .localCheckpoint(false, MemOnly)
       bests :+= best.select(lit(r.toLong).as("round"), col("a"), col("b"), col("c"))
       // LEFT join on a constant key, not crossJoin: once pairs are
       // exhausted `best` is EMPTY and a cross join would silently collapse
@@ -73,7 +78,7 @@ object Bpe {
             .otherwise(col("sym")).as("sym"))
         .withColumn("pos2", row_number().over(wOrd).cast("long"))
         .select(col("word"), col("pos2").as("pos"), col("sym"))
-        .localCheckpoint(false) // constant plan depth per round
+        .localCheckpoint(false, MemOnly) // constant plan depth per round
     }
     Trained(bests, syms)
   }

@@ -33,14 +33,19 @@ object KMeans {
     // one broadcast-join level per iteration and analysis/codegen cost
     // would grow linearly with iteration count. Checkpointing keeps the
     // plan a constant-depth scan of k rows regardless of iterations
-    // (KMeansSpec asserts this). On a real cluster prefer reliable
-    // checkpoint() for fault tolerance; local[N] has no executor loss.
+    // (KMeansSpec asserts this). MEMORY_ONLY, not the default
+    // MEMORY_AND_DISK: the checkpointed tables are k rows — a disk-backed
+    // level buys nothing, and on a slow-disk host the per-iteration block
+    // writes were the prime suspect in q68's driver-only 4.6x (r7
+    // VERDICT #2). On a real cluster prefer reliable checkpoint() for
+    // fault tolerance; local[N] has no executor loss.
+    val MemOnly = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
     var centroids = df.orderBy(col(idCol).asc).limit(k)
       .select((row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col(idCol).asc)) - 1)
           .as("cluster"),
         col(vecCol).as("centroid"))
-      .localCheckpoint()
+      .localCheckpoint(true, MemOnly)
 
     for (_ <- 0 until iterations) {
       // carry the vector THROUGH assignment: re-joining the corpus by id to
@@ -54,7 +59,7 @@ object KMeans {
       centroids = centroids.select(col("cluster"), col("centroid").as("_prev"))
         .join(recomputed.withColumnRenamed("centroid", "_new"), Seq("cluster"), "left")
         .select(col("cluster"), coalesce(col("_new"), col("_prev")).as("centroid"))
-        .localCheckpoint()
+        .localCheckpoint(true, MemOnly)
     }
     (assign(df, idCol, vecCol, centroids), centroids)
   }
