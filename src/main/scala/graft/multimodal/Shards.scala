@@ -379,6 +379,165 @@ object Shards {
     }
   }
 
+  /** One WARC record's metadata + content fingerprint (ISO 28500): the
+    * fields a crawl-ingest pipeline keys on, plus the byte-sum
+    * fingerprint of the payload block (the [[TarMember]] discipline —
+    * integer-exact, so a SQL oracle that knows the body formula
+    * recomputes it relationally without seeing a byte).
+    */
+  case class WarcRecord(
+      shard_id: Long,
+      rec_idx: Int,
+      warc_type: String,
+      target_uri: String,
+      content_length: Long,
+      body_sum: Long)
+
+  /** WARC (ISO 28500 — the container web crawls actually ship: Common
+    * Crawl, IA) parsing and synthesis, same never-throw bounds-checked
+    * discipline as the tar/zip walks.
+    */
+  object WarcCodec {
+
+    private val ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+    /** True iff the payload starts with a WARC version line
+      * (`WARC/1.0` or `WARC/1.1` per ISO 28500 §5 / its 2017 revision).
+      */
+    def isWarc(p: Array[Byte]): Boolean =
+      p.length >= 10 && p(0) == 'W' && p(1) == 'A' && p(2) == 'R' &&
+        p(3) == 'C' && p(4) == '/' && p(5) == '1' && p(6) == '.' &&
+        (p(7) == '0' || p(7) == '1') && p(8) == '\r' && p(9) == '\n'
+
+    /** Index just past the next CRLF at/after `off`, or -1 if none
+      * complete before `p` ends.
+      */
+    private def lineEnd(p: Array[Byte], off: Int): Int = {
+      var i = off
+      while (i + 1 < p.length) {
+        if (p(i) == '\r' && p(i + 1) == '\n') return i + 2
+        i += 1
+      }
+      -1
+    }
+
+    /** Walk every record of a WARC file: version line, named header
+      * lines (case-insensitive field names, ISO 28500 §4) up to an empty
+      * CRLF line, a Content-Length-framed payload block, then the
+      * two-CRLF record separator. Contracts mirror [[ArchiveCodec
+      * .tarMembers]]: a non-WARC payload yields no rows; a truncated or
+      * malformed record (missing/invalid Content-Length, body past EOF,
+      * broken separator) ends the walk with every fully-framed record
+      * before it emitted — later offsets can't be trusted, so no partial
+      * row and never a task failure.
+      */
+    def warcRecords(id: Long, p: Array[Byte]): Seq[WarcRecord] = {
+      if (!isWarc(p)) return Seq.empty
+      val out = Seq.newBuilder[WarcRecord]
+      var off = 0
+      var idx = 0
+      var done = false
+      while (!done && off < p.length) {
+        // version line (every record restates it)
+        if (!(off + 10 <= p.length && p(off) == 'W' && p(off + 1) == 'A' &&
+            p(off + 2) == 'R' && p(off + 3) == 'C' && p(off + 4) == '/')) {
+          done = true
+        } else {
+          var cur = lineEnd(p, off)
+          var warcType: String = null
+          var targetUri: String = null
+          var contentLength = -1L
+          var headersOk = cur > 0
+          var headersDone = false
+          while (headersOk && !headersDone) {
+            val end = lineEnd(p, cur)
+            if (end < 0) headersOk = false
+            else if (end == cur + 2) { headersDone = true; cur = end } // empty line
+            else {
+              val line = new String(p, cur, end - cur - 2, ascii)
+              val colon = line.indexOf(':')
+              if (colon > 0) {
+                val name = line.substring(0, colon).trim.toLowerCase
+                val value = line.substring(colon + 1).trim
+                name match {
+                  case "warc-type" => warcType = value
+                  case "warc-target-uri" => targetUri = value
+                  case "content-length" =>
+                    contentLength = try value.toLong catch { case _: NumberFormatException => -1L }
+                  case _ => ()
+                }
+              }
+              cur = end
+            }
+          }
+          if (!headersOk || contentLength < 0) done = true
+          else {
+            val bodyEnd = cur.toLong + contentLength
+            // body + the two-CRLF record separator must be fully present
+            if (bodyEnd + 4 > p.length) done = true
+            else {
+              var sum = 0L
+              var j = cur
+              val e = bodyEnd.toInt
+              while (j < e) { sum += p(j) & 0xff; j += 1 }
+              if (p(e) == '\r' && p(e + 1) == '\n' && p(e + 2) == '\r' && p(e + 3) == '\n') {
+                out += WarcRecord(id, idx,
+                  if (warcType == null) "" else warcType,
+                  if (targetUri == null) "" else targetUri,
+                  contentLength, sum)
+                idx += 1
+                off = e + 4
+              } else done = true // broken separator: desynchronized
+            }
+          }
+        }
+      }
+      out.result()
+    }
+
+    /** Write one WARC record (the inverse of [[warcRecords]], so an
+      * export round-trips through any ISO 28500 reader).
+      */
+    private[multimodal] def writeRecord(bos: java.io.ByteArrayOutputStream,
+        warcType: String, recordId: String, targetUri: String,
+        body: Array[Byte]): Unit = {
+      val header =
+        s"WARC/1.0\r\n" +
+          s"WARC-Type: $warcType\r\n" +
+          s"WARC-Record-ID: <urn:uuid:$recordId>\r\n" +
+          s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+          s"WARC-Target-URI: $targetUri\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n"
+      bos.write(header.getBytes(ascii))
+      bos.write(body)
+      bos.write("\r\n\r\n".getBytes(ascii))
+    }
+  }
+
+  /** Per-partition WARC record walk, magic-dispatched through the same
+    * decompression the shard tier uses (real crawls ship `.warc.gz`;
+    * ISO 28500 annexes the gzip-member convention — the JDK inflater
+    * reads member-concatenated streams as one, and record framing comes
+    * from the WARC Content-Length walk): decompress if gzip/zstd magic
+    * (bomb-capped), walk records, emit metadata rows only. Corrupt
+    * compression or non-WARC content fans out to no rows; decompressed
+    * bytes never leave the map task.
+    */
+  def warcRecordRows(media: Dataset[Multimodal.MediaRow],
+      maxOut: Long = 64L << 20): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.payload != null).flatMap { r =>
+        val bytes =
+          if (ArchiveCodec.isGzip(r.payload) || ArchiveCodec.isZstd(r.payload))
+            ArchiveCodec.decompressBytes(r.payload, maxOut)
+          else r.payload
+        if (bytes == null) Seq.empty
+        else WarcCodec.warcRecords(r.media_id, bytes)
+      }
+    }.toDF()
+  }
+
   /** Per-partition tar member walk at the codec boundary: one row per
     * regular-file member, metadata-sized output. Corrupt or non-tar
     * payloads fan out to no rows.
@@ -653,6 +812,26 @@ object Shards {
         i += 1
       }
       zo.close()
+      bos.toByteArray
+    }
+
+    /** WARC shard with 2 + key%3 records: record i carries
+      * [[memberBytes]](key, i) as its payload block, type `request` when
+      * (key + i) % 3 == 0 else `response`, target URI
+      * `https://host<key>.example.com/p/<i>` — every gated field a pure
+      * formula of (key, i), the tarShard discipline.
+      */
+    def warcShard(key: Long): Array[Byte] = {
+      val n = 2 + (key % 3).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < n) {
+        WarcCodec.writeRecord(bos,
+          if ((key + i) % 3 == 0) "request" else "response",
+          s"$key-$i", s"https://host$key.example.com/p/$i",
+          memberBytes(key, i))
+        i += 1
+      }
       bos.toByteArray
     }
 

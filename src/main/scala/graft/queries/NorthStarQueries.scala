@@ -1450,5 +1450,68 @@ object NorthStarQueries {
              |WHERE NOT (doc_id % 3 = 1 OR (doc_id % 3 = 2 AND source = 'src3'))
              |ORDER BY doc_id ASC""".stripMargin),
       "deny-list domain filter: suffix-chain broadcast anti-join == depth-aware CASE oracle, zero corpus shuffle"),
+
+    // ------------------------------------------------------------------
+    // q227: WARC record walk (ISO 28500 — the container web crawls
+    // actually ship; Common Crawl is millions of .warc.gz shards). Real
+    // framing walk: per record a WARC/1.x version line, case-insensitive
+    // named headers, a Content-Length-framed payload block, a two-CRLF
+    // separator; gzip-member shards go through the same magic-dispatched
+    // decompression as the tar tier (the JDK inflater reads concatenated
+    // members as one stream; record boundaries come from the WARC walk
+    // itself). Corpus mixes raw and .warc.gz halves; every 7th shard is
+    // TRUNCATED — a cut raw shard drops exactly its last (incompletely
+    // framed) record, a cut gzip shard fails the CRC/trailer and yields
+    // no rows (the corrupt-shard contract, surfaced by the REAL
+    // inflater). Every gated field is a pure formula of (key, i), so
+    // the oracle recomputes the walk relationally without seeing a
+    // byte. 100 TB: map-side record fan-out at the codec boundary,
+    // metadata-sized output, payload bytes never shuffle.
+    GQuery(
+      "q227_warc_records",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val key = id % 109
+              val full = Shards.SyntheticShards.warcShard(key)
+              val payload =
+                if (id % 2 == 0) {
+                  val gz = Shards.SyntheticShards.gzipBytes(full)
+                  if (id % 7 == 0) gz.dropRight(10) else gz
+                } else {
+                  if (id % 7 == 0) full.dropRight(10) else full
+                }
+              Multimodal.MediaRow(id, payload, "application/warc")
+            }
+          }
+        Shards.warcRecordRows(media)
+          .orderBy(col("shard_id").asc, col("rec_idx").asc)
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, doc_id % 109 AS key,
+             |         CASE WHEN doc_id % 7 = 0 AND doc_id % 2 = 0 THEN 0
+             |              WHEN doc_id % 7 = 0 THEN 1 + (doc_id % 109) % 3
+             |              ELSE 2 + (doc_id % 109) % 3 END AS n_vis
+             |  FROM documents),
+             |r AS (
+             |  SELECT k.doc_id, k.key, CAST(i.i AS INT) AS i,
+             |         CAST(10 + (7*k.key + 13*i.i) % 90 AS BIGINT) AS len
+             |  FROM k, range(0, 4) i(i) WHERE i.i < k.n_vis),
+             |s AS (
+             |  SELECT r.doc_id, r.i,
+             |         CAST(SUM((11*j.j + 29*r.i + 31*r.key) % 256) AS BIGINT) AS body_sum
+             |  FROM r, range(0, 99) j(j) WHERE j.j < r.len
+             |  GROUP BY r.doc_id, r.i)
+             |SELECT r.doc_id AS shard_id, r.i AS rec_idx,
+             |       CASE WHEN (r.key + r.i) % 3 = 0 THEN 'request' ELSE 'response' END
+             |         AS warc_type,
+             |       'https://host' || r.key || '.example.com/p/' || r.i AS target_uri,
+             |       r.len AS content_length,
+             |       s.body_sum
+             |FROM r JOIN s ON s.doc_id = r.doc_id AND s.i = r.i
+             |ORDER BY shard_id ASC, rec_idx ASC""".stripMargin),
+      "WARC record walk (raw + .warc.gz): framing fields + body fingerprint == formula oracle; truncation degrades per contract"),
   )
 }

@@ -284,6 +284,83 @@ class ShardsSpec extends SparkTestBase {
       packed.find(_.media_id == 2L).get.payload).length == 3)
   }
 
+  test("warc walk matches independent golden bytes; headers case-insensitive") {
+    import Shards.WarcCodec
+    // hand-built record, NOT via writeRecord: the parser must read what
+    // the spec says, not what our own writer happens to emit. Mixed-case
+    // field names per ISO 28500 §4 (field names are case-insensitive).
+    val body = "hello warc".getBytes("US-ASCII")
+    val golden = ("WARC/1.0\r\n" +
+      "warc-type: response\r\n" +
+      "WARC-RECORD-ID: <urn:uuid:x>\r\n" +
+      "Warc-Target-Uri: https://ex.com/a\r\n" +
+      "CONTENT-LENGTH: 10\r\n" +
+      "X-Unknown: ignored\r\n\r\n").getBytes("US-ASCII") ++
+      body ++ "\r\n\r\n".getBytes("US-ASCII")
+    val rs = WarcCodec.warcRecords(7L, golden)
+    assert(rs.length == 1)
+    val r = rs.head
+    assert(r.warc_type == "response")
+    assert(r.target_uri == "https://ex.com/a")
+    assert(r.content_length == 10L)
+    assert(r.body_sum == body.map(_ & 0xff).map(_.toLong).sum)
+    // version 1.1 accepted; 2.0 is not ours to guess at
+    assert(WarcCodec.isWarc("WARC/1.1\r\nx".getBytes("US-ASCII") ++ golden.drop(10)))
+    assert(!WarcCodec.isWarc("WARC/2.0\r\n".getBytes("US-ASCII")))
+  }
+
+  test("warc walk: truncation clamps, missing Content-Length stops, non-warc sniffs out") {
+    import Shards.WarcCodec
+    val shard = Shards.SyntheticShards.warcShard(5L) // 2 + 5%3 = 4 records
+    assert(WarcCodec.warcRecords(1L, shard).length == 4)
+    // cut into the last record's frame: exactly the complete prefix stands
+    val cut = WarcCodec.warcRecords(1L, shard.dropRight(10))
+    assert(cut.length == 3)
+    assert(cut.map(_.rec_idx) == Seq(0, 1, 2))
+    // a record with no Content-Length cannot be framed: walk ends before it
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\n").getBytes("US-ASCII")
+    assert(WarcCodec.warcRecords(1L, shard.take(0) ++ noLen).isEmpty)
+    // non-WARC payloads: tar magic, random bytes, empty
+    assert(WarcCodec.warcRecords(1L, Shards.SyntheticShards.tarShard(3L)).isEmpty)
+    assert(WarcCodec.warcRecords(1L, Array.fill[Byte](64)(42)).isEmpty)
+    assert(WarcCodec.warcRecords(1L, Array.emptyByteArray).isEmpty)
+    val firstBodyEnd = {
+      val s = new String(shard, "ISO-8859-1")
+      s.indexOf("\r\n\r\n", s.indexOf("Content-Length")) + 4 +
+        Shards.SyntheticShards.memberBytes(5L, 0).length
+    }
+    // a record's OWN two-CRLF separator is part of its framing: breaking
+    // it drops that record too (its extent can't be trusted), not just
+    // the ones after it
+    val brokenSep = shard.clone()
+    brokenSep(firstBodyEnd) = 'X'
+    assert(WarcCodec.warcRecords(1L, brokenSep).isEmpty)
+    // a corrupt SECOND record (bad version line) desynchronizes the walk
+    // there: the fully-framed first record stands
+    val brokenNext = shard.clone()
+    brokenNext(firstBodyEnd + 4) = 'X'
+    assert(WarcCodec.warcRecords(1L, brokenNext).map(_.rec_idx) == Seq(0))
+  }
+
+  test("warc roundtrip through the dataset walk incl. gzip members and corrupt drop") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, Shards.SyntheticShards.warcShard(4L), "application/warc"),
+      Multimodal.MediaRow(2L,
+        Shards.SyntheticShards.gzipBytes(Shards.SyntheticShards.warcShard(4L)),
+        "application/warc"),
+      Multimodal.MediaRow(3L, Array.fill[Byte](100)(7), "application/warc"),
+      Multimodal.MediaRow(4L, null, "application/warc")).toDS()
+    val rows = Shards.warcRecordRows(media.repartition(2)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(4), r.getLong(5)))
+    // raw and gzip forms of the same shard walk identically
+    val byId = rows.groupBy(_._1)
+    assert(byId.keySet == Set(1L, 2L))
+    assert(byId(1L).map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq ==
+      byId(2L).map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq)
+    assert(byId(1L).length == 2 + (4 % 3))
+  }
+
   test("shard dataset plumbing: member fan-out and corrupt-shard drop") {
     import spark.implicits._
     val media = Seq(
