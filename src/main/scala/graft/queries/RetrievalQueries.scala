@@ -549,6 +549,85 @@ object RetrievalQueries {
              |       true_intersection
              |FROM est CROSS JOIN tr ORDER BY est_union ASC""".stripMargin),
       "merged KMV sketches: union + intersection cardinality, exact cross-engine"),
+
+    // ------------------------------------------------------------------
+    // q228: BPE corpus TOKENIZATION — the artifact a training pipeline
+    // actually ships: per-document token-ID sequences under the
+    // q150-trained merges. Token ids are the lexicographic rank of the
+    // learned subword vocabulary (deterministic, no side-channel model
+    // file); because BPE merges are word-internal, the corpus encode is
+    // the DICTIONARY encode (each word type once — the q156 insight)
+    // joined back to the token stream: one corpus-sized shuffle on the
+    // word key, dictionary-sized everything else, NEVER a per-token
+    // merge loop over the corpus. Output per doc: word count, BPE token
+    // count, and the md5 of the exact comma-joined token-ID sequence in
+    // token order (content-exact — a one-id drift anywhere in any
+    // document flips the hash). The oracle replays training through
+    // syms5 (the shared q150/q156 template) and the identical encode.
+    // 100 TB: encode cost is |dict| + one token-stream join; the
+    // per-doc sequence reassembly shuffles (doc_id, word-seq) pairs.
+    GQuery(
+      "q228_bpe_tokenize",
+      (s, d) => {
+        val words = bpeWords(s, d)
+        val trained = Bpe.train(words, 5)
+        // vocab rank over the (artifact-sized) learned symbol set — the
+        // single-partition window is |vocab| rows, never corpus
+        val vocab = trained.syms.select(col("sym")).distinct()
+          .withColumn("tid", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("sym"))).cast("long"))
+        val wseq = trained.syms.join(vocab, Seq("sym"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n_syms"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("tid")))),
+              x => x.getField("tid").cast("string")), ",").as("seq"))
+        val dt = Tables.spread(Tables.documents(s, d), col("doc_id"))
+          .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("i", "word")))
+          .filter(length(col("word")) >= 1)
+        val agg = dt.join(wseq, Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_syms")).as("n_bpe_tokens"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("i"), col("seq")))),
+              x => x.getField("seq")), ",")).as("sig"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+            coalesce(col("sig"), md5(lit(""))).as("sig"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some {
+        s"""${Bpe.oracle.withPrefix(5)},
+           |vocab AS (
+           |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tid
+           |  FROM (SELECT DISTINCT sym FROM syms5)),
+           |wseq AS (
+           |  SELECT s.word, CAST(COUNT(*) AS BIGINT) AS n_syms,
+           |         string_agg(CAST(v.tid AS VARCHAR), ',' ORDER BY s.pos) AS seq
+           |  FROM syms5 s JOIN vocab v USING (sym)
+           |  GROUP BY s.word),
+           |dt AS (
+           |  SELECT doc_id, i, ws[i] AS word
+           |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+           |  WHERE len(ws[i]) >= 1),
+           |agg AS (
+           |  SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |         CAST(SUM(w.n_syms) AS BIGINT) AS n_bpe_tokens,
+           |         md5(string_agg(w.seq, ',' ORDER BY dt.i)) AS sig
+           |  FROM dt JOIN wseq w USING (word)
+           |  GROUP BY dt.doc_id)
+           |SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+           |       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+           |       COALESCE(a.sig, md5('')) AS sig
+           |FROM documents d LEFT JOIN agg a USING (doc_id)
+           |ORDER BY d.doc_id ASC""".stripMargin
+      },
+      "BPE tokenize: per-doc token-ID sequences (dictionary encode + stream join), content-exact sig == DuckDB replay"),
   )
 
   /** Word-frequency dictionary for the BPE gates. Empty-token guard:

@@ -165,6 +165,35 @@ class RetrievalSpec extends SparkTestBase {
     assert(rows.head.getLong(4) <= rows.head.getLong(5), "merges cannot expand")
   }
 
+  test("q228 tokenize: hand corpus gets the exact vocabulary-rank id sequence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_tok").toString
+    Seq((1L, "ababab ababab ababx", "en", "test", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // merges (a,b),(ab,ab),(abab,ab),(abab,x) fully collapse both word
+    // types; the surviving vocab is {ababab, ababx} -> tids {1, 2} by
+    // lexicographic rank, so the doc's sequence is "1,1,2"
+    val rows = SparkEntry.queries("q228_bpe_tokenize")(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(1) === 3L, "n_words")
+    assert(rows.head.getLong(2) === 3L, "n_bpe_tokens (fully merged)")
+    val expectSig = java.security.MessageDigest.getInstance("MD5")
+      .digest("1,1,2".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.head.getString(3) === expectSig)
+  }
+
+  test("q228 fixture tokenize: totals reconcile with the q156 dictionary encode") {
+    val rows = q("q228_bpe_tokenize").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"fewer subwords than words: $r")
+      if (r.getLong(1) > 0L) assert(r.getString(3).nonEmpty)
+    }
+    // corpus BPE token total == q156's Σ cnt·n_syms (two independent paths)
+    val q156Total = q("q156_bpe_encode").head().getLong(4)
+    assert(rows.map(_.getLong(2)).sum === q156Total)
+  }
+
   test("q155 KN scores are negative log-likelihoods with safe quantizer margins") {
     val out = q("q155_kn_doc_score").collect()
     out.foreach { r =>
