@@ -48,7 +48,8 @@ object QueryRegistry {
       graft.queries.LayoutQueries.all ++
       graft.queries.WebCurationQueries.all ++
       graft.queries.SemanticCurationQueries.all ++
-      graft.queries.GovernanceQueries.all
+      graft.queries.GovernanceQueries.all ++
+      graft.queries.CurationDagQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

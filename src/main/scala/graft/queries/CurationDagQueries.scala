@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.functions.{Similarity, TextFunctions => TF}
+import graft.sources.Tables
+
+/** Round-8 flagship composite: the COMPLETE web-curation DAG as ONE gated
+  * query — URL-canonical dedup → deny-list → HTML extract → quality
+  * classifier → chunk dedup → SemDeDup → quality buckets — proving the
+  * individually-gated operators (q219, q215, q214, q217, q179, q220,
+  * q221) COMPOSE without per-stage materialization: each stage's filter
+  * applies before the next stage's shuffle, so data only shrinks down
+  * the pipeline (the q108 monotone-shrink shape at the LLM tier).
+  */
+object CurationDagQueries {
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q229: end-to-end curation DAG. Execution shape (the 100 TB story):
+    //  - every per-doc signal (canonical URL key, deny-suffix chain,
+    //    HTML→text extraction, hashed-linear quality score, type-token
+    //    score) is computed in ONE map-side projection over the corpus;
+    //  - the only corpus-sized shuffles are the irreducible per-stage
+    //    ones: the canonical-key election groupBy + verdict join
+    //    (stage 1), the chunk-hash election + verdict join over stage-3
+    //    survivors (stage 4), the SemDeDup assignment + cell pair join
+    //    over stage-4 survivors (stage 5, the q220 hierarchical
+    //    quantizer — no O(n) broadcast), and the per-lang bucket window
+    //    over the final survivors;
+    //  - the deny-list is a literal array filter (map-side, the q215
+    //    broadcast shape collapsed to a predicate), HTML extract and
+    //    both scores are projected expressions — no shuffle at all;
+    //  - LATER stages run on EARLIER survivors only (chunk canonical
+    //    election and SemDeDup cells see the filtered corpus — the
+    //    composition property under test; a per-stage materialization
+    //    pipeline would compute them on supersets).
+    // Per-stage survivor counts ride the output AND an observe() metric
+    // (telemetry without a second pass). The narrow flag relation is
+    // MEMORY_ONLY-persisted where two stages consume it; clean_text is
+    // carried only into the chunk stage's explode.
+    //
+    // The DuckDB oracle replays every stage from the generating formulas
+    // (canonical key from the messy-URL construction, deny CASE, q217
+    // md5 score, q179 chunk CTEs on the survivor subset, the q220
+    // two-level quantizer CTEs on the survivor embeddings, q221 NTILE)
+    // — the HTML escape∘embed∘extract identity makes the oracle's
+    // `text` the pipeline's `clean_text`, so any extraction divergence
+    // anywhere in the chain is a hash mismatch.
+    GQuery(
+      "q229_curation_dag",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val embFull = Tables.embeddings(s, d)
+        val k = math.max(4, math.ceil(embFull.count() / 256.0).toInt)
+
+        // ---- map-side signal projection (no shuffle) ----
+        val messy = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+          lit("://"),
+          when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("www.")),
+          col("source"), lit(".Example.COM"),
+          when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+          // sources cycle mod 20 in the fixture, so DIV 40 puts EXACTLY
+          // two ids (40m+r, 40m+20+r) into each (source, path) group —
+          // the dedup election halves the corpus, a real stage-1 shrink
+          lit("/a/"), expr("doc_id DIV 40").cast("string"),
+          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&utm_campaign=x"),
+          when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+        val host = concat(col("source"), lit("."),
+          when(col("doc_id") % 3 === 0, "example.com")
+            .when(col("doc_id") % 3 === 1, "docs.example.org")
+            .otherwise("mirror.net"))
+        val denied = arrays_overlap(TF.domainSuffixes(host),
+          array(lit("example.org"), lit("src3.mirror.net"), lit("never.test")))
+        val wrapped = concat(lit("<html><body><p>"), TF.htmlEscape(col("text")),
+          lit("</p></body></html>"))
+        val cleanText = TF.htmlToText(wrapped)
+        val toks = TF.tokens(col("clean_text"))
+        val grams = concat(toks, TF.wordShinglesAll(col("clean_text"), 2))
+        val qScore = aggregate(grams, lit(0L),
+          (acc, g) => acc + (TF.md5Hash60(concat(lit("w:"), g)) % 2001) - 1000)
+        val ttrScore = expr(
+          "(CAST(size(array_distinct(split(clean_text, ' '))) AS BIGINT) * 1000000)" +
+            " DIV size(split(clean_text, ' '))")
+
+        val base = Tables.spread(docs, col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            TF.canonicalizeUrl(messy).as("ckey"), denied.as("denied"),
+            cleanText.as("clean_text"))
+          .withColumn("q_score", qScore)
+          .withColumn("score_fp", ttrScore)
+
+        // ---- stage 1: canonical-URL dedup election (groupBy + join) ----
+        val election = base.groupBy(col("ckey")).agg(min(col("doc_id")).as("first_doc"))
+        val flags3 = base.join(election, Seq("ckey"))
+          .withColumn("pass1", col("doc_id") === col("first_doc"))
+          // ---- stage 2: deny-list (map-side predicate) ----
+          .withColumn("pass2", col("pass1") && !col("denied"))
+          // ---- stage 3: quality classifier (map-side score) ----
+          .withColumn("pass3", col("pass2") && col("q_score") > 0)
+          .select(col("doc_id"), col("lang"), col("clean_text"),
+            col("score_fp"), col("pass1"), col("pass2"), col("pass3"))
+          // consumed by the chunk stage AND the flag chain
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+
+        // ---- stage 4: chunk dedup over stage-3 survivors only ----
+        val chunks = flags3.filter(col("pass3"))
+          .select(col("doc_id"), split(col("clean_text"), " ").as("ws"))
+          .select(col("doc_id"), posexplode(
+            expr("transform(sequence(0, CAST(ceil(size(ws)/10.0) AS INT) - 1)," +
+              " i -> array_join(slice(ws, i*10+1, 10), ' '))")).as(Seq("ci", "chunk")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val canon = chunks.groupBy(col("chunk"))
+          .agg(min(struct(col("doc_id"), col("ci"))).as("c"))
+          .select(col("chunk"), col("c.doc_id").as("cd"), col("c.ci").as("cc"))
+        val chunkVerdict = chunks.join(canon, "chunk")
+          .withColumn("keep", col("doc_id") === col("cd") && col("ci") === col("cc"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          // a doc survives iff at least half its chunks are first
+          // occurrences (the C4 drop-mostly-duplicated rule)
+          .select(col("doc_id"), (col("n_kept") * 2 >= col("n_chunks")).as("c_ok"))
+        val flags4 = flags3.join(chunkVerdict, Seq("doc_id"), "left")
+          .withColumn("pass4", col("pass3") && coalesce(col("c_ok"), lit(false)))
+
+        // ---- stage 5: SemDeDup over stage-4 survivors' embeddings ----
+        // (quantizer width K comes from the static corpus-wide embedding
+        // count — the production posture: one shared quantizer, not one
+        // per pipeline slice)
+        val semdocs = flags4.filter(col("pass4")).select(col("doc_id"))
+          .join(embFull, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("embedding"))
+        val assigned = Similarity.hierarchicalAssign(semdocs, "doc_id", "embedding", k)
+        val pruned = Similarity.blockedNearDupPairs(
+            semdocs.join(assigned, Seq("doc_id")),
+            "doc_id", "embedding", "cluster", threshold = 0.3)
+          .select(col("id_b").as("doc_id")).distinct()
+          .withColumn("pr", lit(true))
+        val flags5 = flags4.join(pruned, Seq("doc_id"), "left")
+          .withColumn("pass5", col("pass4") && col("pr").isNull)
+          .select(col("doc_id"), col("lang"), col("score_fp"),
+            col("pass1"), col("pass2"), col("pass3"), col("pass4"), col("pass5"))
+          // consumed by the stage accounting AND the bucket histogram
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+
+        // ---- stage accounting (one aggregate; observe() telemetry
+        // rides the same pass) ----
+        def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+        val stageRows = flags5
+          .observe("q229_stages",
+            count(lit(1)).as("n_input"), cnt(col("pass1")).as("n_url"),
+            cnt(col("pass2")).as("n_deny"), cnt(col("pass3")).as("n_quality"),
+            cnt(col("pass4")).as("n_chunk"), cnt(col("pass5")).as("n_sem"))
+          .agg(count(lit(1)).as("n0"), cnt(col("pass1")).as("n1"),
+            cnt(col("pass2")).as("n2"), cnt(col("pass3")).as("n3"),
+            cnt(col("pass4")).as("n4"), cnt(col("pass5")).as("n5"))
+          .select(explode(array(
+            struct(lit("0_input").as("k1"), col("n0").as("n")),
+            struct(lit("1_url_dedup").as("k1"), col("n1").as("n")),
+            struct(lit("2_denylist").as("k1"), col("n2").as("n")),
+            struct(lit("3_quality").as("k1"), col("n3").as("n")),
+            struct(lit("4_chunk_dedup").as("k1"), col("n4").as("n")),
+            struct(lit("5_semdedup").as("k1"), col("n5").as("n")))).as("s"))
+          .select(lit("stage").as("kind"), col("s.k1").as("k1"),
+            lit("").as("k2"), col("s.n").as("n"))
+
+        // ---- stage 6: per-lang quality tertiles over final survivors ----
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("score_fp").desc, col("doc_id").asc)
+        val bucketRows = flags5.filter(col("pass5"))
+          .withColumn("bucket", ntile(3).over(w).cast("long"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit("bucket").as("kind"), col("lang").as("k1"),
+            col("bucket").cast("string").as("k2"), col("n"))
+
+        stageRows.unionAll(bucketRows)
+          .orderBy(col("kind").asc, col("k1").asc, col("k2").asc)
+      },
+      Some("""WITH nemb AS (
+             |  SELECT GREATEST(4, CAST(CEIL(COUNT(*) / 256.0) AS INT)) AS k
+             |  FROM embeddings),
+             |k1t AS (SELECT CAST(CEIL(SQRT(k)) AS INT) AS k1 FROM nemb),
+             |f1 AS (
+             |  SELECT doc_id, lang, source, text,
+             |         'https://' || source || '.example.com/a/' ||
+             |           CAST(doc_id // 40 AS VARCHAR) AS ckey,
+             |         (doc_id % 3 = 1 OR (doc_id % 3 = 2 AND source = 'src3')) AS denied
+             |  FROM documents),
+             |e1 AS (SELECT ckey, MIN(doc_id) AS first_doc FROM f1 GROUP BY ckey),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(ws) AS gram FROM toks
+             |  UNION ALL
+             |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+             |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)),
+             |qs AS (
+             |  SELECT doc_id,
+             |         CAST(SUM(CAST(('0x'||substr(md5('w:'||gram),1,15)) AS BIGINT) % 2001
+             |                  - 1000) AS BIGINT) AS raw_score
+             |  FROM g GROUP BY doc_id),
+             |f4 AS (
+             |  SELECT f1.doc_id, f1.lang, f1.text,
+             |         f1.doc_id = e1.first_doc AS pass1,
+             |         f1.doc_id = e1.first_doc AND NOT f1.denied AS pass2,
+             |         f1.doc_id = e1.first_doc AND NOT f1.denied
+             |           AND qs.raw_score > 0 AS pass3
+             |  FROM f1 JOIN e1 USING (ckey) JOIN qs USING (doc_id)),
+             |stoks AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |          FROM f4 WHERE pass3),
+             |chunks AS (
+             |  SELECT doc_id, i AS ci, array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk
+             |  FROM (SELECT doc_id, ws,
+             |          unnest(range(0, CAST(ceil(len(ws)/10.0) AS INT))) AS i
+             |        FROM stoks)),
+             |cd AS (SELECT chunk, MIN(doc_id) AS cd FROM chunks GROUP BY chunk),
+             |canon AS (
+             |  SELECT c.chunk, c.cd, MIN(ch.ci) AS cc
+             |  FROM cd c JOIN chunks ch ON ch.chunk = c.chunk AND ch.doc_id = c.cd
+             |  GROUP BY c.chunk, c.cd),
+             |ckd AS (
+             |  SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |         CAST(SUM(CASE WHEN ch.doc_id = c.cd AND ch.ci = c.cc
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |  FROM chunks ch JOIN canon c ON ch.chunk = c.chunk
+             |  GROUP BY ch.doc_id),
+             |f5 AS (
+             |  SELECT f4.*,
+             |         f4.pass3 AND COALESCE(c.n_kept * 2 >= c.n_chunks, false) AS pass4
+             |  FROM f4 LEFT JOIN ckd c USING (doc_id)),
+             |semdocs AS (
+             |  SELECT f5.doc_id, e.embedding
+             |  FROM f5 JOIN embeddings e ON e.vec_id = f5.doc_id
+             |  WHERE f5.pass4),
+             |cent AS (
+             |  SELECT CAST(ck.cid AS INT) AS cid,
+             |         list((CAST(('0x'||substr(md5('c:'||ck.cid||':'||dd.d),1,15)) AS BIGINT)
+             |               % 2001 - 1000) / 1024.0 ORDER BY dd.d) AS cvec
+             |  FROM (SELECT unnest(range(0, (SELECT k FROM nemb))) AS cid) ck,
+             |       (SELECT unnest(range(0, 64)) AS d) dd
+             |  GROUP BY ck.cid),
+             |coarse AS (
+             |  SELECT CAST(ck.gid AS INT) AS gid,
+             |         list((CAST(('0x'||substr(md5('g:'||ck.gid||':'||dd.d),1,15)) AS BIGINT)
+             |               % 2001 - 1000) / 1024.0 ORDER BY dd.d) AS gvec
+             |  FROM (SELECT unnest(range(0, (SELECT k1 FROM k1t))) AS gid) ck,
+             |       (SELECT unnest(range(0, 64)) AS d) dd
+             |  GROUP BY ck.gid),
+             |child AS (
+             |  SELECT gid, cid, cvec FROM (
+             |    SELECT c.cid, c.cvec, g.gid,
+             |           row_number() OVER (PARTITION BY c.cid ORDER BY
+             |             list_cosine_similarity(c.cvec, g.gvec) DESC, g.gid ASC) AS rn
+             |    FROM cent c CROSS JOIN coarse g)
+             |  WHERE rn = 1),
+             |used AS (SELECT g.gid, g.gvec
+             |         FROM coarse g JOIN (SELECT DISTINCT gid FROM child) u USING (gid)),
+             |vg AS (
+             |  SELECT doc_id, gid FROM (
+             |    SELECT e.doc_id, g.gid,
+             |           row_number() OVER (PARTITION BY e.doc_id ORDER BY
+             |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), g.gvec) DESC,
+             |             g.gid ASC) AS rn
+             |    FROM semdocs e CROSS JOIN used g)
+             |  WHERE rn = 1),
+             |asg AS (
+             |  SELECT doc_id, cid AS cluster FROM (
+             |    SELECT v.doc_id, c.cid,
+             |           row_number() OVER (PARTITION BY v.doc_id ORDER BY
+             |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+             |             c.cid ASC) AS rn
+             |    FROM vg v
+             |    JOIN semdocs e ON e.doc_id = v.doc_id
+             |    JOIN child c ON c.gid = v.gid)
+             |  WHERE rn = 1),
+             |pruned AS (
+             |  SELECT DISTINCT b.doc_id
+             |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.doc_id < b.doc_id
+             |  JOIN semdocs ea ON ea.doc_id = a.doc_id
+             |  JOIN semdocs eb ON eb.doc_id = b.doc_id
+             |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+             |                               CAST(eb.embedding AS DOUBLE[])) >= 0.3),
+             |f6 AS (
+             |  SELECT f5.*, f5.pass4 AND p.doc_id IS NULL AS pass5
+             |  FROM f5 LEFT JOIN pruned p USING (doc_id)),
+             |sc AS (
+             |  SELECT doc_id,
+             |         (CAST(len(list_distinct(ws)) AS BIGINT) * 1000000)
+             |           // CAST(len(ws) AS BIGINT) AS score_fp
+             |  FROM toks),
+             |b AS (
+             |  SELECT f6.lang,
+             |         CAST(ntile(3) OVER (PARTITION BY f6.lang
+             |           ORDER BY sc.score_fp DESC, f6.doc_id ASC) AS BIGINT) AS bucket
+             |  FROM f6 JOIN sc USING (doc_id) WHERE f6.pass5)
+             |SELECT 'stage' AS kind, '0_input' AS k1, '' AS k2,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n
+             |UNION ALL SELECT 'stage', '1_url_dedup', '',
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM f6 WHERE pass1)
+             |UNION ALL SELECT 'stage', '2_denylist', '',
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM f6 WHERE pass2)
+             |UNION ALL SELECT 'stage', '3_quality', '',
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM f6 WHERE pass3)
+             |UNION ALL SELECT 'stage', '4_chunk_dedup', '',
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM f6 WHERE pass4)
+             |UNION ALL SELECT 'stage', '5_semdedup', '',
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM f6 WHERE pass5)
+             |UNION ALL SELECT 'bucket', lang, CAST(bucket AS VARCHAR),
+             |       CAST(COUNT(*) AS BIGINT)
+             |FROM b GROUP BY lang, bucket
+             |ORDER BY kind ASC, k1 ASC, k2 ASC""".stripMargin),
+      "end-to-end curation DAG: URL dedup -> denylist -> extract -> quality -> chunk dedup -> SemDeDup -> buckets, stage counts + histogram == full DuckDB replay"),
+  )
+}
