@@ -7,13 +7,16 @@ import graft.GQuery
 import graft.functions.{Similarity, TextFunctions => TF}
 import graft.sources.Tables
 
-/** Round-8 flagship composite: the COMPLETE web-curation DAG as ONE gated
-  * query — URL-canonical dedup → deny-list → HTML extract → quality
+/** Round-8 additions: the COMPLETE web-curation DAG as ONE gated query
+  * (q229) — URL-canonical dedup → deny-list → HTML extract → quality
   * classifier → chunk dedup → SemDeDup → quality buckets — proving the
   * individually-gated operators (q219, q215, q214, q217, q179, q220,
   * q221) COMPOSE without per-stage materialization: each stage's filter
   * applies before the next stage's shuffle, so data only shrinks down
-  * the pipeline (the q108 monotone-shrink shape at the LLM tier).
+  * the pipeline (the q108 monotone-shrink shape at the LLM tier). Plus
+  * the streaming half of the URL tier (q230: canonicalize + dedup a
+  * live crawl frontier through the real micro-batch engine) and the
+  * deflate compression-ratio quality signal (q231).
   */
 object CurationDagQueries {
 
@@ -315,5 +318,68 @@ object CurationDagQueries {
              |FROM b GROUP BY lang, bucket
              |ORDER BY kind ASC, k1 ASC, k2 ASC""".stripMargin),
       "end-to-end curation DAG: URL dedup -> denylist -> extract -> quality -> chunk dedup -> SemDeDup -> buckets, stage counts + histogram == full DuckDB replay"),
+
+    // ------------------------------------------------------------------
+    // q230: STREAMING URL-canonicalization dedup — the crawl-frontier
+    // composition of q219's canonical key with q172's watermark dedup,
+    // through the REAL micro-batch engine (see EventStreams
+    // .streamCanonicalGate): three checkpointed batches present each
+    // canonical key in three DIFFERENT messy spellings (case-mangled
+    // host + www., explicit :443 + a utm param, trailing root-dot +
+    // trailing slash + fragment), and dropDuplicatesWithinWatermark must
+    // fold them although no two raw strings match. Survivors are batch
+    // 0's rows (id == k), so the oracle reconstructs the canonical form
+    // AND the first-arrival id from the key formula alone. Scale: state
+    // is one entry per canonical key, watermark-expired; the canonical
+    // key is a projected codegen'd expression, streaming-legal.
+    GQuery(
+      "q230_stream_canonical",
+      (s, _) => graft.streaming.EventStreams.streamCanonicalGate(s),
+      Some("""SELECT 'https://host' || CAST(k AS VARCHAR) || '.example.com/p/' ||
+             |         CAST(k AS VARCHAR) || '?a=1' AS canonical_url,
+             |       CAST(k AS BIGINT) AS first_id
+             |FROM (SELECT unnest(range(0, 100)) AS k)
+             |ORDER BY first_id ASC""".stripMargin),
+      "streaming canonical-URL dedup via the real micro-batch engine == formula oracle"),
+
+    // ------------------------------------------------------------------
+    // q231: compression-ratio quality signal (CCNet/Gopher: highly
+    // repetitive text compresses suspiciously well; high-entropy noise
+    // does not) — REAL deflate at the codec boundary (Shards
+    // .compressRatioRows: raw_len, deflate(text), deflate(text||text)
+    // computed map-side, only the three lengths leave the task). Exact
+    // deflate byte counts are zlib-implementation facts, so the gate
+    // outputs INVARIANT verdicts with wide margins (the q72-q74
+    // discipline), over two synthesized text classes whose verdicts are
+    // certain: 'rep' (an 8-char unit repeated 100x — ratio a few %,
+    // far under the 1/3 bar) vs 'hex' (100 chained md5 hex blocks — 16
+    // symbols >= 4 bits/char, ratio ~0.55, far above). v_window pins
+    // the 32 KiB deflate window law: the doubled text's second copy
+    // collapses to back-references for BOTH classes. 100 TB: pure
+    // map-side compression probe, feature-sized output.
+    GQuery(
+      "q231_compress_ratio",
+      (s, d) => {
+        val hexChain = concat_ws("", (0 until 25).map(i =>
+          md5(concat(col("doc_id").cast("string"), lit(":" + i)))): _*)
+        val synth = Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(col("doc_id") % 2 === 0, lit("abcdefgh" * 100))
+              .otherwise(hexChain).as("text"))
+        val feats = graft.multimodal.Shards.compressRatioRows(synth)
+        feats.select(col("doc_id"),
+            when(col("doc_id") % 2 === 0, lit("rep")).otherwise(lit("hex")).as("class"),
+            col("raw_len"),
+            (col("def_len") * 3 < col("raw_len")).as("v_compressible"),
+            (col("def2_len") < col("def_len") + col("raw_len") / 8).as("v_window"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT doc_id,
+             |       CASE WHEN doc_id % 2 = 0 THEN 'rep' ELSE 'hex' END AS class,
+             |       CAST(CASE WHEN doc_id % 2 = 0 THEN 800 ELSE 800 END AS BIGINT) AS raw_len,
+             |       doc_id % 2 = 0 AS v_compressible,
+             |       true AS v_window
+             |FROM documents ORDER BY doc_id ASC""".stripMargin),
+      "deflate compression-ratio quality signal: class-separating invariant verdicts with wide margins"),
   )
 }
