@@ -695,7 +695,7 @@ object Shards {
     }.toDF("media_id", "out_len", "byte_sum")
   }
 
-  /** Per-partition compression-ratio features for the q227 quality gate:
+  /** Per-partition compression-ratio features for the q231 quality gate:
     * (doc_id, raw_len, def_len, def2_len) where def_len = deflate(text)
     * and def2_len = deflate(text ++ text) — the doubled form isolates the
     * REPETITION signal (the second copy should be one long back-reference,
