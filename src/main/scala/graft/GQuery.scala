@@ -49,7 +49,8 @@ object QueryRegistry {
       graft.queries.WebCurationQueries.all ++
       graft.queries.SemanticCurationQueries.all ++
       graft.queries.GovernanceQueries.all ++
-      graft.queries.CurationDagQueries.all
+      graft.queries.CurationDagQueries.all ++
+      graft.queries.FormatDepthQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

@@ -678,6 +678,205 @@ object Multimodal {
       }
       (n.toLong, sumV, sumAbs, peak)
     }
+
+    /** ITU-T G.711 µ-law byte → linear PCM sample (±32124 range). Pure
+      * integer formula (the CCITT reference expansion: invert, bias the
+      * mantissa by 0x84, shift by the segment, un-bias), so a SQL oracle
+      * replays it with bit arithmetic — the decode itself is gate-exact,
+      * not invariant-bounded.
+      */
+    def ulawToLinear(b: Int): Int = {
+      val u = ~b & 0xff
+      val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+    /** ITU-T G.711 A-law byte → linear PCM sample (±32256 range). The
+      * even-bit XOR 0x55 mask, then per-segment expansion; segment 0 is
+      * the linear-step special case (+8), higher segments bias by 0x108
+      * and shift. Same gate-exact SQL-replayable contract as µ-law.
+      */
+    def alawToLinear(b: Int): Int = {
+      val a = b ^ 0x55
+      val m = (a & 0x0f) << 4
+      val seg = (a & 0x70) >> 4
+      val t = seg match {
+        case 0 => m + 8
+        case 1 => m + 0x108
+        case s => (m + 0x108) << (s - 1)
+      }
+      if ((a & 0x80) != 0) t else -t
+    }
+
+    /** (codec_tag, n_samples, sum_v, sum_abs, peak_abs) over the decoded
+      * samples of a G.711 WAV (format tag 6 = A-law, 7 = µ-law, 8
+      * bits/sample): every data byte is one sample, decoded by the exact
+      * ITU formulas above. Non-G.711 payloads report the corrupt-media
+      * contract (tag 0, all zeros) — 16-bit PCM stays [[pcmStats]]'s job.
+      */
+    def g711Stats(p: Array[Byte]): (Int, Long, Long, Long, Int) = {
+      def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def le32(o: Int) = ContainerCodec.le32(p, o)
+      if (!ContainerCodec.isWav(p)) return (0, 0L, 0L, 0L, 0)
+      var off = 12
+      var tag = 0; var fmtOk = false
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= p.length && (!fmtOk || dataOff < 0)) {
+        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(off + 4)
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length) {
+          tag = le16(off + 8)
+          fmtOk = (tag == 6 || tag == 7) && le16(off + 22) == 8
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataLen = math.min(sz, (p.length - dataOff).toLong).toInt
+        }
+        val step = 8L + sz + (sz & 1L)
+        if (step <= 8L || off + step > Int.MaxValue) return (0, 0L, 0L, 0L, 0)
+        off += step.toInt
+      }
+      if (!fmtOk || dataOff < 0) return (0, 0L, 0L, 0L, 0)
+      var i = 0
+      var sumV = 0L; var sumAbs = 0L; var peak = 0
+      while (i < dataLen) {
+        val v =
+          if (tag == 7) ulawToLinear(p(dataOff + i) & 0xff)
+          else alawToLinear(p(dataOff + i) & 0xff)
+        sumV += v
+        val a = math.abs(v)
+        sumAbs += a
+        if (a > peak) peak = a.toInt
+        i += 1
+      }
+      (tag, dataLen.toLong, sumV, sumAbs, peak)
+    }
+
+    /** IMA/DVI ADPCM tables (public IMA ADPCM spec / MS WAVE format tag
+      * 0x11): 89-entry step-size table and the 3-bit index adjustment.
+      */
+    private[multimodal] val ImaStep: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    private[multimodal] val ImaIndexAdj: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** One IMA decode step: (predictor, stepIndex, nibble) → (sample,
+      * predictor', stepIndex'). The shared state machine for decode AND
+      * the synth-side encoder (which mirrors the decoder to stay
+      * drift-free, as every real IMA encoder does).
+      */
+    private[graft] def imaStep(pred: Int, idx: Int, n: Int): (Int, Int, Int) = {
+      val step = ImaStep(idx)
+      var diff = step >> 3
+      if ((n & 1) != 0) diff += step >> 2
+      if ((n & 2) != 0) diff += step >> 1
+      if ((n & 4) != 0) diff += step
+      val p2 = math.max(-32768, math.min(32767,
+        if ((n & 8) != 0) pred - diff else pred + diff))
+      val i2 = math.max(0, math.min(88, idx + ImaIndexAdj(n & 7)))
+      (p2, p2, i2)
+    }
+
+    /** Encode one sample against (pred, idx) → (nibble, pred', idx').
+      * Standard IMA quantization: magnitude bits set greedily against
+      * step, step/2, step/4; state advances through [[imaStep]] so the
+      * encoder tracks exactly what the decoder will reconstruct.
+      */
+    private[graft] def imaEncode(sample: Int, pred: Int, idx: Int): (Int, Int, Int) = {
+      val step = ImaStep(idx)
+      var delta = sample - pred
+      var n = 0
+      if (delta < 0) { n = 8; delta = -delta }
+      if (delta >= step) { n |= 4; delta -= step }
+      if (delta >= (step >> 1)) { n |= 2; delta -= step >> 1 }
+      if (delta >= (step >> 2)) n |= 1
+      val (_, p2, i2) = imaStep(pred, idx, n)
+      (n, p2, i2)
+    }
+
+    /** Decoded-sample walk of a mono IMA ADPCM WAV (format tag 0x11, 4
+      * bits/sample): per block a 4-byte state header (initial predictor
+      * s16le — which IS the block's first output sample — step index u8,
+      * reserved u8) followed by data bytes carrying two nibbles each, LOW
+      * nibble first. Returns (n_samples, first_sample, sum_v, sum_abs,
+      * peak_abs, max_err) where max_err is the max |decoded - expected|
+      * against the caller's expected-sample function (the reconstruction
+      * bound a gate turns into a verdict); zeros for non-ADPCM payloads.
+      * A truncated final block decodes the nibbles actually present —
+      * the same clamp discipline as [[pcmStats]].
+      */
+    def adpcmStats(p: Array[Byte], expected: Int => Int): (Long, Int, Long, Long, Int, Int) = {
+      def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def le32(o: Int) = ContainerCodec.le32(p, o)
+      if (!ContainerCodec.isWav(p)) return (0L, 0, 0L, 0L, 0, 0)
+      var off = 12
+      var fmtOk = false; var blockAlign = 0; var spb = 0
+      var factSamples = Long.MaxValue
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= p.length && (!fmtOk || dataOff < 0)) {
+        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(off + 4)
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length) {
+          fmtOk = le16(off + 8) == 0x11 && le16(off + 10) == 1 &&
+            le16(off + 22) == 4
+          blockAlign = le16(off + 20)
+          // MS ADPCM-family fmt extension: cbSize(2) + samplesPerBlock(2)
+          spb =
+            if (sz >= 20 && off + 8 + 20 <= p.length && le16(off + 24) >= 2)
+              le16(off + 26)
+            else (blockAlign - 4) * 2 + 1 // spec default for mono IMA
+        } else if (id == "fact" && sz >= 4 && off + 12 <= p.length) {
+          factSamples = le32(off + 8) // authoritative decoded-length bound
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataLen = math.min(sz, (p.length - dataOff).toLong).toInt
+        }
+        val step = 8L + sz + (sz & 1L)
+        if (step <= 8L || off + step > Int.MaxValue) return (0L, 0, 0L, 0L, 0, 0)
+        off += step.toInt
+      }
+      if (!fmtOk || dataOff < 0 || blockAlign < 5 || spb < 1)
+        return (0L, 0, 0L, 0L, 0, 0)
+      var n = 0L; var first = 0; var sumV = 0L; var sumAbs = 0L
+      var peak = 0; var maxErr = 0
+      def emit(v: Int): Unit = {
+        if (n == 0L) first = v
+        val e = math.abs(v - expected(n.toInt))
+        if (e > maxErr) maxErr = e
+        sumV += v
+        val a = math.abs(v)
+        sumAbs += a
+        if (a > peak) peak = a
+        n += 1
+      }
+      var b0 = dataOff
+      while (b0 + 4 <= dataOff + dataLen && n < factSamples) {
+        val blockEnd = math.min(b0 + blockAlign, dataOff + dataLen)
+        var pred = ((p(b0 + 1) << 8) | (p(b0) & 0xff)).toShort.toInt
+        var idx = math.max(0, math.min(88, p(b0 + 2) & 0xff))
+        var inBlock = 0
+        def room: Boolean = inBlock < spb && n < factSamples
+        if (room) { emit(pred); inBlock += 1 }
+        var o = b0 + 4
+        while (o < blockEnd && room) {
+          val byte = p(o) & 0xff
+          val (s1, p1, i1) = imaStep(pred, idx, byte & 0x0f)
+          emit(s1); pred = p1; idx = i1; inBlock += 1
+          if (room) {
+            val (s2, p2, i2) = imaStep(pred, idx, (byte >> 4) & 0x0f)
+            emit(s2); pred = p2; idx = i2; inBlock += 1
+          }
+          o += 1
+        }
+        b0 += blockAlign
+      }
+      (n, first, sumV, sumAbs, peak, maxErr)
+    }
   }
 
   /** FLAC STREAMINFO row — carries the bits_per_sample field the generic
@@ -892,6 +1091,89 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
+    }
+
+    /** Deterministic COLOR PNG: w = 12 + key%11, h = 12 + key%7, channel
+      * formulas r=(7x+13y+31k)%256, g=(11x+3y+17k)%256, b=(5x+23y+29k)%256.
+      * PNG TYPE_INT_RGB roundtrips losslessly, so the decoded pixel is
+      * the formula byte exactly — the q195 gate contract, per channel.
+      */
+    def synthPngRgb(key: Long): Array[Byte] = {
+      val w = 12 + (key % 11).toInt
+      val h = 12 + (key % 7).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((7L * x + 13L * y + 31L * key) % 256L).toInt
+          val g = ((11L * x + 3L * y + 17L * key) % 256L).toInt
+          val b = ((5L * x + 23L * y + 29L * key) % 256L).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Nearest-neighbor resize to tw×th, packed 0xRRGGBB row-major — the
+      * [[lumaGrid]] sampling rule (src = floor(dst·srcDim/dstDim), the
+      * top-left convention) applied to full color: explicit integer
+      * sampling, bit-reproducible, SQL-replayable. This is the
+      * model-input preprocessing primitive (thumbnail for a vision
+      * encoder); stats over its output gate the op end-to-end.
+      */
+    def resizeNearestRgb(img: java.awt.image.BufferedImage, tw: Int, th: Int): Array[Int] = {
+      val out = new Array[Int](tw * th)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          out(y * tw + x) =
+            img.getRGB(x * img.getWidth / tw, y * img.getHeight / th) & 0xffffff
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Center crop cw×ch (top-left-biased for odd margins: x0=(w-cw)/2),
+      * packed 0xRRGGBB row-major. Requires the crop to fit.
+      */
+    def centerCropRgb(img: java.awt.image.BufferedImage, cw: Int, ch: Int): Array[Int] = {
+      val w = img.getWidth; val h = img.getHeight
+      require(cw <= w && ch <= h, s"crop ${cw}x$ch exceeds ${w}x$h")
+      val x0 = (w - cw) / 2; val y0 = (h - ch) / 2
+      val out = new Array[Int](cw * ch)
+      var y = 0
+      while (y < ch) {
+        var x = 0
+        while (x < cw) {
+          out(y * cw + x) = img.getRGB(x0 + x, y0 + y) & 0xffffff
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Per-channel (r,g,b) sums over packed pixels — the normalization
+      * statistic a vision pipeline computes before mean/std scaling.
+      */
+    def channelSums(pix: Array[Int]): (Long, Long, Long) = {
+      var r = 0L; var g = 0L; var b = 0L
+      var i = 0
+      while (i < pix.length) {
+        val p = pix(i)
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+        i += 1
+      }
+      (r, g, b)
     }
 
     /** Deterministic multi-frame gray GIF: w = 8 + key%9, h = 8 + key%7,
@@ -1175,6 +1457,108 @@ object Multimodal {
         }
         i += 1
       }
+      bb.array()
+    }
+
+    /** G.711 WAV (format tag 6 = A-law when `aLaw`, else 7 = µ-law, 8
+      * bits/sample): encoded byte at sample index i is
+      * `(i*k + 7*key) % 256` — a pure formula, so a SQL oracle replays
+      * the exact ITU decode expansion per byte and aggregates without
+      * seeing the container. Mono, 8 kHz (the G.711 telephony rate).
+      */
+    def wavG711(aLaw: Boolean, samples: Int, k: Int, key: Long): Array[Byte] = {
+      val rate = 8000
+      val bb = java.nio.ByteBuffer.allocate(44 + samples)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)).putInt(36 + samples)
+        .put("WAVE".getBytes(ascii))
+        .put("fmt ".getBytes(ascii)).putInt(16)
+        .putShort(if (aLaw) 6 else 7)
+        .putShort(1) // mono
+        .putInt(rate)
+        .putInt(rate) // byte rate = rate × 1 byte/sample
+        .putShort(1) // block align
+        .putShort(8) // bits/sample
+        .put("data".getBytes(ascii)).putInt(samples)
+      var i = 0
+      while (i < samples) {
+        bb.put((((i.toLong * k + 7L * key) % 256L).toInt & 0xff).toByte)
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** Mono IMA ADPCM WAV (format tag 0x11, 4 bits/sample) carrying the
+      * ENCODED form of the triangle wave
+      * `s(i) = |((i*k + phase) % 4000) - 2000| - 1000` (continuous — the
+      * slope is ±k everywhere, so a small-step tracker can follow): the
+      * encoder mirrors the decoder's state machine ([[AudioCodec.imaStep]]),
+      * header predictor = s(block start) (so each block's first decoded
+      * sample is exact), nibbles packed low-first, `blockAlign`-sized
+      * blocks each restarting state from the true waveform value (the
+      * seek-point contract real IMA encoders honor). `samples` counts
+      * DECODED samples; fmt's samplesPerBlock extension + the fact chunk
+      * bound the decode exactly.
+      */
+    def wavAdpcm(samples: Int, k: Int, blockAlign: Int, phase: Int = 0): Array[Byte] = {
+      require(blockAlign >= 8 && samples >= 1 && phase >= 0)
+      def s(i: Int): Int =
+        (math.abs((i.toLong * k + phase) % 4000L - 2000L) - 1000L).toInt
+      val spb = (blockAlign - 4) * 2 + 1 // samples per full block
+      val nBlocks = (samples + spb - 1) / spb
+      val buf = new java.io.ByteArrayOutputStream()
+      var i = 0
+      var blk = 0
+      while (blk < nBlocks) {
+        val inBlock = math.min(spb, samples - i)
+        var pred = s(i)
+        var idx = 0
+        buf.write(pred & 0xff); buf.write((pred >> 8) & 0xff)
+        buf.write(idx); buf.write(0)
+        i += 1
+        var produced = 1
+        var pending = -1 // low nibble awaiting its high partner
+        while (produced < inBlock) {
+          val (n, p2, i2) = AudioCodec.imaEncode(s(i), pred, idx)
+          pred = p2; idx = i2
+          if (pending < 0) pending = n
+          else { buf.write(pending | (n << 4)); pending = -1 }
+          produced += 1
+          i += 1
+        }
+        if (pending >= 0) buf.write(pending) // odd tail: high nibble unused
+        // every block except a trailing partial one is padded to
+        // blockAlign (mid-stream alignment is what makes IMA blocks
+        // seekable); the decoder never decodes padding because fmt's
+        // samplesPerBlock extension and the fact chunk bound it
+        if (blk < nBlocks - 1) {
+          val written = 4 + inBlock / 2
+          var pad = blockAlign - written
+          while (pad > 0) { buf.write(0); pad -= 1 }
+        }
+        blk += 1
+      }
+      val payload = buf.toByteArray
+      // fmt(20: base 16 + cbSize 2 + samplesPerBlock 2) + fact + data
+      val riffSize = 4 + (8 + 20) + (8 + 4) + (8 + payload.length)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)).putInt(riffSize)
+        .put("WAVE".getBytes(ascii))
+        .put("fmt ".getBytes(ascii)).putInt(20)
+        .putShort(0x11)
+        .putShort(1) // mono
+        .putInt(8000)
+        .putInt(8000 * blockAlign / spb) // nominal byte rate
+        .putShort(blockAlign.toShort)
+        .putShort(4) // bits/sample
+        .putShort(2) // cbSize
+        .putShort(spb.toShort) // samplesPerBlock
+        .put("fact".getBytes(ascii)).putInt(4).putInt(samples)
+        .put("data".getBytes(ascii)).putInt(payload.length)
+        .put(payload)
       bb.array()
     }
 

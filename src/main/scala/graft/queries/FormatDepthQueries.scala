@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.GQuery
+import graft.sources.{AvroIO, Tables}
+import graft.functions.Automaton
+import graft.multimodal.Multimodal
+
+/** Round-8 depth tier: the Avro interchange format (q232), real G.711 and
+  * IMA ADPCM audio sample decode (q233/q234 — two more retirements from
+  * the compressed-codec gap), Aho–Corasick multi-pattern blocklist
+  * scanning (q235), and color-image preprocessing — nearest resize +
+  * center crop + channel stats (q236).
+  *
+  * Oracle policy: q232 roundtrips fixture rows, so plain relational SQL
+  * re-aggregates the source table; q233/q236 are formula-oracle gates in
+  * the q143/q195 never-self-consistent contract (the oracle recomputes
+  * the decode/resample arithmetic relationally, never seeing a byte);
+  * q234's sequential decoder state machine is not SQL-expressible, so its
+  * gate pins exact formula fields (sample count, first sample) plus
+  * wide-margin reconstruction verdicts, with golden vectors and measured
+  * tighter bounds in MultimodalSpec; q235's counts are replayed via the
+  * replace-length identity (all gated terms are border-free, so AC's
+  * all-occurrence count equals SQL's non-overlapping count).
+  */
+object FormatDepthQueries {
+
+  /** q235's blocklist — border-free terms (no proper prefix == suffix),
+    * which makes the AC occurrence count equal DuckDB's replace-based
+    * non-overlapping count; unlikely-in-fixture spellings keep injected
+    * counts dominant but the oracle counts the REAL text either way.
+    */
+  private val BlockTerms = Seq("xqz7", "hazmat9", "contrabandum", "zy0k", "qq8line")
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q232: Avro Object Container File sink + source — the row-oriented
+    // ingestion format of log/Kafka-archive pipelines, via the avro core
+    // library on Spark's own classpath (no connector module). Write is
+    // one OCF file per task through the Hadoop FileSystem API; read is
+    // shard-per-task via binaryFile + DataFileStream with explicit
+    // reader-schema resolution. The gate roundtrips supplier and
+    // re-aggregates; the oracle aggregates the parquet source directly,
+    // so any writer/reader disagreement (union handling, Utf8 vs String,
+    // field order) is a hash mismatch.
+    GQuery(
+      "q232_avro_roundtrip",
+      (s, d) => {
+        val tmp = s"/tmp/graft_avro_${d.replaceAll("[^0-9.]", "")}_${ProcessHandle.current.pid}"
+        val src = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        AvroIO.write(src, tmp)
+        AvroIO.read(s, tmp, src.schema)
+          .groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("s_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_bal"),
+            sum(length(col("s_name"))).as("sum_name_len"))
+          .orderBy(col("nk").asc)
+      },
+      Some("""SELECT s_nationkey AS nk, COUNT(*) AS n,
+             |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+             |       CAST(SUM(length(s_name)) AS BIGINT) AS sum_name_len
+             |FROM supplier GROUP BY 1 ORDER BY nk ASC""".stripMargin),
+      "Avro OCF sink + source roundtrip (snappy blocks, one file per task, explicit reader schema)"),
+
+    // ------------------------------------------------------------------
+    // q233: REAL G.711 sample decode — µ-law and A-law (WAV format tags
+    // 7/6), the telephony/voice-corpus codec. Each encoded byte is one
+    // sample expanded by the exact ITU integer formulas, and those
+    // formulas are replayed per-byte in SQL (bit shifts and all), so the
+    // gate is decode-exact, not invariant-bounded: a wrong segment
+    // shift, bias, or sign convention on either side is a red hash.
+    // 100 TB: pure map work at the codec boundary; only 5 stat columns
+    // per media row ever shuffle.
+    GQuery(
+      "q233_g711_decode",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id,
+                Multimodal.SyntheticMedia.wavG711(
+                  aLaw = id % 2 == 0,
+                  samples = (40 + id % 50).toInt,
+                  k = (3 + id % 13).toInt,
+                  key = id),
+                "audio/g711")
+            }
+          }
+        media.mapPartitions { rows =>
+          rows.map { r =>
+            val (tag, n, sumV, sumAbs, peak) = Multimodal.AudioCodec.g711Stats(r.payload)
+            (r.media_id, tag, n, sumV, sumAbs, peak)
+          }
+        }.toDF("media_id", "codec_tag", "n_samples", "sum_v", "sum_abs", "peak_abs")
+          .orderBy(col("media_id").asc)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, 40 + doc_id % 50 AS ns, 3 + doc_id % 13 AS k
+             |  FROM documents),
+             |s AS (SELECT doc_id, k, unnest(range(0, ns)) AS i FROM m),
+             |b AS (SELECT doc_id, CAST((i * k + 7 * doc_id) % 256 AS INT) AS byte FROM s),
+             |v AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN
+             |      -- A-law: XOR 0x55, segment expansion (ITU-T G.711)
+             |      CASE WHEN xor(byte, 85) >= 128 THEN 1 ELSE -1 END *
+             |      CASE (xor(byte, 85) // 16) % 8
+             |        WHEN 0 THEN (xor(byte, 85) % 16) * 16 + 8
+             |        WHEN 1 THEN (xor(byte, 85) % 16) * 16 + 264
+             |        ELSE ((xor(byte, 85) % 16) * 16 + 264)
+             |               * (1 << ((xor(byte, 85) // 16) % 8 - 1))
+             |      END
+             |    ELSE
+             |      -- µ-law: invert, bias mantissa by 0x84, segment shift
+             |      CASE WHEN (255 - byte) >= 128 THEN -1 ELSE 1 END *
+             |      ((((255 - byte) % 16) * 8 + 132)
+             |         * (1 << (((255 - byte) // 16) % 8)) - 132)
+             |    END AS v
+             |  FROM b)
+             |SELECT doc_id AS media_id,
+             |       CASE WHEN CAST(doc_id % 2 AS INT) = 0 THEN 6 ELSE 7 END AS codec_tag,
+             |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+             |       CAST(SUM(v) AS BIGINT) AS sum_v,
+             |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+             |       CAST(MAX(ABS(v)) AS INT) AS peak_abs
+             |FROM v GROUP BY doc_id ORDER BY media_id ASC""".stripMargin),
+      "G.711 µ-law/A-law sample decode, ITU expansion replayed per-byte in SQL — decode-exact gate"),
+
+    // ------------------------------------------------------------------
+    // q234: REAL IMA ADPCM sample decode (WAV format tag 0x11) — the
+    // 4-bit differential codec of voice datasets and game audio. The
+    // decoder walks blocks (state header + low-first nibbles, bounded by
+    // fmt's samplesPerBlock and the fact chunk) through the standard
+    // 89-step table machine. Sequential state is not SQL-expressible, so
+    // the gate pins what IS exact — sample count (fact-bounded) and the
+    // first decoded sample (== block predictor == the waveform formula
+    // at 0) — plus reconstruction verdicts with wide margins against the
+    // triangle-wave source the synth ENCODED with the mirrored encoder:
+    // slope ≤ 9/sample keeps the tracker within ±64 after adaptation
+    // (measured ≤ 16 in MultimodalSpec, which also pins spec golden
+    // vectors so a shared encoder/decoder bug cannot self-cancel).
+    GQuery(
+      "q234_adpcm_decode",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id,
+                Multimodal.SyntheticMedia.wavAdpcm(
+                  samples = (70 + id % 80).toInt,
+                  k = (2 + id % 7).toInt,
+                  blockAlign = 28 + 8 * (id % 3).toInt,
+                  phase = (13 * (id % 307)).toInt),
+                "audio/adpcm")
+            }
+          }
+        media.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.media_id
+            val k = 2 + id % 7
+            val phase = 13L * (id % 307)
+            def expected(i: Int): Int =
+              (math.abs((i.toLong * k + phase) % 4000L - 2000L) - 1000L).toInt
+            val (n, first, _, _, peak, maxErr) =
+              Multimodal.AudioCodec.adpcmStats(r.payload, expected)
+            (id, n, first, maxErr <= 64, peak <= 1064)
+          }
+        }.toDF("media_id", "n_samples", "first_sample", "err_ok", "peak_ok")
+          .orderBy(col("media_id").asc)
+      },
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(70 + doc_id % 80 AS BIGINT) AS n_samples,
+             |       CAST(ABS((13 * (doc_id % 307)) % 4000 - 2000) - 1000 AS INT) AS first_sample,
+             |       true AS err_ok, true AS peak_ok
+             |FROM documents ORDER BY media_id ASC""".stripMargin),
+      "IMA ADPCM block decode: exact count/first-sample + bounded reconstruction error vs encoded triangle wave"),
+
+    // ------------------------------------------------------------------
+    // q235: Aho–Corasick blocklist scan — every occurrence of every term
+    // in ONE automaton pass per document, O(len + matches) independent of
+    // term count (the naive per-term scan a 100 TB corpus cannot afford;
+    // a regex alternation backtracks). The automaton builds once on the
+    // driver from the artifact-sized term list and rides the task
+    // closure. Injected term clusters (a CASE of doc_id) plant known
+    // occurrences at all multiplicities; the oracle counts on the SAME
+    // assembled text via the replace-length identity, valid because
+    // every gated term is border-free.
+    GQuery(
+      "q235_blocklist_scan",
+      (s, d) => {
+        import s.implicits._
+        val ac = Automaton.build(BlockTerms)
+        val assembled = Tables.documents(s, d).select(
+          col("doc_id"),
+          concat(col("text"), lit(" "),
+            when(col("doc_id") % 4 === 0, "xqz7 hazmat9 xqz7")
+              .when(col("doc_id") % 4 === 1, "contrabandum")
+              .when(col("doc_id") % 4 === 2, "zy0k zy0k qq8line")
+              .otherwise("")).as("t"))
+        assembled.as[(Long, String)].mapPartitions { rows =>
+          rows.flatMap { case (id, t) =>
+            val counts = ac.countMatches(t)
+            counts.iterator.zipWithIndex.collect {
+              case (n, i) if n > 0 => (id, ac.patterns(i), n)
+            }
+          }
+        }.toDF("doc_id", "term", "n_occ")
+          .orderBy(col("doc_id").asc, col("term").asc)
+      },
+      Some(s"""WITH t2 AS (
+             |  SELECT doc_id,
+             |         text || ' ' || CASE CAST(doc_id % 4 AS INT)
+             |           WHEN 0 THEN 'xqz7 hazmat9 xqz7'
+             |           WHEN 1 THEN 'contrabandum'
+             |           WHEN 2 THEN 'zy0k zy0k qq8line'
+             |           ELSE '' END AS t
+             |  FROM documents),
+             |terms AS (SELECT * FROM (VALUES ${BlockTerms.map(t => s"('$t')").mkString(", ")}) AS v(term)),
+             |c AS (
+             |  SELECT doc_id, term,
+             |         CAST((length(t) - length(replace(t, term, ''))) // length(term) AS BIGINT) AS n_occ
+             |  FROM t2 CROSS JOIN terms)
+             |SELECT doc_id, term, n_occ FROM c WHERE n_occ > 0
+             |ORDER BY doc_id ASC, term ASC""".stripMargin),
+      "Aho-Corasick one-pass multi-term scan == replace-length occurrence counts (border-free terms)"),
+
+    // ------------------------------------------------------------------
+    // q236: color-image preprocessing — real PNG decode, explicit
+    // nearest-neighbor resize to 6x4, center crop 8x8, per-channel sums
+    // (the normalization statistic). Integer sampling rule (src =
+    // floor(dst·srcDim/dstDim), top-left crop bias) means the oracle
+    // recomputes every output from the channel formulas over a generated
+    // grid — decode, resample, crop geometry, and channel unpacking all
+    // land in the hash. 100 TB: map-only at the codec boundary; six
+    // sums per image shuffle, never pixels.
+    GQuery(
+      "q236_image_preprocess",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id,
+                Multimodal.ImageOps.synthPngRgb(id % 97), "image/png")
+            }
+          }
+        media.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            if (img == null) Iterator.empty
+            else {
+              val (rr, rg, rb) = Multimodal.ImageOps.channelSums(
+                Multimodal.ImageOps.resizeNearestRgb(img, 6, 4))
+              val (cr, cg, cb) = Multimodal.ImageOps.channelSums(
+                Multimodal.ImageOps.centerCropRgb(img, 8, 8))
+              Iterator((r.media_id, rr, rg, rb, cr, cg, cb))
+            }
+          }
+        }.toDF("media_id", "rs_r", "rs_g", "rs_b", "cr_r", "cr_g", "cr_b")
+          .orderBy(col("media_id").asc)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, doc_id % 97 AS key,
+             |         12 + (doc_id % 97) % 11 AS w, 12 + (doc_id % 97) % 7 AS h
+             |  FROM documents),
+             |rs AS (
+             |  SELECT doc_id, key, (ox.ox * w) // 6 AS sx, (oy.oy * h) // 4 AS sy
+             |  FROM m, range(0, 6) ox(ox), range(0, 4) oy(oy)),
+             |rv AS (
+             |  SELECT doc_id,
+             |         CAST(SUM((7*sx + 13*sy + 31*key) % 256) AS BIGINT) AS rs_r,
+             |         CAST(SUM((11*sx + 3*sy + 17*key) % 256) AS BIGINT) AS rs_g,
+             |         CAST(SUM((5*sx + 23*sy + 29*key) % 256) AS BIGINT) AS rs_b
+             |  FROM rs GROUP BY doc_id),
+             |cr AS (
+             |  SELECT doc_id, key, (w - 8) // 2 + cx.cx AS sx, (h - 8) // 2 + cy.cy AS sy
+             |  FROM m, range(0, 8) cx(cx), range(0, 8) cy(cy)),
+             |cv AS (
+             |  SELECT doc_id,
+             |         CAST(SUM((7*sx + 13*sy + 31*key) % 256) AS BIGINT) AS cr_r,
+             |         CAST(SUM((11*sx + 3*sy + 17*key) % 256) AS BIGINT) AS cr_g,
+             |         CAST(SUM((5*sx + 23*sy + 29*key) % 256) AS BIGINT) AS cr_b
+             |  FROM cr GROUP BY doc_id)
+             |SELECT rv.doc_id AS media_id, rs_r, rs_g, rs_b, cr_r, cr_g, cr_b
+             |FROM rv JOIN cv ON cv.doc_id = rv.doc_id
+             |ORDER BY media_id ASC""".stripMargin),
+      "PNG decode + nearest resize + center crop + channel sums == formula oracle over the pixel grid"),
+  )
+}

@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.functions.Automaton
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{AudioCodec, ImageOps, SyntheticMedia}
+import graft.sources.AvroIO
+
+/** Round-8 depth tier: Avro OCF source/sink, G.711 + IMA ADPCM sample
+  * decode, Aho–Corasick scanning, image preprocessing. Golden vectors
+  * here are INDEPENDENT of the implementation (hand-derived from the
+  * public specs), so a builder+parser pair sharing one bug cannot
+  * self-cancel through the formula-oracle gates.
+  */
+class FormatDepthSpec extends SparkTestBase {
+
+  // ---------------------------------------------------------------- Avro
+
+  test("avro OCF roundtrip preserves values, nulls, and types") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("flag", BooleanType, nullable = false),
+      StructField("blob", BinaryType, nullable = true)))
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, true, Array[Byte](1, 2, 3)),
+      Row(2L, null, null, false, null),
+      Row(3L, "", -0.0, true, Array.empty[Byte]))
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avro_spec").toString
+    AvroIO.write(df, tmp)
+    val back = AvroIO.read(spark, tmp, schema).collect()
+      .sortBy(_.getLong(0))
+    assert(back.length == 3)
+    assert(back(0).getString(1) == "alpha" && back(0).getDouble(2) == 1.5)
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2) && !back(1).getBoolean(3))
+    assert(back(0).getAs[Array[Byte]](4).toSeq == Seq[Byte](1, 2, 3))
+    assert(back(2).getAs[Array[Byte]](4).length == 0)
+  }
+
+  test("avro read skips non-OCF payloads (corrupt-shard contract)") {
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avro_bad").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "junk.avro"),
+      "not an avro file at all".getBytes)
+    assert(AvroIO.read(spark, tmp, schema).count() == 0)
+  }
+
+  test("avro schema mapping rejects unsupported types eagerly") {
+    val bad = StructType(Seq(StructField("d", DateType, nullable = false)))
+    val e = intercept[IllegalArgumentException](AvroIO.avroSchema(bad, "r"))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  // -------------------------------------------------------------- G.711
+
+  test("G.711 golden vectors (public ITU table endpoints)") {
+    // µ-law: 0x00 → -32124 (max negative), 0x80 → +32124, 0xFF → 0
+    assert(AudioCodec.ulawToLinear(0x00) == -32124)
+    assert(AudioCodec.ulawToLinear(0x80) == 32124)
+    assert(AudioCodec.ulawToLinear(0xff) == 0)
+    assert(AudioCodec.ulawToLinear(0x7f) == 0) // negative zero → 0
+    // A-law: 0x55 → -8 (smallest magnitude), 0xD5 → +8,
+    //        0x2A → -32256 (max negative), 0xAA → +32256
+    assert(AudioCodec.alawToLinear(0x55) == -8)
+    assert(AudioCodec.alawToLinear(0xd5) == 8)
+    assert(AudioCodec.alawToLinear(0x2a) == -32256)
+    assert(AudioCodec.alawToLinear(0xaa) == 32256)
+  }
+
+  test("g711Stats decodes a synthesized µ-law WAV byte-exactly") {
+    val p = SyntheticMedia.wavG711(aLaw = false, samples = 64, k = 5, key = 3L)
+    val (tag, n, sumV, sumAbs, peak) = AudioCodec.g711Stats(p)
+    assert(tag == 7 && n == 64)
+    val vals = (0 until 64).map(i => AudioCodec.ulawToLinear(((i * 5 + 21) % 256)))
+    assert(sumV == vals.map(_.toLong).sum)
+    assert(sumAbs == vals.map(v => math.abs(v).toLong).sum)
+    assert(peak == vals.map(math.abs).max)
+  }
+
+  test("g711Stats reports corrupt-media zeros for PCM and garbage") {
+    val pcm = SyntheticMedia.wav(8000, 1, 10)
+    assert(AudioCodec.g711Stats(pcm) == ((0, 0L, 0L, 0L, 0)))
+    assert(AudioCodec.g711Stats("RIFFxxxx".getBytes) == ((0, 0L, 0L, 0L, 0)))
+  }
+
+  // ---------------------------------------------------------- IMA ADPCM
+
+  test("IMA step machine golden vectors (hand-derived from the spec tables)") {
+    // (pred=0, idx=0, n=7): step 7 → diff 0+1+3+7=11; idxAdj(7)=+8
+    assert(AudioCodec.imaStep(0, 0, 7) == ((11, 11, 8)))
+    // (pred=11, idx=8, n=3): step 16 → diff 2+4+8=14; idxAdj(3)=-1
+    assert(AudioCodec.imaStep(11, 8, 3) == ((25, 25, 7)))
+    // sign nibble: (pred=25, idx=7, n=12): step 14 → diff 1+14=15, minus;
+    // idxAdj(12 & 7 = 4) = +2
+    assert(AudioCodec.imaStep(25, 7, 12) == ((10, 10, 9)))
+    // clamp: predictor saturates at ±32767/-32768, index at [0, 88]
+    val (s1, _, _) = AudioCodec.imaStep(32760, 88, 7)
+    assert(s1 == 32767)
+    val (_, _, i1) = AudioCodec.imaStep(0, 0, 0)
+    assert(i1 == 0) // -1 adjustment clamps at 0
+  }
+
+  test("ADPCM decode tracks the encoded triangle wave within tight bounds") {
+    for (id <- 0L until 12L) {
+      val k = 2 + (id % 7).toInt
+      val phase = 13 * (id % 307).toInt
+      val samples = 70 + (id % 80).toInt
+      val p = SyntheticMedia.wavAdpcm(samples, k, 28 + 8 * (id % 3).toInt, phase)
+      def expected(i: Int): Int =
+        (math.abs((i.toLong * k + phase) % 4000L - 2000L) - 1000L).toInt
+      val (n, first, _, _, peak, maxErr) = AudioCodec.adpcmStats(p, expected)
+      assert(n == samples, s"id=$id")
+      assert(first == expected(0), s"id=$id first")
+      // gate verdict margin is 64; the measured bound is far tighter
+      assert(maxErr <= 16, s"id=$id maxErr=$maxErr")
+      assert(peak <= 1016, s"id=$id peak=$peak")
+    }
+  }
+
+  test("ADPCM decode clamps to fact/samplesPerBlock and survives truncation") {
+    val p = SyntheticMedia.wavAdpcm(samples = 100, k = 3, blockAlign = 28)
+    def exp(i: Int): Int = (math.abs((3L * i) % 4000L - 2000L) - 1000L).toInt
+    // spb = 49: two blocks, second partial → exactly 100 samples, not 2·49
+    assert(AudioCodec.adpcmStats(p, exp)._1 == 100)
+    // cut mid-final-block: decodes only the nibbles present
+    val cut = p.dropRight(10)
+    val nCut = AudioCodec.adpcmStats(cut, exp)._1
+    assert(nCut < 100 && nCut >= 49)
+    // non-ADPCM → zeros
+    assert(AudioCodec.adpcmStats(SyntheticMedia.wav(8000, 1, 4), exp)._1 == 0L)
+  }
+
+  // -------------------------------------------------------- Aho–Corasick
+
+  test("AC automaton: classic {he, she, his, hers} overlap semantics") {
+    val ac = Automaton.build(Seq("he", "she", "his", "hers"))
+    val counts = ac.countMatches("ushers his")
+    val byPat = ac.patterns.zip(counts).toMap
+    // "ushers": she@1, he@2, hers@2; " his": his@7
+    assert(byPat("she") == 1 && byPat("he") == 1 &&
+      byPat("hers") == 1 && byPat("his") == 1)
+  }
+
+  test("AC counts equal brute-force indexOf counts on a mixed corpus") {
+    val pats = Seq("ab", "aba", "bab", "zz", "q")
+    val ac = Automaton.build(pats)
+    val texts = Seq("ababab", "abababa", "zzz", "", "qqq", "xyzzyq", "ba")
+    def brute(t: String, p: String): Long =
+      (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong
+    texts.foreach { t =>
+      val got = ac.countMatches(t)
+      pats.zipWithIndex.foreach { case (p, i) =>
+        assert(got(i) == brute(t, p), s"text='$t' pat='$p'")
+      }
+    }
+  }
+
+  test("AC findSpans returns correct positions; build rejects bad input") {
+    val ac = Automaton.build(Seq("ana", "na"))
+    val spans = ac.findSpans("banana").map { case (s, e, p) => (s, e, ac.patterns(p)) }
+    assert(spans.toSet == Set((1, 4, "ana"), (3, 6, "ana"), (2, 4, "na"), (4, 6, "na")))
+    intercept[IllegalArgumentException](Automaton.build(Seq.empty))
+    intercept[IllegalArgumentException](Automaton.build(Seq("a", "")))
+    intercept[IllegalArgumentException](Automaton.build(Seq("x", "x")))
+  }
+
+  // ------------------------------------------------------------- images
+
+  test("nearest resize + center crop replay the channel formulas") {
+    val key = 37L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageOps.synthPngRgb(key)))
+    val w = 12 + (key % 11).toInt; val h = 12 + (key % 7).toInt
+    assert(img.getWidth == w && img.getHeight == h)
+    def chan(sx: Int, sy: Int): (Long, Long, Long) = (
+      (7L * sx + 13L * sy + 31L * key) % 256L,
+      (11L * sx + 3L * sy + 17L * key) % 256L,
+      (5L * sx + 23L * sy + 29L * key) % 256L)
+    val rs = ImageOps.resizeNearestRgb(img, 6, 4)
+    for (oy <- 0 until 4; ox <- 0 until 6) {
+      val (r, g, b) = chan(ox * w / 6, oy * h / 4)
+      val p = rs(oy * 6 + ox)
+      assert(((p >> 16) & 0xff) == r && ((p >> 8) & 0xff) == g && (p & 0xff) == b)
+    }
+    val cr = ImageOps.centerCropRgb(img, 8, 8)
+    val (x0, y0) = ((w - 8) / 2, (h - 8) / 2)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val (r, g, b) = chan(x0 + cx, y0 + cy)
+      val p = cr(cy * 8 + cx)
+      assert(((p >> 16) & 0xff) == r && ((p >> 8) & 0xff) == g && (p & 0xff) == b)
+    }
+    intercept[IllegalArgumentException](ImageOps.centerCropRgb(img, w + 1, 8))
+  }
+}
