@@ -290,5 +290,58 @@ object FormatDepthQueries {
              |FROM rv JOIN cv ON cv.doc_id = rv.doc_id
              |ORDER BY media_id ASC""".stripMargin),
       "PNG decode + nearest resize + center crop + channel sums == formula oracle over the pixel grid"),
+
+    // ------------------------------------------------------------------
+    // q237: REAL FLAC sample decode — rice-coded fixed-predictor
+    // residual reconstruction with per-frame CRC-8/CRC-16 verification
+    // (RFC 9639), pure JVM: FLAC is losslessly specified, so unlike
+    // MP3/AAC/Vorbis it needs no codec library. The synth side ENCODES
+    // the triangle wave (rotating VERBATIM / FIXED-1 / FIXED-2 subframes
+    // across frames, CONSTANT when flat), the engine decodes it back,
+    // and because FLAC is lossless the oracle checks the decoded samples
+    // EXACTLY against the waveform formula — the q143 gate contract
+    // lifted to a genuinely compressed codec. FormatDepthSpec pins
+    // hand-assembled golden frames so a shared encoder/decoder bit-layout
+    // bug cannot self-cancel. 100 TB: map-side decode at the codec
+    // boundary, 4 stat columns per media row shuffle.
+    GQuery(
+      "q237_flac_samples",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val k = (2 + id % 7).toInt
+              val phase = (13 * (id % 307)).toInt
+              val ns = (150 + id % 100).toInt
+              val wave = Array.tabulate(ns)(i =>
+                (math.abs((i.toLong * k + phase) % 4000L - 2000L) - 1000L).toInt)
+              Multimodal.MediaRow(id,
+                graft.multimodal.FlacCodec.encodeStream(wave, 8000, 64),
+                "audio/flac")
+            }
+          }
+        media.mapPartitions { rows =>
+          rows.map { r =>
+            val (n, sumV, sumAbs, peak) =
+              graft.multimodal.FlacCodec.decodeStats(r.payload)
+            (r.media_id, n, sumV, sumAbs, peak)
+          }
+        }.toDF("media_id", "n_samples", "sum_v", "sum_abs", "peak_abs")
+          .orderBy(col("media_id").asc)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, 150 + doc_id % 100 AS ns, 2 + doc_id % 7 AS k,
+             |         13 * (doc_id % 307) AS phase
+             |  FROM documents),
+             |s AS (SELECT doc_id, k, phase, unnest(range(0, ns)) AS i FROM m),
+             |v AS (SELECT doc_id, ABS((i * k + phase) % 4000 - 2000) - 1000 AS v FROM s)
+             |SELECT doc_id AS media_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+             |       CAST(SUM(v) AS BIGINT) AS sum_v,
+             |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+             |       CAST(MAX(ABS(v)) AS INT) AS peak_abs
+             |FROM v GROUP BY doc_id ORDER BY media_id ASC""".stripMargin),
+      "real FLAC decode (rice + fixed predictors + CRC walk): lossless, so decoded samples == waveform formula exactly"),
   )
 }

@@ -169,6 +169,91 @@ class FormatDepthSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Automaton.build(Seq("x", "x")))
   }
 
+  // --------------------------------------------------------------- FLAC
+
+  /** Spec-local CRCs, written independently from FlacCodec's (table-driven
+    * here, bitwise there) so the golden frames below pin the ALGORITHM
+    * from RFC 9639, not whatever the codec happens to compute.
+    */
+  private lazy val crc8Table: Array[Int] = Array.tabulate(256) { b =>
+    var c = b
+    for (_ <- 0 until 8) c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff
+    c
+  }
+  private def specCrc8(bs: Seq[Int]): Int = bs.foldLeft(0)((c, b) => crc8Table(c ^ (b & 0xff)))
+  private lazy val crc16Table: Array[Int] = Array.tabulate(256) { b =>
+    var c = b << 8
+    for (_ <- 0 until 8) c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff else (c << 1) & 0xffff
+    c
+  }
+  private def specCrc16(bs: Seq[Int]): Int =
+    bs.foldLeft(0)((c, b) => ((c << 8) & 0xffff) ^ crc16Table(((c >> 8) ^ (b & 0xff)) & 0xff))
+
+  private def flacMetaOnly(total: Long): Array[Byte] =
+    SyntheticMedia.flac(8000, 1, 16, total, 0)
+
+  test("FLAC golden frame: hand-assembled CONSTANT subframe decodes exactly") {
+    // header: sync FF F8 | blocksize 8-bit-at-end + rate-from-streaminfo
+    // 0x60 | mono/16bps 0x08 | frame#0 0x00 | blocksize-1 = 3
+    val hdr = Seq(0xff, 0xf8, 0x60, 0x08, 0x00, 0x03)
+    val body = Seq(0x00, 0x00, 0x05) // subframe hdr CONSTANT + value 5 (16 bits)
+    val frame = hdr ++ Seq(specCrc8(hdr)) ++ body
+    val c16 = specCrc16(frame)
+    val bytes = flacMetaOnly(4) ++
+      (frame ++ Seq(c16 >> 8, c16 & 0xff)).map(_.toByte).toArray
+    assert(graft.multimodal.FlacCodec.decodeStats(bytes) == ((4L, 20L, 20L, 5)))
+  }
+
+  test("FLAC golden frame: hand-assembled rice-coded FIXED-0 subframe") {
+    // samples [3,-2,0,1]: zigzag 6,3,0,2 at param 2 → hand-packed bits
+    // (RFC 9639 §9.2.7: q zeros + 1, then param low bits)
+    val hdr = Seq(0xff, 0xf8, 0x60, 0x08, 0x00, 0x03)
+    val body = Seq(0x10, 0x00, 0x9b, 0xcc) // subfr hdr FIXED-0; 00|0000|0010|residuals|pad
+    val frame = hdr ++ Seq(specCrc8(hdr)) ++ body
+    val c16 = specCrc16(frame)
+    val bytes = flacMetaOnly(4) ++
+      (frame ++ Seq(c16 >> 8, c16 & 0xff)).map(_.toByte).toArray
+    // 3 + (-2) + 0 + 1 = 2; |.|-sum 6; peak 3
+    assert(graft.multimodal.FlacCodec.decodeStats(bytes) == ((4L, 2L, 6L, 3)))
+  }
+
+  test("FLAC encode∘decode is the identity across subframe types and sizes") {
+    import graft.multimodal.FlacCodec
+    def stats(xs: Array[Int]): (Long, Long, Long, Int) =
+      (xs.length.toLong, xs.map(_.toLong).sum, xs.map(v => math.abs(v).toLong).sum,
+        xs.map(math.abs).max)
+    val cases = Seq(
+      Array.fill(10)(-123),                          // CONSTANT
+      Array.tabulate(777)(i => (math.abs((i * 5 + 100) % 4000 - 2000) - 1000)), // triangle
+      Array.tabulate(100)(i => ((i * 7919 + 13) % 65536) - 32768), // full-range "noise"
+      Array(42),                                     // single sample
+      Array(-32768, 32767, -32768, 32767, 0, -1, 1), // extremes
+      Array.tabulate(256)(i => i - 128))             // exactly one max block
+    for (xs <- cases; bs <- Seq(1, 7, 64, 256)) {
+      val enc = FlacCodec.encodeStream(xs, 8000, bs)
+      assert(FlacCodec.decodeStats(enc) == stats(xs), s"n=${xs.length} bs=$bs")
+    }
+  }
+
+  test("FLAC decode: truncation keeps the verified prefix; corruption stops") {
+    import graft.multimodal.FlacCodec
+    val xs = Array.tabulate(200)(i => (i * 3) % 500 - 250)
+    val enc = FlacCodec.encodeStream(xs, 8000, 64)
+    val (full, _, _, _) = FlacCodec.decodeStats(enc)
+    assert(full == 200L)
+    // cut mid-final-frame: whole frames before the cut survive
+    val (nCut, _, _, _) = FlacCodec.decodeStats(enc.dropRight(3))
+    assert(nCut == 192L)
+    // corrupt one byte in the LAST frame's area: prefix survives, frame dies
+    val bad = enc.clone()
+    bad(bad.length - 4) = (bad(bad.length - 4) ^ 0x01).toByte
+    val (nBad, _, _, _) = FlacCodec.decodeStats(bad)
+    assert(nBad == 192L)
+    // metadata-only stream (q203 builder) and garbage decode to zero
+    assert(FlacCodec.decodeStats(flacMetaOnly(100))._1 == 0L)
+    assert(FlacCodec.decodeStats("not flac at all".getBytes)._1 == 0L)
+  }
+
   // ------------------------------------------------------------- images
 
   test("nearest resize + center crop replay the channel formulas") {
