@@ -679,6 +679,64 @@ object Multimodal {
       (n.toLong, sumV, sumAbs, peak)
     }
 
+    /** Audio FEATURE extraction over the decoded samples of a MONO 16-bit
+      * PCM WAV — the voice-corpus filtering primitives (VAD-style silence
+      * trim, zero-crossing rate, peak windowed energy), all integer-exact
+      * so a SQL oracle replays them over the sample formula:
+      * (n_samples, zero_crossings, max_window_abs, first_loud, last_loud)
+      * where zero_crossings counts sign flips (x ≥ 0 vs < 0) between
+      * adjacent samples, max_window_abs is the max over `window`-sized
+      * tumbling windows of Σ|v| (the last window may be partial), and
+      * first/last_loud are the outermost indices with |v| > thresh (the
+      * silence-trim bounds; -1 when the whole clip is quiet). Non-mono or
+      * non-PCM payloads report the corrupt-media contract (all zeros,
+      * loud indices -1).
+      */
+    def pcmFeatures(p: Array[Byte], window: Int, thresh: Int): (Long, Long, Long, Long, Long) = {
+      require(window > 0)
+      def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def le32(o: Int) = ContainerCodec.le32(p, o)
+      if (!ContainerCodec.isWav(p)) return (0L, 0L, 0L, -1L, -1L)
+      var off = 12
+      var fmtOk = false
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= p.length && (!fmtOk || dataOff < 0)) {
+        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(off + 4)
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length) {
+          fmtOk = le16(off + 8) == 1 && le16(off + 10) == 1 && le16(off + 22) == 16
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataLen = math.min(sz, (p.length - dataOff).toLong).toInt
+        }
+        val step = 8L + sz + (sz & 1L)
+        if (step <= 8L || off + step > Int.MaxValue) return (0L, 0L, 0L, -1L, -1L)
+        off += step.toInt
+      }
+      if (!fmtOk || dataOff < 0) return (0L, 0L, 0L, -1L, -1L)
+      val n = dataLen / 2
+      var zc = 0L; var maxWin = 0L; var winSum = 0L
+      var firstLoud = -1L; var lastLoud = -1L
+      var prevNonNeg = false
+      var i = 0
+      while (i < n) {
+        val o = dataOff + i * 2
+        val v = (((p(o + 1) << 8) | (p(o) & 0xff)).toShort).toInt
+        val nonNeg = v >= 0
+        if (i > 0 && nonNeg != prevNonNeg) zc += 1
+        prevNonNeg = nonNeg
+        val a = math.abs(v)
+        if (a > thresh) { if (firstLoud < 0) firstLoud = i; lastLoud = i }
+        winSum += a
+        if ((i + 1) % window == 0 || i == n - 1) {
+          if (winSum > maxWin) maxWin = winSum
+          winSum = 0L
+        }
+        i += 1
+      }
+      (n.toLong, zc, maxWin, firstLoud, lastLoud)
+    }
+
     /** ITU-T G.711 µ-law byte → linear PCM sample (±32124 range). Pure
       * integer formula (the CCITT reference expansion: invert, bias the
       * mantissa by 0x84, shift by the segment, un-bias), so a SQL oracle

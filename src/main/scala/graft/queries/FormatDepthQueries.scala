@@ -343,5 +343,127 @@ object FormatDepthQueries {
              |       CAST(MAX(ABS(v)) AS INT) AS peak_abs
              |FROM v GROUP BY doc_id ORDER BY media_id ASC""".stripMargin),
       "real FLAC decode (rice + fixed predictors + CRC walk): lossless, so decoded samples == waveform formula exactly"),
+
+    // ------------------------------------------------------------------
+    // q238: audio feature extraction over REAL decoded PCM — the voice
+    // pipeline's filtering trio: zero-crossing count (spectral-tilt
+    // proxy), peak tumbling-window energy (clipping/loudness screen),
+    // and silence-trim bounds (first/last sample over the loudness
+    // threshold — the VAD-style head/tail cut). All integer-exact on the
+    // decoded s16 samples, so the oracle replays every feature over the
+    // waveform formula with window functions — decode AND feature math
+    // land in the hash. 100 TB: map-side at the codec boundary, five
+    // numbers per clip shuffle.
+    GQuery(
+      "q238_audio_features",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id,
+                Multimodal.SyntheticMedia.wavWave(
+                  channels = 1,
+                  frames = (160 + id % 200).toInt,
+                  k = (3 + id % 11).toInt),
+                "audio/wav")
+            }
+          }
+        media.mapPartitions { rows =>
+          rows.map { r =>
+            val (n, zc, maxWin, first, last) =
+              Multimodal.AudioCodec.pcmFeatures(r.payload, window = 80, thresh = 100)
+            (r.media_id, n, zc, maxWin, first, last)
+          }
+        }.toDF("media_id", "n_samples", "zero_crossings", "max_window_abs",
+            "first_loud", "last_loud")
+          .orderBy(col("media_id").asc)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, 160 + doc_id % 200 AS ns, 3 + doc_id % 11 AS k
+             |  FROM documents),
+             |v AS (
+             |  SELECT doc_id, i.i AS i, (i.i * k) % 2001 - 1000 AS v
+             |  FROM m, range(0, 360) i(i) WHERE i.i < ns),
+             |zc AS (
+             |  SELECT doc_id,
+             |         CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) != (pv >= 0))
+             |                  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+             |  FROM (SELECT doc_id, v,
+             |               LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+             |        FROM v)
+             |  GROUP BY doc_id),
+             |w AS (
+             |  SELECT doc_id, CAST(MAX(ws) AS BIGINT) AS max_window_abs
+             |  FROM (SELECT doc_id, i // 80 AS wi, SUM(ABS(v)) AS ws
+             |        FROM v GROUP BY doc_id, wi)
+             |  GROUP BY doc_id),
+             |l AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+             |         CAST(COALESCE(MIN(CASE WHEN ABS(v) > 100 THEN i END), -1) AS BIGINT) AS first_loud,
+             |         CAST(COALESCE(MAX(CASE WHEN ABS(v) > 100 THEN i END), -1) AS BIGINT) AS last_loud
+             |  FROM v GROUP BY doc_id)
+             |SELECT l.doc_id AS media_id, n_samples, zero_crossings, max_window_abs,
+             |       first_loud, last_loud
+             |FROM l JOIN zc ON zc.doc_id = l.doc_id JOIN w ON w.doc_id = l.doc_id
+             |ORDER BY media_id ASC""".stripMargin),
+      "PCM decode + zero-crossings + peak window energy + silence-trim bounds == formula oracle with window functions"),
+
+    // ------------------------------------------------------------------
+    // q239: scene-cut detection over REAL multi-frame decode — the video
+    // curation primitive (shot segmentation before frame sampling). Each
+    // GIF frame is decoded and thumbnailed by the q201 machinery; a cut
+    // is a frame whose 8x8-luma sum jumps more than the threshold from
+    // its predecessor (lag window per media, ordered by frame). The
+    // oracle replays the resized luma sums relationally and applies the
+    // same LAG — decode, resampling, and the temporal diff all land in
+    // the hash. 100 TB: frame features are map-side; the lag shuffles
+    // one sum per frame, never pixels.
+    GQuery(
+      "q239_scene_cuts",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 89).as("key"))
+          .as[(Long, Long)]
+          .map { case (id, key) =>
+            Multimodal.MediaRow(id, Multimodal.ImageOps.synthGif(key), "image/gif")
+          }
+        val frames = Multimodal.ImageOps.gifFrameFeatures(media)
+          .select(col("media_id"), col("frame_idx"), col("sum_lum"))
+        val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx").asc)
+        frames
+          .withColumn("lum_delta", col("sum_lum") - lag(col("sum_lum"), 1).over(w))
+          .filter(col("lum_delta").isNotNull)
+          .select(col("media_id"), col("frame_idx"), col("lum_delta"),
+            (abs(col("lum_delta")) > 1000).as("is_cut"))
+          .orderBy(col("media_id").asc, col("frame_idx").asc)
+      },
+      Some("""WITH dim AS (
+             |  SELECT doc_id, doc_id % 89 AS key,
+             |         CAST(8 + (doc_id % 89) % 9 AS INT) AS w,
+             |         CAST(8 + (doc_id % 89) % 7 AS INT) AS h,
+             |         CAST(2 + (doc_id % 89) % 4 AS INT) AS n
+             |  FROM documents),
+             |fr AS (
+             |  SELECT dim.*, CAST(f.f AS INT) AS f
+             |  FROM dim, range(0,5) f(f) WHERE f.f < n),
+             |px AS (
+             |  SELECT doc_id, f,
+             |         (7*((x.x*w)//8) + 13*((y.y*h)//8) + 29*f + 31*key) % 256 AS l
+             |  FROM fr, range(0,8) y(y), range(0,8) x(x)),
+             |s AS (SELECT doc_id, f, CAST(SUM(l) AS BIGINT) AS sum_lum
+             |      FROM px GROUP BY doc_id, f),
+             |lagd AS (
+             |  SELECT doc_id, f, sum_lum,
+             |         sum_lum - LAG(sum_lum) OVER (PARTITION BY doc_id ORDER BY f) AS lum_delta
+             |  FROM s)
+             |SELECT doc_id AS media_id, f AS frame_idx,
+             |       CAST(lum_delta AS BIGINT) AS lum_delta,
+             |       ABS(lum_delta) > 1000 AS is_cut
+             |FROM lagd WHERE lum_delta IS NOT NULL
+             |ORDER BY media_id ASC, frame_idx ASC""".stripMargin),
+      "real multi-frame decode + lag-window luma-delta scene cuts == formula oracle with the same LAG"),
   )
 }

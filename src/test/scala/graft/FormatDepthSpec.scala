@@ -169,6 +169,31 @@ class FormatDepthSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Automaton.build(Seq("x", "x")))
   }
 
+  // ------------------------------------------------------- audio features
+
+  test("pcmFeatures: golden clip pins sign rule, window split, trim bounds") {
+    // hand clip: [0, -5, 200, -200, 50] — zero is NON-negative, so the
+    // sign flips are 0→-5, -5→200, 200→-200, -200→50 = 4 crossings
+    val bb = java.nio.ByteBuffer.allocate(44 + 10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + 10).put("WAVE".getBytes(ascii))
+      .put("fmt ".getBytes(ascii)).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes(ascii)).putInt(10)
+    Seq(0, -5, 200, -200, 50).foreach(v => bb.putShort(v.toShort))
+    val p = bb.array()
+    // window=2: sums |.| = [5, 400, 50] (last partial) → max 400
+    assert(AudioCodec.pcmFeatures(p, window = 2, thresh = 100) ==
+      ((5L, 4L, 400L, 2L, 3L)))
+    // all-quiet threshold → trim bounds are -1
+    val (_, _, _, f0, l0) = AudioCodec.pcmFeatures(p, 2, 1000)
+    assert(f0 == -1L && l0 == -1L)
+    // stereo payloads report the corrupt-media contract
+    val stereo = SyntheticMedia.wavWave(channels = 2, frames = 16, k = 3)
+    assert(AudioCodec.pcmFeatures(stereo, 80, 100) == ((0L, 0L, 0L, -1L, -1L)))
+  }
+
   // --------------------------------------------------------------- FLAC
 
   /** Spec-local CRCs, written independently from FlacCodec's (table-driven
