@@ -319,6 +319,33 @@ class PlanShapeSpec extends SparkTestBase {
       "sample regroup must pre-aggregate below its exchange")
   }
 
+  test("round-8 media/codec gates: payload bytes never cross an exchange") {
+    // same 100 TB lock as the shard tier, extended to the r8 codec gates:
+    // G.711/ADPCM/FLAC/PNG/audio-feature payloads are consumed at the
+    // mapPartitions boundary; every exchange carries stat columns only.
+    // (q239 joins the frame-feature output through a lag window, so its
+    // exchange carries per-frame sums — also payload-free.)
+    def exchangeInputs(p: String): Seq[String] =
+      p.split("\n\\(\\d+\\) ").toSeq.filter(_.startsWith("Exchange"))
+        .map(s => s.linesIterator.find(_.trim.startsWith("Input")).getOrElse(""))
+    for (name <- Seq("q233_g711_decode", "q234_adpcm_decode",
+        "q236_image_preprocess", "q237_flac_samples", "q238_audio_features",
+        "q239_scene_cuts")) {
+      val ins = exchangeInputs(plan(name))
+      assert(ins.nonEmpty, s"$name: expected at least the final-order exchange")
+      ins.foreach(in => assert(!in.contains("payload"),
+        s"$name: payload column crosses an exchange: $in"))
+    }
+  }
+
+  test("q235 blocklist scan: single corpus pass, no join in the plan") {
+    // the Aho-Corasick claim: term matching is O(len) map work with the
+    // automaton in the closure — a Join node would mean the op regressed
+    // to the per-term scan shape the automaton exists to avoid.
+    val p = plan("q235_blocklist_scan")
+    assert(!p.contains("Join"), s"q235 must not join terms against the corpus:\n$p")
+  }
+
   test("q220 hierarchical assignment: the O(K)-row child table never broadcasts") {
     // K ∝ n, so the fine-centroid (child) table is corpus-proportional —
     // broadcasting it is the O(n)-broadcast scale defect the two-level
