@@ -1234,6 +1234,102 @@ object Multimodal {
       (r, g, b)
     }
 
+    /** Insert a PNG tEXt chunk (keyword NUL text, CRC32 over type+data —
+      * the real PNG chunk integrity rule) immediately after IHDR. IHDR is
+      * spec-required first and fixed-size, so the insert point is
+      * signature(8) + 4+4+13+4 = 33. The result stays a valid PNG (tEXt
+      * is ancillary; decoders skip it).
+      */
+    def withPngText(png: Array[Byte], keyword: String, text: String): Array[Byte] = {
+      require(keyword.nonEmpty && keyword.length <= 79 && keyword.indexOf(' ') < 0,
+        s"invalid tEXt keyword: '$keyword'")
+      val data = keyword.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+        Array(0.toByte) ++
+        text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val typ = "tEXt".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ); crc.update(data)
+      val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(typ).put(data).putInt(crc.getValue.toInt)
+        .array()
+      val at = 33 // end of IHDR
+      png.take(at) ++ chunk ++ png.drop(at)
+    }
+
+    /** (keyword, text) pairs of every CRC-valid tEXt chunk — the image
+      * caption/provenance metadata a multimodal curation pipeline keys
+      * on. Chunks whose CRC32 fails are SKIPPED (integrity is the point
+      * of carrying the CRC); a structurally broken walk stops and
+      * returns what was validated. Non-PNG payloads → empty.
+      */
+    def pngTextChunks(p: Array[Byte]): Seq[(String, String)] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      if (p.length < 8 || !sig.indices.forall(i => p(i) == sig(i))) return Nil
+      def be32(o: Int): Long =
+        ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+          ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+      val out = Seq.newBuilder[(String, String)]
+      var off = 8L
+      var done = false
+      while (!done && off + 8 <= p.length) {
+        val o = off.toInt
+        val len = be32(o)
+        if (len > Int.MaxValue - 12 || off + 12 + len > p.length) done = true
+        else {
+          val typ = new String(p, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          if (typ == "tEXt") {
+            val crc = new java.util.zip.CRC32
+            crc.update(p, o + 4, 4 + len.toInt)
+            if (crc.getValue == be32(o + 8 + len.toInt)) {
+              val data = java.util.Arrays.copyOfRange(p, o + 8, o + 8 + len.toInt)
+              val nul = data.indexOf(0.toByte)
+              if (nul > 0) out += ((
+                new String(data, 0, nul, java.nio.charset.StandardCharsets.ISO_8859_1),
+                new String(data, nul + 1, data.length - nul - 1,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)))
+            }
+          }
+          if (typ == "IEND") done = true
+          off += 12 + len
+        }
+      }
+      out.result()
+    }
+
+    /** Box-filter downscale by integer factor m (the "area" resampling a
+      * vision pipeline uses when the scale divides): truncate to the
+      * largest m-multiple frame, then each output pixel is the floor mean
+      * of its m×m block, per channel. Integer-exact (sum / m² floor), so
+      * a SQL oracle replays it with a block-sum join.
+      */
+    def downscaleBoxRgb(img: java.awt.image.BufferedImage, m: Int): Array[Int] = {
+      require(m >= 1)
+      val ow = img.getWidth / m; val oh = img.getHeight / m
+      val out = new Array[Int](ow * oh)
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          var r = 0; var g = 0; var b = 0
+          var dy = 0
+          while (dy < m) {
+            var dx = 0
+            while (dx < m) {
+              val p = img.getRGB(x * m + dx, y * m + dy)
+              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+              dx += 1
+            }
+            dy += 1
+          }
+          val mm = m * m
+          out(y * ow + x) = ((r / mm) << 16) | ((g / mm) << 8) | (b / mm)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** Deterministic multi-frame gray GIF: w = 8 + key%9, h = 8 + key%7,
       * n_frames = 2 + key%4, L(x,y,f) = (7x + 13y + 29f + 31·key) mod 256.
       * A pure formula of `key`, so the oracle recomputes every per-frame

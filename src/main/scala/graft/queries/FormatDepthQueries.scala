@@ -465,5 +465,185 @@ object FormatDepthQueries {
              |FROM lagd WHERE lum_delta IS NOT NULL
              |ORDER BY media_id ASC, frame_idx ASC""".stripMargin),
       "real multi-frame decode + lag-window luma-delta scene cuts == formula oracle with the same LAG"),
+
+    // ------------------------------------------------------------------
+    // q240: PNG tEXt metadata extraction — the caption/provenance tags a
+    // multimodal corpus keys on, parsed by a real chunk walk with CRC32
+    // validation (the PNG integrity rule). Each synthesized image
+    // carries two valid tagged chunks (formula keyword/value) and one
+    // deliberately CRC-corrupted chunk the walk must SKIP — so both the
+    // extraction and the integrity check land in the hash. 100 TB:
+    // map-side walk, tag strings shuffle, never image bytes.
+    GQuery(
+      "q240_png_text_tags",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              var png = Multimodal.ImageOps.synthPngRgb(id % 97)
+              png = Multimodal.ImageOps.withPngText(png, "source", "crawl-" + (id % 7))
+              png = Multimodal.ImageOps.withPngText(png, "caption", "img " + (id % 101))
+              png = Multimodal.ImageOps.withPngText(png, "junk", "dropme")
+              png(33 + 8) = (png(33 + 8) ^ 0x01).toByte // corrupt the junk chunk's CRC
+              Multimodal.MediaRow(id, png, "image/png")
+            }
+          }
+        media.mapPartitions { rows =>
+          rows.flatMap { r =>
+            Multimodal.ImageOps.pngTextChunks(r.payload).iterator
+              .map { case (k, v) => (r.media_id, k, v) }
+          }
+        }.toDF("media_id", "tag_key", "tag_value")
+          .orderBy(col("media_id").asc, col("tag_key").asc)
+      },
+      Some("""SELECT doc_id AS media_id, tag_key, tag_value FROM (
+             |  SELECT doc_id, 'source' AS tag_key,
+             |         'crawl-' || CAST(doc_id % 7 AS VARCHAR) AS tag_value
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, 'caption', 'img ' || CAST(doc_id % 101 AS VARCHAR)
+             |  FROM documents)
+             |ORDER BY media_id ASC, tag_key ASC""".stripMargin),
+      "PNG tEXt chunk walk with CRC32 validation: valid tags extracted, corrupt chunk skipped"),
+
+    // ------------------------------------------------------------------
+    // q241: box-filter ("area") downscale by an integer factor — the
+    // exact-mean resampling a vision pipeline uses for 2x thumbnails.
+    // Each output pixel is the floor mean of its 2x2 block per channel;
+    // the oracle replays block sums + floor division over the pixel
+    // formula, so decode, block geometry, and the rounding rule are all
+    // hash-checked. 100 TB: map-side, channel sums shuffle.
+    GQuery(
+      "q241_box_downscale",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id,
+                Multimodal.ImageOps.synthPngRgb(id % 97), "image/png")
+            }
+          }
+        media.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            if (img == null) Iterator.empty
+            else {
+              val pix = Multimodal.ImageOps.downscaleBoxRgb(img, 2)
+              val (cr, cg, cb) = Multimodal.ImageOps.channelSums(pix)
+              Iterator((r.media_id, pix.length.toLong, cr, cg, cb))
+            }
+          }
+        }.toDF("media_id", "n_px", "sum_r", "sum_g", "sum_b")
+          .orderBy(col("media_id").asc)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, doc_id % 97 AS key,
+             |         12 + (doc_id % 97) % 11 AS w, 12 + (doc_id % 97) % 7 AS h
+             |  FROM documents),
+             |blk AS (
+             |  SELECT doc_id, ox.ox AS ox, oy.oy AS oy,
+             |         SUM((7*(2*ox.ox + dx.dx) + 13*(2*oy.oy + dy.dy) + 31*key) % 256) AS rs,
+             |         SUM((11*(2*ox.ox + dx.dx) + 3*(2*oy.oy + dy.dy) + 17*key) % 256) AS gs,
+             |         SUM((5*(2*ox.ox + dx.dx) + 23*(2*oy.oy + dy.dy) + 29*key) % 256) AS bs
+             |  FROM m, range(0, 11) ox(ox), range(0, 9) oy(oy),
+             |       range(0, 2) dx(dx), range(0, 2) dy(dy)
+             |  WHERE ox.ox < w // 2 AND oy.oy < h // 2
+             |  GROUP BY doc_id, ox.ox, oy.oy),
+             |agg AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+             |         CAST(SUM(rs // 4) AS BIGINT) AS sum_r,
+             |         CAST(SUM(gs // 4) AS BIGINT) AS sum_g,
+             |         CAST(SUM(bs // 4) AS BIGINT) AS sum_b
+             |  FROM blk GROUP BY doc_id)
+             |SELECT doc_id AS media_id, n_px, sum_r, sum_g, sum_b
+             |FROM agg ORDER BY media_id ASC""".stripMargin),
+      "2x box-filter downscale: floor-mean blocks per channel == block-sum formula oracle"),
+
+    // ------------------------------------------------------------------
+    // q242: REAL JPEG roundtrip — the dominant web image format, through
+    // the JDK's actual DCT codec (javax.imageio ships a real JPEG
+    // encoder+decoder; nothing fake in the path). JPEG is LOSSY and its
+    // IDCT rounding is implementation-defined, so exact pixel equality
+    // is not spec-guaranteed — the gate therefore pins what IS exact
+    // (dimensions, pixel count) and bounds the reconstruction: on a
+    // smooth clamp-free gradient the decoded per-channel SUM must sit
+    // within ±8/pixel of the analytic sum (measured ≤ ~2 in spec). The
+    // verdict margins are the q70-style invariant contract: a broken
+    // encode, decode, or color pipeline (e.g. a colorspace flip) blows
+    // the bound and reds the hash. 100 TB: map-side codec work only.
+    GQuery(
+      "q242_jpeg_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val key = (id % 97).toInt
+              val w = 12 + key % 11; val h = 12 + key % 7
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  // smooth, clamp-free linear channels (max 63+42+63 < 256)
+                  val r = 3 * x + 2 * y + key % 64
+                  val g = 2 * x + 3 * y + key % 32
+                  val b = x + y + key % 16
+                  img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "jpg", bos)
+              Multimodal.MediaRow(id, bos.toByteArray, "image/jpeg")
+            }
+          }
+        media.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            if (img == null) Iterator.empty
+            else {
+              val key = (r.media_id % 97).toInt
+              val w = img.getWidth; val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              // analytic sums of the linear gradients
+              def tri(n: Int): Long = n.toLong * (n - 1) / 2
+              val n = w.toLong * h
+              val ar = 3 * tri(w) * h + 2 * tri(h) * w + (key % 64).toLong * n
+              val ag = 2 * tri(w) * h + 3 * tri(h) * w + (key % 32).toLong * n
+              val ab = tri(w) * h + tri(h) * w + (key % 16).toLong * n
+              val tol = 8L * n
+              Iterator((r.media_id, w, h, n,
+                math.abs(sr - ar) <= tol,
+                math.abs(sg - ag) <= tol,
+                math.abs(sb - ab) <= tol))
+            }
+          }
+        }.toDF("media_id", "width", "height", "n_px", "r_ok", "g_ok", "b_ok")
+          .orderBy(col("media_id").asc)
+      },
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(12 + (doc_id % 97) % 11 AS INT) AS width,
+             |       CAST(12 + (doc_id % 97) % 7 AS INT) AS height,
+             |       CAST((12 + (doc_id % 97) % 11) * (12 + (doc_id % 97) % 7) AS BIGINT) AS n_px,
+             |       true AS r_ok, true AS g_ok, true AS b_ok
+             |FROM documents ORDER BY media_id ASC""".stripMargin),
+      "real JPEG encode+decode (JDK DCT codec): exact dims + bounded per-channel reconstruction verdicts"),
   )
 }

@@ -281,6 +281,73 @@ class FormatDepthSpec extends SparkTestBase {
 
   // ------------------------------------------------------------- images
 
+  test("PNG tEXt walk: extraction, CRC rejection, non-PNG contract") {
+    val base = ImageOps.synthPngRgb(5L)
+    var png = ImageOps.withPngText(base, "alpha", "one")
+    png = ImageOps.withPngText(png, "beta", "two = é") // latin-1 value
+    assert(ImageOps.pngTextChunks(png).toSet ==
+      Set(("alpha", "one"), ("beta", "two = é")))
+    // image still decodes with tags present (tEXt is ancillary)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null && img.getWidth == 12 + 5 % 11)
+    // corrupt the newest chunk's data → its CRC fails → skipped, rest kept
+    val bad = png.clone()
+    bad(33 + 8) = (bad(33 + 8) ^ 0x01).toByte
+    assert(ImageOps.pngTextChunks(bad).map(_._1) == Seq("alpha"))
+    assert(ImageOps.pngTextChunks("no png here".getBytes).isEmpty)
+    intercept[IllegalArgumentException](ImageOps.withPngText(base, "has space", "x"))
+  }
+
+  test("box downscale: floor-mean blocks match a brute recompute") {
+    val key = 41L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageOps.synthPngRgb(key)))
+    val w = img.getWidth; val h = img.getHeight
+    for (m <- Seq(2, 3)) {
+      val out = ImageOps.downscaleBoxRgb(img, m)
+      val ow = w / m; val oh = h / m
+      assert(out.length == ow * oh)
+      for (oy <- 0 until oh; ox <- 0 until ow) {
+        var r = 0; var g = 0; var b = 0
+        for (dy <- 0 until m; dx <- 0 until m) {
+          val p = img.getRGB(ox * m + dx, oy * m + dy)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+        }
+        val e = out(oy * ow + ox)
+        assert(((e >> 16) & 0xff) == r / (m * m) &&
+          ((e >> 8) & 0xff) == g / (m * m) && (e & 0xff) == b / (m * m))
+      }
+    }
+  }
+
+  test("JPEG roundtrip error on smooth gradients is far inside the gate margin") {
+    // gate allows ±8/pixel per channel sum; measure the real JDK codec
+    for (key <- Seq(0, 13, 41, 96)) {
+      val w = 12 + key % 11; val h = 12 + key % 7
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y,
+          ((3 * x + 2 * y + key % 64) << 16) | ((2 * x + 3 * y + key % 32) << 8) |
+            (x + y + key % 16))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(dec.getWidth == w && dec.getHeight == h)
+      var worst = 0.0
+      for (c <- 0 until 3) {
+        var sDec = 0L; var sSrc = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          sDec += (dec.getRGB(x, y) >> (8 * (2 - c))) & 0xff
+          sSrc += (img.getRGB(x, y) >> (8 * (2 - c))) & 0xff
+        }
+        worst = math.max(worst, math.abs(sDec - sSrc).toDouble / (w * h))
+      }
+      assert(worst <= 4.0, s"key=$key per-pixel mean channel error $worst")
+    }
+  }
+
   test("nearest resize + center crop replay the channel formulas") {
     val key = 37L
     val img = javax.imageio.ImageIO.read(
