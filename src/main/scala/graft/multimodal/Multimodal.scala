@@ -406,6 +406,56 @@ object Multimodal {
     def isFlac(p: Array[Byte]): Boolean =
       p.length >= 8 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C'
 
+    /** (frame_id, text) of every T*** text frame in a leading ID3v2.3/4
+      * tag — the title/artist/album metadata an audio-corpus pipeline
+      * keys on. Handles the version split on FRAME sizes (v2.4 synchsafe
+      * vs v2.3 plain BE), text encodings 0 (latin-1) and 3 (UTF-8) with
+      * trailing-NUL strip, stops at padding (zero id byte), and clamps
+      * every read to both the declared tag size and the payload — a
+      * truncated or lying tag yields the frames actually present, never
+      * an exception. Non-ID3 payloads → empty.
+      */
+    def id3TextFrames(p: Array[Byte]): Seq[(String, String)] = {
+      if (!hasId3v2(p)) return Nil
+      val v24 = p(3) == 4
+      val tagSize = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+        ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+      val end = math.min(10L + tagSize, p.length.toLong).toInt
+      val out = Seq.newBuilder[(String, String)]
+      var off = 10
+      var done = false
+      while (!done && off + 10 <= end) {
+        if (p(off) == 0) done = true // padding
+        else {
+          val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val sz =
+            if (v24) ((p(off + 4) & 0x7f) << 21) | ((p(off + 5) & 0x7f) << 14) |
+              ((p(off + 6) & 0x7f) << 7) | (p(off + 7) & 0x7f)
+            else ((p(off + 4) & 0xff) << 24) | ((p(off + 5) & 0xff) << 16) |
+              ((p(off + 6) & 0xff) << 8) | (p(off + 7) & 0xff)
+          if (sz < 0 || off + 10L + sz > end) done = true
+          else {
+            if (id.nonEmpty && id.charAt(0) == 'T' &&
+              id.forall(c => c.isUpper || c.isDigit) && sz >= 1) {
+              val enc = p(off + 10) & 0xff
+              val cs = enc match {
+                case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+                case 3 => java.nio.charset.StandardCharsets.UTF_8
+                case _ => null // UTF-16 variants: out of gated scope
+              }
+              if (cs != null) {
+                var len = sz - 1
+                while (len > 0 && p(off + 10 + len) == 0) len -= 1 // NUL strip
+                out += ((id, new String(p, off + 11, len, cs)))
+              }
+            }
+            off += 10 + sz
+          }
+        }
+      }
+      out.result()
+    }
+
     /** Structural ID3v2 header check — NOT just the 3 ASCII magic bytes.
       * Ordinary text can begin "ID3 ..." (the same hazard the BMP sniff
       * documents for "BM"), and q46 deliberately routes document TEXT
@@ -1714,6 +1764,42 @@ object Multimodal {
         .put("data".getBytes(ascii)).putInt(payload.length)
         .put(payload)
       bb.array()
+    }
+
+    /** Real ID3v2 tag carrying text frames — the audio-side analogue of
+      * the PNG tEXt builder: frame ids like TIT2/TPE1/TALB with UTF-8
+      * payloads (encoding byte 3). `v24` selects synchsafe (v2.4) vs
+      * plain big-endian (v2.3) FRAME sizes — the one structural
+      * difference a parser must branch on; the TAG size is synchsafe in
+      * both.
+      */
+    def id3Tag(fields: Seq[(String, String)], v24: Boolean): Array[Byte] = {
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val body = new java.io.ByteArrayOutputStream()
+      fields.foreach { case (id, text) =>
+        require(id.length == 4 && id.forall(c => c.isUpper || c.isDigit), id)
+        val data = Array(3.toByte) ++ text.getBytes(utf8) // enc 3 = UTF-8
+        body.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val sz = data.length
+        if (v24) {
+          body.write((sz >> 21) & 0x7f); body.write((sz >> 14) & 0x7f)
+          body.write((sz >> 7) & 0x7f); body.write(sz & 0x7f)
+        } else {
+          body.write((sz >> 24) & 0xff); body.write((sz >> 16) & 0xff)
+          body.write((sz >> 8) & 0xff); body.write(sz & 0xff)
+        }
+        body.write(0); body.write(0) // frame flags
+        body.write(data)
+      }
+      val b = body.toByteArray
+      val hdr = new Array[Byte](10)
+      hdr(0) = 'I'; hdr(1) = 'D'; hdr(2) = '3'
+      hdr(3) = if (v24) 4 else 3
+      hdr(6) = ((b.length >> 21) & 0x7f).toByte
+      hdr(7) = ((b.length >> 14) & 0x7f).toByte
+      hdr(8) = ((b.length >> 7) & 0x7f).toByte
+      hdr(9) = (b.length & 0x7f).toByte
+      hdr ++ b
     }
 
     /** CBR MPEG-1 Layer III stream: `frames` frames at bitrate index

@@ -645,5 +645,49 @@ object FormatDepthQueries {
              |       true AS r_ok, true AS g_ok, true AS b_ok
              |FROM documents ORDER BY media_id ASC""".stripMargin),
       "real JPEG encode+decode (JDK DCT codec): exact dims + bounded per-channel reconstruction verdicts"),
+
+    // ------------------------------------------------------------------
+    // q243: ID3v2 text-frame extraction — title/artist/album metadata
+    // from MP3 payloads, the audio-side analogue of q240's PNG tags.
+    // Even docs carry a v2.4 tag (synchsafe frame sizes), odd docs v2.3
+    // (plain big-endian) — both parser branches land in the hash. The
+    // tag precedes a real CBR frame run, so the walk must stop at the
+    // tag boundary rather than reading into audio bytes. 100 TB:
+    // map-side walk, tag strings shuffle.
+    GQuery(
+      "q243_id3_tags",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val tag = Multimodal.SyntheticMedia.id3Tag(
+                Seq(
+                  "TIT2" -> ("track " + (id % 53)),
+                  "TPE1" -> ("artist-" + (id % 11)),
+                  "TALB" -> ("album " + (id % 29))),
+                v24 = id % 2 == 0)
+              val audio = Multimodal.SyntheticMedia.mp3(
+                kbpsIdx = 9, srIdx = 0, frames = 3, mono = true, id3Size = 0)
+              Multimodal.MediaRow(id, tag ++ audio, "audio/mpeg")
+            }
+          }
+        media.mapPartitions { rows =>
+          rows.flatMap { r =>
+            Multimodal.ContainerCodec.id3TextFrames(r.payload).iterator
+              .map { case (fid, text) => (r.media_id, fid, text) }
+          }
+        }.toDF("media_id", "frame_id", "text")
+          .orderBy(col("media_id").asc, col("frame_id").asc)
+      },
+      Some("""SELECT doc_id AS media_id, frame_id, text FROM (
+             |  SELECT doc_id, 'TIT2' AS frame_id,
+             |         'track ' || CAST(doc_id % 53 AS VARCHAR) AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, 'TPE1', 'artist-' || CAST(doc_id % 11 AS VARCHAR) FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, 'TALB', 'album ' || CAST(doc_id % 29 AS VARCHAR) FROM documents)
+             |ORDER BY media_id ASC, frame_id ASC""".stripMargin),
+      "ID3v2.3/2.4 text-frame walk (synchsafe vs BE frame sizes) over real tagged MP3 payloads"),
   )
 }
