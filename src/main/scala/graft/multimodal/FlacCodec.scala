@@ -349,8 +349,12 @@ object FlacCodec {
               while (i < bs && !r.failed) { out(i) = r.readSigned(eff) << wasted; i += 1 }
             } else if (typ >= 8 && typ <= 12) { // FIXED order 0..4
               val order = typ - 8
+              // a predictor order beyond the frame's blocksize is
+              // structurally impossible — corrupt-media stop, BEFORE the
+              // warmup loop writes past `out` (never-throw contract)
+              if (order > bs) ok = false
               var i = 0
-              while (i < order && !r.failed) { out(i) = r.readSigned(eff) << wasted; i += 1 }
+              while (ok && i < order && !r.failed) { out(i) = r.readSigned(eff) << wasted; i += 1 }
               val method = r.readBits(2).toInt
               if (method > 1) ok = false
               else {

@@ -163,37 +163,69 @@ object Multimodal {
       p(o) == s.charAt(0) && p(o + 1) == s.charAt(1) &&
         p(o + 2) == s.charAt(2) && p(o + 3) == s.charAt(3)
 
-    /** (sample_rate, n_channels, duration_ms, n_sample_frames) or zeros. */
-    def parseWav(p: Array[Byte]): (Int, Int, Long, Long) = {
+    /** Everything a WAV consumer needs from the RIFF chunk walk: the fmt
+      * fields, the optional MS-extension samplesPerBlock and fact sample
+      * count, and the (truncation-clamped) data span. `null` for non-WAV
+      * or structurally broken payloads.
+      */
+    private[multimodal] final case class WavLayout(
+        tag: Int, channels: Int, rate: Int, byteRate: Long, blockAlign: Int,
+        bits: Int, spbExt: Int, factSamples: Long, dataOff: Int, dataLen: Int)
+
+    /** THE authoritative RIFF chunk walk for every WAV consumer in this
+      * file (parseWav / pcmStats / pcmFeatures / g711Stats / adpcmStats):
+      * [id(4) size(4LE) payload(size, padded to even)], every read
+      * bounds-checked, data size clamped to the bytes actually present,
+      * zero/overflowing steps abort. One copy, so a bounds-handling fix
+      * cannot silently miss a duplicated local walk (the le32 rule,
+      * promoted to the whole walk).
+      */
+    private[multimodal] def walkWav(p: Array[Byte]): WavLayout = {
       def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
-      def le32(o: Int) = ContainerCodec.le32(p, o)
-      if (!isWav(p)) return (0, 0, 0L, 0L)
+      def le32L(o: Int) = ContainerCodec.le32(p, o)
+      if (!isWav(p)) return null
       var off = 12
-      var rate = 0; var channels = 0; var byteRate = 0L; var blockAlign = 0
-      var dataSize = -1L
-      // RIFF chunk walk: [id(4) size(4LE) payload(size, padded to even)]
-      while (off + 8 <= p.length && (rate == 0 || dataSize < 0)) {
+      var fmtSeen = false
+      var tag = 0; var channels = 0; var rate = 0; var byteRate = 0L
+      var blockAlign = 0; var bits = 0; var spbExt = -1
+      var factSamples = -1L
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= p.length && (!fmtSeen || dataOff < 0)) {
         val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val sz = le32(off + 4)
-        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length) {
+        val sz = le32L(off + 4)
+        if (id == "fmt " && !fmtSeen && sz >= 16 && off + 8 + 16 <= p.length) {
+          fmtSeen = true
+          tag = le16(off + 8)
           channels = le16(off + 10)
-          rate = le32(off + 12).toInt
-          byteRate = le32(off + 16)
+          rate = le32L(off + 12).toInt
+          byteRate = le32L(off + 16)
           blockAlign = le16(off + 20)
-        } else if (id == "data") {
-          // size may legally exceed remaining bytes in a truncated file;
-          // clamp to what is actually present
-          dataSize = math.min(sz, (p.length - off - 8).toLong)
+          bits = le16(off + 22)
+          // MS fmt extension: cbSize(2) + samplesPerBlock(2)
+          if (sz >= 20 && off + 8 + 20 <= p.length && le16(off + 24) >= 2)
+            spbExt = le16(off + 26)
+        } else if (id == "fact" && sz >= 4 && off + 12 <= p.length) {
+          factSamples = le32L(off + 8)
+        } else if (id == "data" && dataOff < 0) {
+          dataOff = off + 8
+          dataLen = math.min(sz, (p.length - dataOff).toLong).toInt
         }
         val step = 8L + sz + (sz & 1L) // chunks are word-aligned
-        if (step <= 8L || off + step > Int.MaxValue) return (0, 0, 0L, 0L)
+        if (step <= 8L || off + step > Int.MaxValue) return null
         off += step.toInt
       }
-      if (rate <= 0 || channels <= 0 || blockAlign <= 0 || dataSize < 0)
-        (0, 0, 0L, 0L)
-      else (rate, channels,
-        if (byteRate > 0) dataSize * 1000L / byteRate else 0L,
-        dataSize / blockAlign)
+      WavLayout(tag, channels, rate, byteRate, blockAlign, bits, spbExt,
+        factSamples, dataOff, dataLen)
+    }
+
+    /** (sample_rate, n_channels, duration_ms, n_sample_frames) or zeros. */
+    def parseWav(p: Array[Byte]): (Int, Int, Long, Long) = {
+      val w = walkWav(p)
+      if (w == null || w.rate <= 0 || w.channels <= 0 || w.blockAlign <= 0 ||
+        w.dataOff < 0) (0, 0, 0L, 0L)
+      else (w.rate, w.channels,
+        if (w.byteRate > 0) w.dataLen.toLong * 1000L / w.byteRate else 0L,
+        w.dataLen.toLong / w.blockAlign)
     }
 
     /** (timescale, duration_ms, n_tracks, width, height, n_frames) or
@@ -692,28 +724,13 @@ object Multimodal {
       * [[ContainerCodec.parseWav]]).
       */
     def pcmStats(p: Array[Byte]): (Long, Long, Long, Int) = {
-      def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
-      def le32(o: Int) = ContainerCodec.le32(p, o)
-      if (!ContainerCodec.isWav(p)) return (0L, 0L, 0L, 0)
-      var off = 12
-      var fmtOk = false
-      var dataOff = -1; var dataLen = 0
-      while (off + 8 <= p.length && (!fmtOk || dataOff < 0)) {
-        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val sz = le32(off + 4)
-        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length) {
-          // audioFormat 1 = uncompressed PCM; only 16 bits/sample decodes
-          fmtOk = le16(off + 8) == 1 && le16(off + 22) == 16
-        } else if (id == "data") {
-          dataOff = off + 8
-          dataLen = math.min(sz, (p.length - dataOff).toLong).toInt
-        }
-        val step = 8L + sz + (sz & 1L)
-        if (step <= 8L || off + step > Int.MaxValue) return (0L, 0L, 0L, 0)
-        off += step.toInt
-      }
-      if (!fmtOk || dataOff < 0) return (0L, 0L, 0L, 0)
-      val n = dataLen / 2 // whole s16le samples only
+      // audioFormat 1 = uncompressed PCM; only 16 bits/sample decodes
+      // (any channel count — samples are counted interleaved)
+      val w = ContainerCodec.walkWav(p)
+      if (w == null || w.tag != 1 || w.bits != 16 || w.dataOff < 0)
+        return (0L, 0L, 0L, 0)
+      val dataOff = w.dataOff
+      val n = w.dataLen / 2 // whole s16le samples only
       var i = 0
       var sumV = 0L; var sumAbs = 0L; var peak = 0
       while (i < n) {
@@ -744,27 +761,11 @@ object Multimodal {
       */
     def pcmFeatures(p: Array[Byte], window: Int, thresh: Int): (Long, Long, Long, Long, Long) = {
       require(window > 0)
-      def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
-      def le32(o: Int) = ContainerCodec.le32(p, o)
-      if (!ContainerCodec.isWav(p)) return (0L, 0L, 0L, -1L, -1L)
-      var off = 12
-      var fmtOk = false
-      var dataOff = -1; var dataLen = 0
-      while (off + 8 <= p.length && (!fmtOk || dataOff < 0)) {
-        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val sz = le32(off + 4)
-        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length) {
-          fmtOk = le16(off + 8) == 1 && le16(off + 10) == 1 && le16(off + 22) == 16
-        } else if (id == "data") {
-          dataOff = off + 8
-          dataLen = math.min(sz, (p.length - dataOff).toLong).toInt
-        }
-        val step = 8L + sz + (sz & 1L)
-        if (step <= 8L || off + step > Int.MaxValue) return (0L, 0L, 0L, -1L, -1L)
-        off += step.toInt
-      }
-      if (!fmtOk || dataOff < 0) return (0L, 0L, 0L, -1L, -1L)
-      val n = dataLen / 2
+      val w = ContainerCodec.walkWav(p)
+      if (w == null || w.tag != 1 || w.channels != 1 || w.bits != 16 ||
+        w.dataOff < 0) return (0L, 0L, 0L, -1L, -1L)
+      val dataOff = w.dataOff
+      val n = w.dataLen / 2
       var zc = 0L; var maxWin = 0L; var winSum = 0L
       var firstLoud = -1L; var lastLoud = -1L
       var prevNonNeg = false
@@ -823,27 +824,14 @@ object Multimodal {
       * contract (tag 0, all zeros) — 16-bit PCM stays [[pcmStats]]'s job.
       */
     def g711Stats(p: Array[Byte]): (Int, Long, Long, Long, Int) = {
-      def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
-      def le32(o: Int) = ContainerCodec.le32(p, o)
-      if (!ContainerCodec.isWav(p)) return (0, 0L, 0L, 0L, 0)
-      var off = 12
-      var tag = 0; var fmtOk = false
-      var dataOff = -1; var dataLen = 0
-      while (off + 8 <= p.length && (!fmtOk || dataOff < 0)) {
-        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val sz = le32(off + 4)
-        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length) {
-          tag = le16(off + 8)
-          fmtOk = (tag == 6 || tag == 7) && le16(off + 22) == 8
-        } else if (id == "data") {
-          dataOff = off + 8
-          dataLen = math.min(sz, (p.length - dataOff).toLong).toInt
-        }
-        val step = 8L + sz + (sz & 1L)
-        if (step <= 8L || off + step > Int.MaxValue) return (0, 0L, 0L, 0L, 0)
-        off += step.toInt
-      }
-      if (!fmtOk || dataOff < 0) return (0, 0L, 0L, 0L, 0)
+      val w = ContainerCodec.walkWav(p)
+      // mono only, like every other sample walk in this object — a
+      // stereo G.711 stream must hit the corrupt-media contract, not be
+      // silently flattened into one interleaved channel
+      if (w == null || (w.tag != 6 && w.tag != 7) || w.channels != 1 ||
+        w.bits != 8 || w.dataOff < 0) return (0, 0L, 0L, 0L, 0)
+      val tag = w.tag
+      val dataOff = w.dataOff; val dataLen = w.dataLen
       var i = 0
       var sumV = 0L; var sumAbs = 0L; var peak = 0
       while (i < dataLen) {
@@ -919,37 +907,16 @@ object Multimodal {
       * the same clamp discipline as [[pcmStats]].
       */
     def adpcmStats(p: Array[Byte], expected: Int => Int): (Long, Int, Long, Long, Int, Int) = {
-      def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
-      def le32(o: Int) = ContainerCodec.le32(p, o)
-      if (!ContainerCodec.isWav(p)) return (0L, 0, 0L, 0L, 0, 0)
-      var off = 12
-      var fmtOk = false; var blockAlign = 0; var spb = 0
-      var factSamples = Long.MaxValue
-      var dataOff = -1; var dataLen = 0
-      while (off + 8 <= p.length && (!fmtOk || dataOff < 0)) {
-        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val sz = le32(off + 4)
-        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length) {
-          fmtOk = le16(off + 8) == 0x11 && le16(off + 10) == 1 &&
-            le16(off + 22) == 4
-          blockAlign = le16(off + 20)
-          // MS ADPCM-family fmt extension: cbSize(2) + samplesPerBlock(2)
-          spb =
-            if (sz >= 20 && off + 8 + 20 <= p.length && le16(off + 24) >= 2)
-              le16(off + 26)
-            else (blockAlign - 4) * 2 + 1 // spec default for mono IMA
-        } else if (id == "fact" && sz >= 4 && off + 12 <= p.length) {
-          factSamples = le32(off + 8) // authoritative decoded-length bound
-        } else if (id == "data") {
-          dataOff = off + 8
-          dataLen = math.min(sz, (p.length - dataOff).toLong).toInt
-        }
-        val step = 8L + sz + (sz & 1L)
-        if (step <= 8L || off + step > Int.MaxValue) return (0L, 0, 0L, 0L, 0, 0)
-        off += step.toInt
-      }
-      if (!fmtOk || dataOff < 0 || blockAlign < 5 || spb < 1)
-        return (0L, 0, 0L, 0L, 0, 0)
+      val w = ContainerCodec.walkWav(p)
+      if (w == null || w.tag != 0x11 || w.channels != 1 || w.bits != 4 ||
+        w.dataOff < 0) return (0L, 0, 0L, 0L, 0, 0)
+      val blockAlign = w.blockAlign
+      // MS ADPCM-family fmt extension when present; spec default otherwise
+      val spb = if (w.spbExt > 0) w.spbExt else (blockAlign - 4) * 2 + 1
+      // the fact chunk is the authoritative decoded-length bound
+      val factSamples = if (w.factSamples >= 0) w.factSamples else Long.MaxValue
+      val dataOff = w.dataOff; val dataLen = w.dataLen
+      if (blockAlign < 5 || spb < 1) return (0L, 0, 0L, 0L, 0, 0)
       var n = 0L; var first = 0; var sumV = 0L; var sumAbs = 0L
       var peak = 0; var maxErr = 0
       def emit(v: Int): Unit = {

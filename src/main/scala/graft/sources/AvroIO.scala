@@ -113,13 +113,18 @@ object AvroIO {
 
   /** OCF read back to a DataFrame with the caller's EXPLICIT schema (the
     * source tier's no-inference rule): shard-per-task via `binaryFile`,
-    * each payload streamed through `DataFileStream`. Reader-side schema
-    * resolution is Avro's own (the writer schema embedded in the file
-    * header is matched to the expected schema), so files written by an
-    * evolved producer still land as long as the named fields resolve. A
-    * payload that is not a parseable OCF (bad magic, torn header) yields
-    * zero rows — the corrupt-shard contract the tar/WARC tier uses —
-    * rather than failing the task.
+    * each payload streamed through `DataFileStream` lazily — rows are
+    * emitted one at a time, so a shard's raw bytes are never doubled by
+    * a materialized row buffer. Reader-side schema resolution is Avro's
+    * own (the writer schema embedded in the file header is matched to
+    * the expected schema), so files written by an evolved producer still
+    * land as long as the named fields resolve. Corrupt input follows the
+    * tar/WARC tier's contract: a payload that is not a parseable OCF
+    * (bad magic, torn or garbled header — surfaced by Avro as
+    * IOException, AvroRuntimeException, or SchemaParseException, hence
+    * the NonFatal catch) yields zero rows, and a shard that dies
+    * mid-stream (torn block, codec checksum failure) yields the valid
+    * prefix — never a task failure.
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val expectedJson = avroSchema(schema, "row").toString
@@ -129,37 +134,52 @@ object AvroIO {
       .load(path + "/*.avro")
       .select(col("content"))
     payloads.mapPartitions { rows =>
+      import scala.util.control.NonFatal
       val expected = new Schema.Parser().parse(expectedJson)
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](0)
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        try {
-          val stream = new DataFileStream[GenericRecord](
-            new java.io.ByteArrayInputStream(bytes),
-            new GenericDatumReader[GenericRecord](null, expected))
-          try {
-            while (stream.hasNext) {
-              val rec = stream.next()
-              val vals = new Array[Any](n)
-              var i = 0
-              while (i < n) {
-                vals(i) = (rec.get(i), types(i)) match {
-                  case (null, _) => null
-                  case (u: org.apache.avro.util.Utf8, StringType) => u.toString
-                  case (s: CharSequence, StringType) => s.toString
-                  case (bb: java.nio.ByteBuffer, BinaryType) =>
-                    val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-                  case (v, _) => v
-                }
-                i += 1
+        new Iterator[Row] {
+          private var stream: DataFileStream[GenericRecord] =
+            try new DataFileStream[GenericRecord](
+              new java.io.ByteArrayInputStream(bytes),
+              new GenericDatumReader[GenericRecord](null, expected))
+            catch { case NonFatal(_) => null }
+          private var nextRec: GenericRecord = null
+
+          private def advance(): Unit =
+            if (stream != null && nextRec == null) {
+              nextRec =
+                try { if (stream.hasNext) stream.next() else null }
+                catch { case NonFatal(_) => null } // torn block → stop at prefix
+              if (nextRec == null) {
+                try stream.close() catch { case NonFatal(_) => () }
+                stream = null
               }
-              out += Row.fromSeq(vals.toIndexedSeq)
             }
-          } finally stream.close()
-        } catch {
-          case _: java.io.IOException => // not an OCF / torn header → no rows
+
+          override def hasNext: Boolean = { advance(); nextRec != null }
+
+          override def next(): Row = {
+            advance()
+            if (nextRec == null) throw new NoSuchElementException("avro iterator")
+            val rec = nextRec
+            nextRec = null
+            val vals = new Array[Any](n)
+            var i = 0
+            while (i < n) {
+              vals(i) = (rec.get(i), types(i)) match {
+                case (null, _) => null
+                case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+                case (s: CharSequence, StringType) => s.toString
+                case (bb: java.nio.ByteBuffer, BinaryType) =>
+                  val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+                case (v, _) => v
+              }
+              i += 1
+            }
+            Row.fromSeq(vals.toIndexedSeq)
+          }
         }
-        out.iterator
       }
     }(Encoders.row(schema))
   }
