@@ -50,7 +50,8 @@ object QueryRegistry {
       graft.queries.SemanticCurationQueries.all ++
       graft.queries.GovernanceQueries.all ++
       graft.queries.CurationDagQueries.all ++
-      graft.queries.FormatDepthQueries.all
+      graft.queries.FormatDepthQueries.all ++
+      graft.queries.VectorIndexQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

@@ -30,7 +30,7 @@ object Similarity {
     * the global top-k preserves the result exactly, so output is unchanged.
     * Input: (query_id, neighbor_id, sim). Output adds rank.
     */
-  private[functions] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     // spark_partition_id is nondeterministic → materialize it as a column
     // first (allowed in Project), then window over plain columns
     val local = Window
@@ -269,6 +269,111 @@ object Similarity {
       .groupBy(col(idCol))
       .agg(max(col("sc")).as("best"))
       .select(col(idCol), (-col("best.ncid")).as("cluster"))
+  }
+
+  /** Left-to-right double-fold dot product over two DOUBLE arrays —
+    * bit-identical to DuckDB's `list_dot_product(CAST(x AS DOUBLE[]), …)`
+    * (probed pairwise on the fixture embeddings before q244 depended on
+    * it; same sequential-fold law the q39 cosine gate established).
+    * Inputs must already be double arrays. Backed by the native
+    * codegen'd [[graft.expressions.DotProduct]]; [[dotFoldComposed]] is
+    * the higher-order-builtin reference form LawsSpec pins it against.
+    */
+  def dotFold(a: Column, b: Column): Column =
+    graft.expressions.DotProduct(a, b)
+
+  /** Reference form of [[dotFold]] via aggregate/zip_with (CodegenFallback
+    * — spec/probe use only; the fold order is identical by construction).
+    */
+  private[graft] def dotFoldComposed(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean distance as sqrt of a left-to-right squared-diff fold —
+    * bit-identical to DuckDB's `list_distance` on DOUBLE[] (same probe).
+    * The sqrt is NOT redundant for argmin use: two candidate sums can be
+    * distinct doubles yet round to the same sqrt, and only the sqrt'd
+    * value tie-breaks identically in both engines.
+    */
+  def l2Fold(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** [[TextFunctions.md5Hash60]] evaluated on the driver (same 60-bit law: first 15 hex
+    * chars of md5, non-negative), for deriving plan-time literal tables
+    * from the shared formula discipline.
+    */
+  private def md5Hash60Local(s: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      dig.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Formula-derived product-quantization codebook: `m` subspaces ×
+    * `ks` sub-centroids × `subDim` dims, component (md5Hash60("pq:m:j:d")
+    * % 2001 - 1000)/1024 — dyadic, exactly representable in DOUBLE, the
+    * same replay-anywhere discipline as [[formulaCentroids]] (a
+    * production deployment trains these with the gated k-means; the gate
+    * uses the formula so the oracle never needs a side-channel model).
+    * Driver-side: the codebook is a CONSTANT (m·ks·subDim doubles), baked
+    * into the plan as literals — encode is pure projection, no join.
+    */
+  private[graft] def pqCodebook(m: Int, ks: Int, subDim: Int)
+      : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    (0 until m).map(mm => (0 until ks).map(j => (0 until subDim).map(d =>
+      ((md5Hash60Local(s"pq:$mm:$j:$d") % 2001) - 1000).toDouble / 1024.0)))
+
+  /** Product-quantization encode (Jegou/Douze/Schmid, TPAMI 2011): split
+    * the `dims`-dim DOUBLE vector into `m` contiguous subspaces and pick,
+    * per subspace, the L2-nearest of `ks` codebook sub-centroids (ties →
+    * lower code id, via lexicographic struct min). Returns the
+    * array<int> of m codes. ENTIRELY map-side: the codebook rides the
+    * plan as literals, so at 100 TB this is scan-speed projection — the
+    * whole point of PQ (n·m·ks·subDim = n·ks·dims flops once, then every
+    * downstream pass touches m bytes of codes instead of dims·4 of
+    * floats, a 32× shuffle/storage cut at dims=64, m=8).
+    */
+  def pqEncode(vecD: Column, dims: Int, m: Int, ks: Int): Column = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val cb = pqCodebook(m, ks, dims / m)
+    graft.expressions.PqEncode(vecD,
+      cb.map(_.map(_.toArray).toArray).toArray)
+  }
+
+  /** Reference form of [[pqEncode]] via slice + struct-min over
+    * aggregate/zip_with folds (CodegenFallback — spec use only; same
+    * argmin, same sqrt'd distance, same lower-id tie-break).
+    */
+  private[graft] def pqEncodeComposed(vecD: Column, dims: Int, m: Int, ks: Int): Column = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val subDim = dims / m
+    val cb = pqCodebook(m, ks, subDim)
+    array((0 until m).map { mm =>
+      val sub = slice(vecD, mm * subDim + 1, subDim)
+      val cands = array((0 until ks).map { j =>
+        struct(l2Fold(sub, array(cb(mm)(j).map(lit): _*)).as("d"),
+          lit(j).as("j"))
+      }: _*)
+      array_min(cands).getField("j")
+    }: _*)
+  }
+
+  /** Reconstruction from PQ codes: concatenate each subspace's selected
+    * sub-centroid (pure literal lookup — map-side, no join). Scoring
+    * against the reconstruction with one full-width [[dotFold]] gives
+    * the asymmetric-distance (ADC) VALUE in a form both engines compute
+    * in the identical dimension order — a per-subspace lookup-table sum
+    * would round differently between the engines' group orders.
+    */
+  def pqReconstruct(codes: Column, dims: Int, m: Int, ks: Int): Column = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val subDim = dims / m
+    val cb = pqCodebook(m, ks, subDim)
+    flatten(array((0 until m).map { mm =>
+      val cvecs = array((0 until ks).map(j =>
+        array(cb(mm)(j).map(lit): _*)): _*)
+      element_at(cvecs, element_at(codes, mm + 1) + 1)
+    }: _*))
   }
 
   /** Exact near-duplicate pairs by cosine threshold within blocking keys —

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.functions.Similarity
+import graft.sources.Tables
+
+/** Vector-index tier, round 8c: product quantization (Jegou/Douze/Schmid,
+  * "Product quantization for nearest neighbor search", TPAMI 2011) — the
+  * missing third leg of the ANN scale triad next to hyperplane LSH (q40)
+  * and IVF (q54/q68). PQ is what makes 100 TB vector corpora searchable
+  * at all: codes are m bytes per vector instead of dims·4 of floats (32×
+  * at dims=64, m=8), so the candidate set that IVF cells produce can be
+  * scored from memory-resident codes.
+  *
+  * Cross-engine exactness: the two floating-point kernels this tier adds
+  * — a left-to-right double-fold dot product and sqrt-of-squared-diff
+  * L2 — were probed bit-identical to DuckDB's list_dot_product /
+  * list_distance on the fixture embeddings (the q39 sequential-fold law
+  * extended), so the gate is EXACT, not invariant-bounded.
+  */
+object VectorIndexQueries {
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q244: PQ encode + asymmetric-distance top-k. The codebook is m=8
+    // subspaces × ks=16 sub-centroids of formula components (dyadic
+    // md5-derived — the q220 discipline; production trains them with the
+    // gated k-means, the gate's formula keeps the oracle model-free) and
+    // is baked into the plan as LITERALS, so encode is scan-speed
+    // projection: per subspace, argmin L2 over 16 literal sub-centroids
+    // (ties → lower code id via lexicographic struct-min; the L2 keeps
+    // its sqrt because two sums can be distinct doubles yet round to one
+    // sqrt — only the sqrt'd value tie-breaks identically cross-engine).
+    //
+    // Scoring is ADC in reconstruction form: score(q, x) = dot(q,
+    // recon(codes(x))) with one full-width 64-dim fold — mathematically
+    // the per-subspace lookup-table sum, but computed in the ONE
+    // dimension order both engines share (a per-subspace LUT sum would
+    // round differently between the engines' group orders). Queries are
+    // the sparse vec_id % 97 slice (broadcast); per-query top-5 uses the
+    // straggler-free two-level window (local top-k per partition, then
+    // global — Similarity.topKPerQuery). The top-k rows also carry the
+    // neighbor's code signature, gating the encoder output directly.
+    //
+    // 100 TB shape: encode touches each vector once, map-side, zero
+    // joins/shuffles (PlanShapeSpec-locked: no non-broadcast join in the
+    // plan); scoring shuffles only (query, neighbor, score) doubles
+    // through the pruned window. In production the corpus keeps ONLY
+    // codes (m bytes/vector) and IVF cells (q54) prune which codes each
+    // query scores; here every code is scored so the oracle can replay
+    // the exact ranking.
+    GQuery(
+      "q244_pq_adc",
+      (s, d) => {
+        val (dims, m, ks, k) = (64, 8, 16, 5)
+        val emb = Tables.embeddings(s, d)
+        val vd = transform(col("embedding"), x => x.cast("double"))
+        val enc = emb.select(col("vec_id"), Similarity.pqEncode(vd, dims, m, ks).as("codes"))
+          .select(col("vec_id"),
+            concat_ws(",", transform(col("codes"), c => c.cast("string"))).as("code_sig"),
+            Similarity.pqReconstruct(col("codes"), dims, m, ks).as("recon"))
+        val q = emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("query_id"),
+            transform(col("embedding"), x => x.cast("double")).as("qv"))
+        val scored = enc.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            Similarity.dotFold(col("qv"), col("recon")).as("sim"))
+        val topk = Similarity.topKPerQuery(scored, k)
+          .withColumnRenamed("sim", "score")
+        // code signatures of the ≤ Q·k winners: broadcast the tiny top-k
+        // side; the corpus-sized encode stays map-side on both passes
+        enc.select(col("vec_id").as("neighbor_id"), col("code_sig"))
+          .join(broadcast(topk), Seq("neighbor_id"))
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("score"), col("code_sig"))
+          .orderBy(col("query_id").asc, col("rank").asc)
+      },
+      Some("""WITH cb AS (
+             |  SELECT mm.m, jj.j,
+             |         list((CAST(('0x'||substr(md5('pq:'||mm.m||':'||jj.j||':'||dd.d),1,15)) AS BIGINT)
+             |               % 2001 - 1000) / 1024.0 ORDER BY dd.d) AS cvec
+             |  FROM (SELECT unnest(range(0, 8)) AS m) mm,
+             |       (SELECT unnest(range(0, 16)) AS j) jj,
+             |       (SELECT unnest(range(0, 8)) AS d) dd
+             |  GROUP BY mm.m, jj.j),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |codes AS (
+             |  SELECT vec_id, m, j FROM (
+             |    SELECT e.vec_id, cb.m, cb.j,
+             |           row_number() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+             |             list_distance(e.v[cb.m*8+1 : cb.m*8+8], cb.cvec) ASC, cb.j ASC) AS rn
+             |    FROM e CROSS JOIN cb)
+             |  WHERE rn = 1),
+             |sig AS (
+             |  SELECT vec_id, string_agg(CAST(j AS VARCHAR), ',' ORDER BY m) AS code_sig
+             |  FROM codes GROUP BY vec_id),
+             |recon AS (
+             |  SELECT c.vec_id, flatten(list(cb.cvec ORDER BY c.m)) AS r
+             |  FROM codes c JOIN cb ON cb.m = c.m AND cb.j = c.j
+             |  GROUP BY c.vec_id),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+             |scored AS (
+             |  SELECT q.query_id, r.vec_id AS neighbor_id,
+             |         list_dot_product(q.qv, r.r) AS score
+             |  FROM q CROSS JOIN recon r WHERE r.vec_id <> q.query_id),
+             |topk AS (
+             |  SELECT query_id, neighbor_id, score,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY score DESC, neighbor_id ASC) AS rank
+             |  FROM scored)
+             |SELECT t.query_id, CAST(t.rank AS INT) AS rank, t.neighbor_id,
+             |       t.score, s.code_sig
+             |FROM topk t JOIN sig s ON s.vec_id = t.neighbor_id
+             |WHERE t.rank <= 5
+             |ORDER BY t.query_id ASC, t.rank ASC""".stripMargin),
+      "product quantization: literal-codebook scan-speed encode + exact ADC ranking == DuckDB replay (dot/L2 folds probed bit-identical)"),
+  )
+}

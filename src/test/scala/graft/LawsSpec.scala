@@ -128,4 +128,53 @@ class LawsSpec extends SparkTestBase {
       }
     })
   }
+
+  test("pq natives: DotProduct and PqEncode are bit-identical to the composed folds") {
+    // the q244 exactness chain: oracle == composed folds (probed against
+    // DuckDB's list_dot_product/list_distance) == native expressions
+    // (this pin). Runs over REAL fixture embeddings plus adjacent-pair
+    // dots, compared as raw IEEE-754 bits — a one-ulp drift anywhere in
+    // the codegen'd loops fails.
+    import graft.functions.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vd"))
+    val a = emb.select(col("vec_id").as("ida"), col("vd").as("va"))
+    val b = emb.select((col("vec_id") - 1).as("ida"), col("vd").as("vb"))
+    val dots = a.join(b, Seq("ida"))
+      .select(Similarity.dotFold(col("va"), col("vb")).as("native"),
+        Similarity.dotFoldComposed(col("va"), col("vb")).as("composed"))
+      .collect()
+    assert(dots.nonEmpty)
+    dots.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    val codes = emb
+      .select(Similarity.pqEncode(col("vd"), 64, 8, 16).as("native"),
+        Similarity.pqEncodeComposed(col("vd"), 64, 8, 16).as("composed"))
+      .collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+    }
+  }
+
+  test("pq null semantics: null element, length mismatch, null input -> null") {
+    import graft.functions.Similarity
+    val df = Seq(
+      (1L, Some(Seq.fill(64)(Option(0.5))), Some(Seq.fill(64)(Option(0.25)))),
+      (2L, Some(Seq.fill(64)(Option(0.5))), Some(Option(1.0) +: Seq.fill(62)(Option(0.25)) :+ (None: Option[Double]))),
+      (3L, Some(Seq.fill(8)(Option(0.5))), Some(Seq.fill(64)(Option(0.25)))),
+      (4L, None, Some(Seq.fill(64)(Option(0.25)))))
+      .toDF("id", "x", "y")
+    val out = df.select(col("id"),
+      Similarity.dotFold(col("x"), col("y")).as("dot"),
+      Similarity.pqEncode(col("x"), 64, 8, 16).as("codes"))
+      .orderBy(col("id")).collect()
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2))
+    assert(out(1).isNullAt(1), "null element must poison the dot")
+    assert(out(2).isNullAt(1), "length mismatch must be null")
+    assert(out(2).isNullAt(2), "pq of a wrong-width vector must be null")
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+  }
 }

@@ -379,4 +379,21 @@ class PlanShapeSpec extends SparkTestBase {
     // assignment output is total: every vector gets exactly one cluster
     assert(asg.count() === emb.count())
   }
+
+  test("q244 pq: no shuffle join anywhere, no vector crosses an exchange") {
+    // the PQ scale claims: encode is join-free scan-speed projection
+    // (codebook rides the plan as a referenced constant — any shuffle
+    // join would mean it regressed to the codebook-as-table shape), the
+    // query side and the tiny top-k side are the only joins and both
+    // broadcast, and the exchanges under the top-k windows carry only
+    // (ids, score, code_sig) — never a 64-dim vector column.
+    val p = plan("q244_pq_adc")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q244 must not shuffle-join:\n$p")
+    val exchanges = p.split("\n\\(\\d+\\) ").toSeq.filter(_.startsWith("Exchange"))
+      .map(s => s.linesIterator.find(_.trim.startsWith("Input")).getOrElse(""))
+    assert(exchanges.nonEmpty, "expected the window/order exchanges")
+    for (in <- exchanges; vecCol <- Seq("recon", "qv", "embedding"))
+      assert(!in.contains(vecCol), s"q244: $vecCol crosses an exchange: $in")
+  }
 }
