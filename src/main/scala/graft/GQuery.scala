@@ -51,7 +51,8 @@ object QueryRegistry {
       graft.queries.GovernanceQueries.all ++
       graft.queries.CurationDagQueries.all ++
       graft.queries.FormatDepthQueries.all ++
-      graft.queries.VectorIndexQueries.all
+      graft.queries.VectorIndexQueries.all ++
+      graft.queries.CorpusOpsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

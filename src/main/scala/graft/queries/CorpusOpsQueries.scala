@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+
+/** Corpus-hygiene tier, round 8c: paragraph-grain exact dedup with
+  * document reassembly (the RefinedWeb/MassiveText step between
+  * document-exact q34 and substring-span q175), and the Gopher quality
+  * rule set (Rae et al. 2021, appendix A1.1) as one integer-exact
+  * map-side filter. House discipline throughout: messy structure
+  * (paragraph breaks, bullet/ellipsis lines, numeric tokens) is
+  * synthesized in-plan from fixture columns, the operator then PARSES
+  * what was built, and every score is integer fixed-point so the DuckDB
+  * replay is exact.
+  */
+object CorpusOpsQueries {
+
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  val all: Seq[GQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q245: paragraph-level exact dedup + reassembly (Penedo et al.,
+    // RefinedWeb: repeated boilerplate paragraphs — headers, footers,
+    // cookie banners — are removed at PARAGRAPH grain across the corpus,
+    // keeping only the first occurrence, then documents are stitched
+    // back together from their surviving paragraphs). Paragraph breaks
+    // are synthesized in-plan: every doc becomes header-para ‖ own text
+    // ‖ footer-para with the header/footer shared across doc_id%17 /
+    // doc_id%23 classes, so ~94% of headers and footers are corpus
+    // duplicates while own text stays (mostly) unique — both dedup
+    // outcomes exercised, including docs whose every paragraph loses.
+    //
+    // Election: first occurrence by (doc_id, pos) via one min-struct agg
+    // per distinct paragraph (map-side partial agg); occurrences then
+    // join back on the md5 key. 100 TB: the shuffle carries (16-byte
+    // hash, ids) for the agg and the paragraphs once for the join-back —
+    // the exact-dedup shape at paragraph grain; reassembly is the one
+    // per-doc shuffle a reconstruction inherently needs.
+    GQuery(
+      "q245_paragraph_dedup",
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("shared header "), (col("doc_id") % 17).cast("string"),
+            lit("\n\n"), col("text"), lit("\n\n"),
+            lit("shared footer "), (col("doc_id") % 23).cast("string")).as("text2"))
+        val paras = t
+          .select(col("doc_id"),
+            posexplode(split(col("text2"), "\n\n")).as(Seq("pos", "para")))
+          .select(col("doc_id"), col("pos"), col("para"), md5(col("para")).as("h"))
+        val winners = paras.groupBy(col("h"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+        paras.join(winners, Seq("h"))
+          .select(col("doc_id"), col("pos"), col("para"),
+            (col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos")).as("kept"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_paras"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            md5(concat_ws("\u0001",
+              transform(array_sort(collect_list(
+                when(col("kept"), struct(col("pos"), col("para"))))),
+                x => x.getField("para")))).as("sig"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         'shared header ' || CAST(doc_id % 17 AS VARCHAR) || chr(10) || chr(10) ||
+             |         text || chr(10) || chr(10) ||
+             |         'shared footer ' || CAST(doc_id % 23 AS VARCHAR) AS text2
+             |  FROM documents),
+             |p0 AS (
+             |  SELECT doc_id,
+             |         unnest(string_split(text2, chr(10) || chr(10))) AS para,
+             |         unnest(range(0, len(string_split(text2, chr(10) || chr(10))))) AS pos
+             |  FROM t),
+             |p AS (SELECT doc_id, CAST(pos AS INT) AS pos, para, md5(para) AS h FROM p0),
+             |w AS (
+             |  SELECT h, doc_id AS wdoc, pos AS wpos FROM (
+             |    SELECT h, doc_id, pos,
+             |           row_number() OVER (PARTITION BY h ORDER BY doc_id ASC, pos ASC) AS rn
+             |    FROM p)
+             |  WHERE rn = 1),
+             |k AS (
+             |  SELECT p.doc_id, p.pos, p.para,
+             |         (p.doc_id = w.wdoc AND p.pos = w.wpos) AS kept
+             |  FROM p JOIN w USING (h))
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+             |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |       md5(COALESCE(string_agg(CASE WHEN kept THEN para END, chr(1) ORDER BY pos), '')) AS sig
+             |FROM k GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin),
+      "paragraph-grain exact dedup: first-occurrence election on the md5 key + order-exact reassembly == DuckDB replay"),
+
+    // ------------------------------------------------------------------
+    // q246: the Gopher quality rule set (Rae et al. 2021, A1.1) — the
+    // standard pre-filter every LLM corpus passes before dedup: word
+    // count in [50, 100000], mean word length in [3, 10], symbol-to-word
+    // ratio ('#'/'...') below 10%, at most 10% bullet-started and 30%
+    // ellipsis-ended lines, ≥80% of words containing an alphabetic
+    // character, and ≥2 distinct required stop words. The fixture text
+    // has no line structure, so lines are synthesized in-plan (7-word
+    // lines; formula-selected lines get a numeric token, a "- " bullet
+    // prefix, or a "..." suffix) and the operator then PARSES the built
+    // text — every metric is computed from text2 alone, in integer
+    // fixed-point (×1000, DIV), so the replay is exact and the word-count
+    // rule splits the real corpus (~55% of fixture docs reach 50 words).
+    //
+    // 100 TB: pure map-side projection per doc (higher-order builtins,
+    // no explode — nothing shuffles but the final order), the shape a
+    // quality gate must have to run inline with the ingest scan.
+    GQuery(
+      "q246_gopher_rules",
+      (s, d) => {
+        val toks = TF.tokens(col("text"))
+        val nLines = ceil(size(toks) / lit(7.0)).cast("int")
+        // per-doc failure modes: most docs get artifacts at below-threshold
+        // rates (every 12th line a bullet, every 10th a numeric token,
+        // every 8th an ellipsis end), while formula-selected HEAVY docs
+        // cross their rule's threshold (%7: bullet every 3rd line; %11:
+        // two numeric tokens on EVERY line, pushing alpha below 80%;
+        // %13: ellipsis on every 2nd line); docs with doc_id%3==0 get no
+        // stop-word line and fail the required-words rule (the fixture
+        // vocabulary carries only "the" of Gopher's eight)
+        val lines = transform(sequence(lit(0), nLines - 1), i => {
+          val base = array_join(slice(toks, i * 7 + 1, lit(7)), " ")
+          val bulSel = when(col("doc_id") % 7 === 0, (col("doc_id") + i) % 3 === 0)
+            .otherwise((col("doc_id") + i) % 12 === 0)
+          val ellSel = when(col("doc_id") % 13 === 0, (col("doc_id") + i) % 2 === 0)
+            .otherwise((col("doc_id") + i) % 8 === 0)
+          val withNum = when(col("doc_id") % 11 === 0, concat(lit("12345 67890 "), base))
+            .otherwise(when((col("doc_id") + i) % 10 === 0,
+              concat(lit("12345 "), base)).otherwise(base))
+          val withBullet = when(bulSel, concat(lit("- "), withNum)).otherwise(withNum)
+          when(ellSel, concat(withBullet, lit("..."))).otherwise(withBullet)
+        })
+        val linesAll = concat(lines,
+          when(col("doc_id") % 3 =!= 0, array(lit("to of and that have")))
+            .otherwise(array().cast("array<string>")))
+        val built = Tables.documents(s, d)
+          .select(col("doc_id"), array_join(linesAll, "\n").as("text2"))
+        // ---- operator proper: parse text2 ----
+        val lines2 = split(col("text2"), "\n")
+        val words2 = TF.tokens(regexp_replace(col("text2"), "\n", " "))
+        val parsed = built.select(col("doc_id"), col("text2"),
+          lines2.as("ls"), words2.as("ws"))
+          .select(col("doc_id"),
+            size(col("ws")).cast("long").as("n_words"),
+            aggregate(transform(col("ws"), w => length(w).cast("long")),
+              lit(0L), (a, v) => a + v).as("chars"),
+            size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("long").as("n_alpha"),
+            size(array_intersect(array_distinct(col("ws")),
+              array(GopherStops.map(lit): _*))).cast("long").as("n_stop"),
+            ((length(col("text2")) - length(regexp_replace(col("text2"), "\\.\\.\\.", "")))
+              .cast("long") / 3).cast("long").as("n_ell"),
+            (length(col("text2")) - length(regexp_replace(col("text2"), "#", "")))
+              .cast("long").as("n_hash"),
+            size(col("ls")).cast("long").as("n_lines"),
+            size(filter(col("ls"), l => l.startsWith("- "))).cast("long").as("n_bullet"),
+            size(filter(col("ls"), l => l.endsWith("..."))).cast("long").as("n_ell_end"))
+        parsed.select(col("doc_id"), col("n_words"),
+          expr("chars * 1000 DIV n_words").as("mean_wlen_fp"),
+          expr("(n_hash + n_ell) * 1000 DIV n_words").as("sym_fp"),
+          expr("n_bullet * 1000 DIV n_lines").as("bullet_fp"),
+          expr("n_ell_end * 1000 DIV n_lines").as("ellipsis_fp"),
+          expr("n_alpha * 1000 DIV n_words").as("alpha_fp"),
+          col("n_stop"))
+          .withColumn("passes",
+            col("n_words") >= 50 && col("n_words") <= 100000 &&
+              col("mean_wlen_fp") >= 3000 && col("mean_wlen_fp") <= 10000 &&
+              col("sym_fp") < 100 &&
+              col("bullet_fp") <= 100 && col("ellipsis_fp") <= 300 &&
+              col("alpha_fp") >= 800 && col("n_stop") >= 2)
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |ix AS (
+             |  SELECT doc_id, toks,
+             |         unnest(range(0, CAST(ceil(len(toks) / 7.0) AS INT))) AS i
+             |  FROM d),
+             |ln0 AS (
+             |  SELECT doc_id, i,
+             |         (CASE WHEN (CASE WHEN doc_id % 13 = 0 THEN (doc_id + i) % 2 = 0
+             |                          ELSE (doc_id + i) % 8 = 0 END)
+             |               THEN x || '...' ELSE x END) AS line
+             |  FROM (
+             |    SELECT doc_id, i,
+             |           (CASE WHEN (CASE WHEN doc_id % 7 = 0 THEN (doc_id + i) % 3 = 0
+             |                            ELSE (doc_id + i) % 12 = 0 END)
+             |                 THEN '- ' || y ELSE y END) AS x
+             |    FROM (
+             |      SELECT doc_id, i,
+             |             (CASE WHEN doc_id % 11 = 0 THEN '12345 67890 ' || b
+             |                   WHEN (doc_id + i) % 10 = 0 THEN '12345 ' || b
+             |                   ELSE b END) AS y
+             |      FROM (
+             |        SELECT doc_id, i,
+             |               array_to_string(toks[CAST(i*7+1 AS INT) : CAST(i*7+7 AS INT)], ' ') AS b
+             |        FROM ix)))),
+             |ln AS (
+             |  SELECT doc_id, i, line FROM ln0
+             |  UNION ALL
+             |  SELECT doc_id, CAST(ceil(len(toks) / 7.0) AS INT) AS i,
+             |         'to of and that have' AS line
+             |  FROM d WHERE doc_id % 3 <> 0),
+             |t2 AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text2
+             |  FROM ln GROUP BY doc_id),
+             |m AS (
+             |  SELECT doc_id,
+             |         string_split(replace(text2, chr(10), ' '), ' ') AS ws,
+             |         string_split(text2, chr(10)) AS ls,
+             |         text2
+             |  FROM t2),
+             |f AS (
+             |  SELECT doc_id,
+             |         CAST(len(ws) AS BIGINT) AS n_words,
+             |         CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS chars,
+             |         CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+             |         CAST(len(list_intersect(list_distinct(ws),
+             |           ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop,
+             |         CAST((len(text2) - len(replace(text2, '...', ''))) // 3 AS BIGINT) AS n_ell,
+             |         CAST(len(text2) - len(replace(text2, '#', '')) AS BIGINT) AS n_hash,
+             |         CAST(len(ls) AS BIGINT) AS n_lines,
+             |         CAST(len(list_filter(ls, l -> l LIKE '- %')) AS BIGINT) AS n_bullet,
+             |         CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS n_ell_end
+             |  FROM m),
+             |g AS (
+             |  SELECT doc_id, n_words,
+             |         chars * 1000 // n_words AS mean_wlen_fp,
+             |         (n_hash + n_ell) * 1000 // n_words AS sym_fp,
+             |         n_bullet * 1000 // n_lines AS bullet_fp,
+             |         n_ell_end * 1000 // n_lines AS ellipsis_fp,
+             |         n_alpha * 1000 // n_words AS alpha_fp,
+             |         n_stop
+             |  FROM f)
+             |SELECT doc_id, n_words, mean_wlen_fp, sym_fp, bullet_fp,
+             |       ellipsis_fp, alpha_fp, n_stop,
+             |       (n_words >= 50 AND n_words <= 100000
+             |        AND mean_wlen_fp >= 3000 AND mean_wlen_fp <= 10000
+             |        AND sym_fp < 100
+             |        AND bullet_fp <= 100 AND ellipsis_fp <= 300
+             |        AND alpha_fp >= 800 AND n_stop >= 2) AS passes
+             |FROM g ORDER BY doc_id ASC""".stripMargin),
+      "Gopher A1.1 rule set: synthesized line structure parsed back, integer fixed-point metrics + verdict == DuckDB replay"),
+  )
+}
