@@ -243,5 +243,58 @@ object CorpusOpsQueries {
              |        AND alpha_fp >= 800 AND n_stop >= 2) AS passes
              |FROM g ORDER BY doc_id ASC""".stripMargin),
       "Gopher A1.1 rule set: synthesized line structure parsed back, integer fixed-point metrics + verdict == DuckDB replay"),
+
+    // ------------------------------------------------------------------
+    // q247: rendezvous (highest-random-weight) hashing — the shard/node
+    // assignment law a 100 TB corpus store lives by (Thaler & Ravishankar
+    // 1996; the consistent-assignment scheme behind Ceph CRUSH and most
+    // object stores): key k goes to argmax over nodes of h(node, k).
+    // Its defining property — adding a node moves ONLY the keys that the
+    // new node now wins, ~1/(n+1) of them, and nothing else — is gated
+    // directly: assignments computed under 8 and under 9 nodes, per-key
+    // moved flag, and the law verdict (moved ⇒ new owner IS the added
+    // node). h is the shared md5Hash60 formula, so the argmax replays
+    // exactly; ties break toward the lower node id (never hit at 60
+    // bits, pinned anyway). 100 TB: pure map-side projection — the
+    // argmax over n nodes is an in-row expression, no join, no shuffle;
+    // n is node-count-sized, not corpus-sized.
+    GQuery(
+      "q247_rendezvous_hash",
+      (s, d) => {
+        def owner(n: Int) = {
+          val cands = array((0 until n).map { k =>
+            struct(TF.md5Hash60(concat(lit(s"node$k:"),
+              col("doc_id").cast("string"))).as("h"),
+              lit(-k).as("nk"))
+          }: _*)
+          -array_max(cands).getField("nk")
+        }
+        Tables.documents(s, d)
+          .select(col("doc_id"), owner(8).as("node_a"), owner(9).as("node_b"))
+          .withColumn("moved", col("node_a") =!= col("node_b"))
+          .withColumn("law_ok", !col("moved") || col("node_b") === 8)
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH ks AS (SELECT CAST(unnest(range(0, 9)) AS INT) AS k),
+             |h AS (
+             |  SELECT d.doc_id, ks.k,
+             |         CAST(('0x'||substr(md5('node'||CAST(ks.k AS VARCHAR)||':'||CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+             |  FROM documents d CROSS JOIN ks),
+             |a AS (
+             |  SELECT doc_id, k AS node_a FROM (
+             |    SELECT doc_id, k, row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY h DESC, k ASC) AS rn FROM h WHERE k < 8)
+             |  WHERE rn = 1),
+             |b AS (
+             |  SELECT doc_id, k AS node_b FROM (
+             |    SELECT doc_id, k, row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY h DESC, k ASC) AS rn FROM h)
+             |  WHERE rn = 1)
+             |SELECT a.doc_id, a.node_a, b.node_b,
+             |       a.node_a <> b.node_b AS moved,
+             |       (a.node_a = b.node_b OR b.node_b = 8) AS law_ok
+             |FROM a JOIN b USING (doc_id)
+             |ORDER BY a.doc_id ASC""".stripMargin),
+      "rendezvous hashing: argmax-h(node,key) ownership, add-a-node moves only the new node's wins == DuckDB replay"),
   )
 }

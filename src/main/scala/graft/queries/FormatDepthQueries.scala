@@ -689,5 +689,99 @@ object FormatDepthQueries {
              |  SELECT doc_id, 'TALB', 'album ' || CAST(doc_id % 29 AS VARCHAR) FROM documents)
              |ORDER BY media_id ASC, frame_id ASC""".stripMargin),
       "ID3v2.3/2.4 text-frame walk (synchsafe vs BE frame sizes) over real tagged MP3 payloads"),
+
+    // ------------------------------------------------------------------
+    // q248 (r8c): Arrow IPC (Feather V2) sink + source — the COLUMNAR
+    // interchange sibling of q232's row-oriented Avro OCF, via the
+    // arrow-vector library on Spark's own classpath: the format feature
+    // stores and pandas/polars DataFrame exchanges speak natively. Write
+    // is one .arrow file per task (record batches of 4096 rows bound the
+    // memory, Hadoop FileSystem stream); read is shard-per-task via
+    // binaryFile + ArrowFileReader streaming one batch at a time, columns
+    // resolved BY NAME (appended-column evolution reads). The gate
+    // roundtrips supplier with a different aggregation than q232 (min/max
+    // over the string column exercise Utf8 byte round-tripping; the
+    // boolean column exercises validity bits) and the oracle aggregates
+    // the parquet source directly — any writer/reader drift is a hash
+    // mismatch.
+    GQuery(
+      "q248_arrow_roundtrip",
+      (s, d) => {
+        val tmp = s"/tmp/graft_arrow_${d.replaceAll("[^0-9.]", "")}_${ProcessHandle.current.pid}"
+        val src = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal").cast("double").as("bal"),
+            (col("s_acctbal") > 0).as("in_credit"))
+        graft.sources.ArrowIO.write(src, tmp)
+        graft.sources.ArrowIO.read(s, tmp, src.schema)
+          .groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("bal").cast(DecimalType(18, 2))).cast("double").as("sum_bal"),
+            sum(when(col("in_credit"), 1L).otherwise(0L)).as("n_credit"),
+            min(col("s_name")).as("min_name"),
+            max(col("s_name")).as("max_name"))
+          .orderBy(col("nk").asc)
+      },
+      Some("""SELECT s_nationkey AS nk, COUNT(*) AS n,
+             |       CAST(SUM(CAST(CAST(s_acctbal AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+             |       CAST(SUM(CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_credit,
+             |       MIN(s_name) AS min_name, MAX(s_name) AS max_name
+             |FROM supplier GROUP BY 1 ORDER BY nk ASC""".stripMargin),
+      "Arrow IPC (Feather V2) sink + source roundtrip (batch-bounded columnar write, by-name column resolution)"),
+
+    // ------------------------------------------------------------------
+    // q249 (r8c): protobuf wire-format record walk — delimited message
+    // streams (varint length framing, the writeDelimitedTo shape) parsed
+    // from the PUBLIC encoding spec with no generated classes: varints,
+    // field keys, length-delimited strings, PACKED repeated varints,
+    // zigzag sint64, little-endian i64 doubles — plus the contract that
+    // makes the format what it is: unknown fields (7: varint, 8: i32 in
+    // the synthesized shards) are skipped by wire type. Every 7th shard
+    // is truncated → the walk stops at the fully-framed prefix (one
+    // record lost — messages are >10 bytes by construction). Every gated
+    // field is a pure formula of (key, i): the oracle never sees a byte
+    // (q206/q227 discipline). 100 TB: map-side record fan-out at the
+    // codec boundary, payload bytes never shuffle.
+    GQuery(
+      "q249_proto_records",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.ProtoWire
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val key = id % 101
+              val full = ProtoWire.Synthetic.shard(key, (2 + key % 3).toInt)
+              val payload = if (id % 7 == 0) full.dropRight(10) else full
+              Multimodal.MediaRow(id, payload, "application/x-protobuf")
+            }
+          }
+        ProtoWire.protoRecordRows(media)
+          .orderBy(col("shard_id").asc, col("rec_idx").asc)
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, doc_id % 101 AS key,
+             |         CASE WHEN doc_id % 7 = 0 THEN 1 + (doc_id % 101) % 3
+             |              ELSE 2 + (doc_id % 101) % 3 END AS n_vis
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, key, CAST(i.i AS INT) AS i,
+             |         1 + (key + i.i) % 3 AS n_tags
+             |  FROM k, range(0, 4) i(i) WHERE i.i < k.n_vis),
+             |t AS (
+             |  SELECT r.doc_id, r.i,
+             |         CAST(SUM((r.key + (j.j + 1) * r.i + j.j) % 17) AS BIGINT) AS tag_sum
+             |  FROM r, range(0, 3) j(j) WHERE j.j < r.n_tags
+             |  GROUP BY r.doc_id, r.i)
+             |SELECT r.doc_id AS shard_id, r.i AS rec_idx,
+             |       CAST(1000 * r.key + r.i AS BIGINT) AS id,
+             |       'rec ' || CAST((r.key * 7 + r.i) % 41 AS VARCHAR) AS title,
+             |       CAST(r.n_tags AS BIGINT) AS n_tags,
+             |       t.tag_sum,
+             |       CAST(r.key - 50 + r.i AS BIGINT) AS sdelta,
+             |       CAST(((r.key * 13 + r.i) % 97) AS DOUBLE) / 8.0 AS score
+             |FROM r JOIN t ON t.doc_id = r.doc_id AND t.i = r.i
+             |ORDER BY shard_id ASC, rec_idx ASC""".stripMargin),
+      "protobuf delimited-stream walk: varint/zigzag/packed/i64 fields + unknown-field skip + truncation clamp == formula oracle"),
   )
 }

@@ -76,6 +76,164 @@ class FormatDepthSpec extends SparkTestBase {
       Seq((7L, 0.5), (8L, 1.5)))
   }
 
+  // --------------------------------------------------------------- Arrow
+
+  test("arrow IPC roundtrip preserves values, nulls, and types across batches") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.ArrowIO
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("flag", BooleanType, nullable = false),
+      StructField("blob", BinaryType, nullable = true)))
+    // > BatchRows rows in one partition so the multi-batch path runs
+    val rows = (0L until (ArrowIO.BatchRows + 10L)).map { i =>
+      Row(i,
+        if (i % 3 == 0) null else s"name-$i",
+        if (i % 5 == 0) null else i / 2.0,
+        i % 2 == 0,
+        if (i % 7 == 0) null else Array[Byte]((i % 127).toByte))
+    }
+    val df = spark.createDataFrame(rows.asJava, schema).coalesce(1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arrow_spec").toString
+    ArrowIO.write(df, tmp)
+    val back = ArrowIO.read(spark, tmp, schema).collect().sortBy(_.getLong(0))
+    assert(back.length == ArrowIO.BatchRows + 10)
+    back.foreach { r =>
+      val i = r.getLong(0)
+      if (i % 3 == 0) assert(r.isNullAt(1)) else assert(r.getString(1) == s"name-$i")
+      if (i % 5 == 0) assert(r.isNullAt(2)) else assert(r.getDouble(2) == i / 2.0)
+      assert(r.getBoolean(3) == (i % 2 == 0))
+      if (i % 7 == 0) assert(r.isNullAt(4))
+      else assert(r.getAs[Array[Byte]](4).toSeq == Seq((i % 127).toByte))
+    }
+  }
+
+  test("arrow read: corrupt payload and missing expected column yield zero rows") {
+    import graft.sources.ArrowIO
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arrow_bad").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "junk.arrow"),
+      "definitely not an arrow ipc file".getBytes)
+    assert(ArrowIO.read(spark, tmp, schema).count() == 0)
+    // valid file, but the expected column name is absent
+    import scala.jdk.CollectionConverters._
+    val other = StructType(Seq(StructField("something_else", LongType, nullable = false)))
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_arrow_miss").toString
+    ArrowIO.write(spark.createDataFrame(Seq(Row(1L)).asJava, other), tmp2)
+    assert(ArrowIO.read(spark, tmp2, schema).count() == 0)
+  }
+
+  test("arrow schema mapping rejects unsupported types eagerly") {
+    import graft.sources.ArrowIO
+    val bad = StructType(Seq(StructField("d", DateType, nullable = false)))
+    val e = intercept[IllegalArgumentException](ArrowIO.arrowSchema(bad))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("arrow by-name resolution: subset read of a wider writer") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.ArrowIO
+    val writerSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false)))
+    val rows = Seq(Row(7L, "seven", 0.5), Row(8L, null, 1.5))
+    val df = spark.createDataFrame(rows.asJava, writerSchema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arrow_evo").toString
+    ArrowIO.write(df, tmp)
+    val readerSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    val back = ArrowIO.read(spark, tmp, readerSchema).collect().sortBy(_.getLong(0))
+    assert(back.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((7L, 0.5), (8L, 1.5)))
+  }
+
+  test("arrow read: truncated file yields zero rows, never a task failure") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.ArrowIO
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val rows = (0L until 100L).map(Row(_))
+    val df = spark.createDataFrame(rows.asJava, schema).coalesce(1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arrow_trunc").toString
+    ArrowIO.write(df, tmp)
+    val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".arrow")).head
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    // chop the footer off: the IPC file format resolves batches via the
+    // footer, so a torn tail must surface as corrupt, not crash
+    val tmp3 = java.nio.file.Files.createTempDirectory("graft_arrow_torn").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp3, "torn.arrow"), bytes.take(bytes.length / 2))
+    assert(ArrowIO.read(spark, tmp3, schema).count() == 0)
+  }
+
+  // ------------------------------------------------------------ protobuf
+
+  test("proto golden message: hand-assembled bytes parse to the exact fields") {
+    import graft.sources.ProtoWire
+    // independent of the builder: every byte below comes from the public
+    // encoding spec by hand. id=1, title="a", tags packed [3,16],
+    // score=0.5 (LE i64 bits 0x3FE0000000000000), sdelta=-1 (zigzag 1),
+    // unknown varint field 7 and unknown i32 field 8 to be skipped.
+    val msg = Array[Int](
+      0x08, 0x01, // field 1 wt0, varint 1
+      0x12, 0x01, 0x61, // field 2 wt2, len 1, 'a'
+      0x1a, 0x02, 0x03, 0x10, // field 3 wt2, len 2, packed [3, 16]
+      0x21, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xe0, 0x3f, // field 4 wt1, 0.5 LE
+      0x28, 0x01, // field 5 wt0, zigzag(-1)
+      0x38, 0x2a, // field 7 wt0 (unknown)
+      0x45, 0xab, 0xab, 0xab, 0xab // field 8 wt5 (unknown i32)
+    ).map(_.toByte)
+    val shard = Array[Byte](msg.length.toByte) ++ msg
+    val recs = ProtoWire.records(99L, shard)
+    assert(recs.length == 1)
+    val r = recs.head
+    assert(r.id == 1L && r.title == "a" && r.n_tags == 2L && r.tag_sum == 19L)
+    assert(r.sdelta == -1L && r.score == 0.5 && r.rec_idx == 0 && r.shard_id == 99L)
+  }
+
+  test("proto varint edges: max u64 roundtrips, overlong/truncated varint stops the walk") {
+    import graft.sources.ProtoWire
+    // id = -1 as u64 (ten 0xff bytes then 0x01) — the max-width varint
+    val msg = Array[Int](0x08, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+      0xff, 0xff, 0x01).map(_.toByte)
+    val shard = Array[Byte](msg.length.toByte) ++ msg
+    val ok = ProtoWire.records(1L, shard)
+    assert(ok.length == 1 && ok.head.id == -1L)
+    // continuation bit never drops: malformed, no records
+    val bad = Array[Int](0x03, 0x08, 0xff, 0xff).map(_.toByte)
+    assert(ProtoWire.records(1L, bad).isEmpty)
+  }
+
+  test("proto truncation clamps to the framed prefix; garbage yields nothing") {
+    import graft.sources.ProtoWire
+    val full = ProtoWire.Synthetic.shard(key = 5L, n = 3)
+    assert(ProtoWire.records(7L, full).length == 3)
+    val cut = full.dropRight(10)
+    val recs = ProtoWire.records(7L, cut)
+    assert(recs.length == 2, "10 cut bytes must cost exactly the last record")
+    assert(recs.map(_.rec_idx) == Seq(0, 1))
+    assert(ProtoWire.records(7L, "not protobuf at all..".getBytes).isEmpty)
+  }
+
+  test("proto synthetic fields follow the gate formulas (builder/parser non-collusion)") {
+    import graft.sources.ProtoWire
+    val key = 42L
+    val recs = ProtoWire.records(0L, ProtoWire.Synthetic.shard(key, 4))
+    recs.zipWithIndex.foreach { case (r, i) =>
+      assert(r.id == 1000 * key + i)
+      assert(r.title == "rec " + ((key * 7 + i) % 41))
+      val nTags = 1 + (key + i) % 3
+      assert(r.n_tags == nTags)
+      assert(r.tag_sum == (0 until nTags.toInt).map(j => (key + (j + 1) * i + j) % 17).sum)
+      assert(r.sdelta == key - 50 + i)
+      assert(r.score == ((key * 13 + i) % 97).toDouble / 8.0)
+    }
+  }
+
   // --------------------------------------------------------------- ID3v2
 
   test("ID3v2 golden tag: hand-built v2.3 frames parse independently of the builder") {
