@@ -1467,6 +1467,74 @@ object Multimodal {
         }
       }.toDF("media_id", "width", "height", "sum_lum", "dhash")
     }
+
+    /** 15-bit SPECTRAL perceptual hash over a 16×16 luminance grid via the
+      * Walsh–Hadamard transform — the pHash construction (low-frequency
+      * transform coefficients thresholded at their median) with WHT in
+      * place of the DCT, because WHT coefficients are ±1-signed INTEGER
+      * sums: bit-reproducible everywhere and exactly replayable in SQL
+      * (sign = parity of popcount(u&x)+popcount(v&y)), where a DCT's
+      * cos() would make the oracle engine-dependent. Coefficients (u,v) ∈
+      * [0,4)² minus DC form the low-frequency block; bit i = [c_i >
+      * median]. Uniform brightness shift moves ONLY the DC coefficient
+      * (Σ(-1)^… of a constant is exactly 0 in integers), so the hash is
+      * brightness-invariant by theorem, not by tolerance — the property
+      * that makes it a PERCEPTUAL hash rather than a checksum.
+      */
+    def whtHash16(g: Array[Array[Int]]): Long = {
+      val coeffs = new Array[Long](15)
+      var i = 0
+      var u = 0
+      while (u < 4) {
+        var v = 0
+        while (v < 4) {
+          if (u != 0 || v != 0) {
+            var c = 0L
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val sign = if (((Integer.bitCount(u & x) + Integer.bitCount(v & y)) & 1) == 0) 1 else -1
+                c += sign * g(y)(x)
+                x += 1
+              }
+              y += 1
+            }
+            coeffs(i) = c
+            i += 1
+          }
+          v += 1
+        }
+        u += 1
+      }
+      val median = coeffs.sorted.apply(7) // 8th smallest of 15 — exact
+      var h = 0L
+      i = 0
+      while (i < 15) {
+        if (coeffs(i) > median) h |= 1L << i
+        i += 1
+      }
+      h
+    }
+
+    /** Real decode → 16×16 luma grid → spectral hash, at the codec
+      * boundary (same contract as [[imageFeatures]]): corrupt payloads
+      * and sub-16px images fan out to no rows; only (id, dims, 8-byte
+      * hash) ever leave the task.
+      */
+    def imageSpectralRows(media: Dataset[MediaRow]): DataFrame = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { rows =>
+        rows.filter(_.payload != null).flatMap { r =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth < 16 || img.getHeight < 16) None
+          else Some((r.media_id, img.getWidth, img.getHeight,
+            whtHash16(lumaGrid(img, 16, 16))))
+        }
+      }.toDF("media_id", "width", "height", "phash")
+    }
   }
 
   /** Real VIDEO sample decode for the codec-less container: AVI frames

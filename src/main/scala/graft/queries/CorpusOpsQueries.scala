@@ -296,5 +296,125 @@ object CorpusOpsQueries {
              |FROM a JOIN b USING (doc_id)
              |ORDER BY a.doc_id ASC""".stripMargin),
       "rendezvous hashing: argmax-h(node,key) ownership, add-a-node moves only the new node's wins == DuckDB replay"),
+
+    // ------------------------------------------------------------------
+    // q251: the Gopher/MassiveText REPETITION filters (Rae et al. 2021,
+    // table A1 — the within-doc complement of q246's global rules):
+    // duplicate-line fraction (≤30%), duplicate-line CHARACTER fraction
+    // (≤20%), and the fraction of characters covered by the single most
+    // frequent word 2-gram (≤20%) and 3-gram (≤18%). Line structure is
+    // synthesized in-plan (5-word lines; dup-heavy docs — doc_id%4==0 —
+    // get every 3rd line REPLACED by a copy of line 0, the loop-generated
+    // boilerplate shape this filter exists to catch). All fractions are
+    // integer fixed-point over the same denominator (total line chars),
+    // so the replay is exact; tie-break for "the" top gram is (count
+    // desc, gram asc) in both engines.
+    //
+    // 100 TB: two narrow shuffles — (doc, line-hash) and (doc, gram) —
+    // both with map-side partial counts; the top-1-per-doc window runs on
+    // the already-aggregated gram counts. The within-doc grain keeps
+    // every group bounded by document length, so no skew class exists.
+    GQuery(
+      "q251_repetition_rules",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = TF.tokens(col("text"))
+        val nLines = ceil(size(toks) / lit(5.0)).cast("int")
+        val line0 = array_join(slice(toks, 1, 5), " ")
+        val lines = transform(sequence(lit(0), nLines - 1), i => {
+          val base = array_join(slice(toks, i * 5 + 1, lit(5)), " ")
+          when(col("doc_id") % 4 === 0 && i % 3 === 2, line0).otherwise(base)
+        })
+        val t = Tables.documents(s, d).select(col("doc_id"), lines.as("ls"))
+        val lineCnt = t.select(col("doc_id"), explode(col("ls")).as("line"))
+          .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("c"))
+        val lineM = lineCnt.groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_lines"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_lines"),
+          sum(col("c") * length(col("line"))).as("total_chars"),
+          sum(when(col("c") > 1, col("c") * length(col("line"))).otherwise(0L))
+            .as("dup_chars"))
+        def topGram(n: Int, name: String) = {
+          val w = Window.partitionBy(col("doc_id"))
+            .orderBy(col("c").desc, col("g").asc)
+          t.select(col("doc_id"),
+            explode(TF.wordShinglesAll(array_join(col("ls"), " "), n)).as("g"))
+            .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("doc_id"), (col("c") * length(col("g"))).as(name))
+        }
+        lineM
+          .join(topGram(2, "top2_chars"), Seq("doc_id"))
+          .join(topGram(3, "top3_chars"), Seq("doc_id"))
+          .select(col("doc_id"), col("n_lines"),
+            expr("dup_lines * 1000 DIV n_lines").as("dup_line_fp"),
+            expr("dup_chars * 1000 DIV total_chars").as("dup_char_fp"),
+            expr("top2_chars * 1000 DIV total_chars").as("top2_fp"),
+            expr("top3_chars * 1000 DIV total_chars").as("top3_fp"))
+          .withColumn("passes",
+            col("dup_line_fp") <= 300 && col("dup_char_fp") <= 200 &&
+              col("top2_fp") <= 200 && col("top3_fp") <= 180)
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |ix AS (
+             |  SELECT doc_id, toks,
+             |         array_to_string(toks[1:5], ' ') AS line0,
+             |         unnest(range(0, CAST(ceil(len(toks) / 5.0) AS INT))) AS i
+             |  FROM d),
+             |ln AS (
+             |  SELECT doc_id, i,
+             |         CASE WHEN doc_id % 4 = 0 AND i % 3 = 2 THEN line0
+             |              ELSE array_to_string(toks[CAST(i*5+1 AS INT) : CAST(i*5+5 AS INT)], ' ')
+             |         END AS line
+             |  FROM ix),
+             |lc AS (SELECT doc_id, line, COUNT(*) AS c FROM ln GROUP BY doc_id, line),
+             |lm AS (
+             |  SELECT doc_id,
+             |         CAST(SUM(c) AS BIGINT) AS n_lines,
+             |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
+             |         CAST(SUM(c * len(line)) AS BIGINT) AS total_chars,
+             |         CAST(SUM(CASE WHEN c > 1 THEN c * len(line) ELSE 0 END) AS BIGINT) AS dup_chars
+             |  FROM lc GROUP BY doc_id),
+             |st AS (
+             |  SELECT doc_id, string_split(string_agg(line, ' ' ORDER BY i), ' ') AS ws
+             |  FROM ln GROUP BY doc_id),
+             |g2 AS (
+             |  SELECT doc_id, w1 || ' ' || w2 AS g FROM (
+             |    SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+             |    FROM st)),
+             |t2 AS (
+             |  SELECT doc_id, CAST(c * len(g) AS BIGINT) AS top2_chars FROM (
+             |    SELECT doc_id, g, COUNT(*) AS c,
+             |           row_number() OVER (PARTITION BY doc_id
+             |             ORDER BY COUNT(*) DESC, g ASC) AS rn
+             |    FROM g2 GROUP BY doc_id, g)
+             |  WHERE rn = 1),
+             |g3 AS (
+             |  SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS g FROM (
+             |    SELECT doc_id, unnest(ws[1:len(ws)-2]) AS w1,
+             |           unnest(ws[2:len(ws)-1]) AS w2, unnest(ws[3:len(ws)]) AS w3
+             |    FROM st)),
+             |t3 AS (
+             |  SELECT doc_id, CAST(c * len(g) AS BIGINT) AS top3_chars FROM (
+             |    SELECT doc_id, g, COUNT(*) AS c,
+             |           row_number() OVER (PARTITION BY doc_id
+             |             ORDER BY COUNT(*) DESC, g ASC) AS rn
+             |    FROM g3 GROUP BY doc_id, g)
+             |  WHERE rn = 1)
+             |SELECT lm.doc_id, lm.n_lines,
+             |       dup_lines * 1000 // n_lines AS dup_line_fp,
+             |       dup_chars * 1000 // total_chars AS dup_char_fp,
+             |       top2_chars * 1000 // total_chars AS top2_fp,
+             |       top3_chars * 1000 // total_chars AS top3_fp,
+             |       (dup_lines * 1000 // n_lines <= 300
+             |        AND dup_chars * 1000 // total_chars <= 200
+             |        AND top2_chars * 1000 // total_chars <= 200
+             |        AND top3_chars * 1000 // total_chars <= 180) AS passes
+             |FROM lm JOIN t2 ON t2.doc_id = lm.doc_id
+             |        JOIN t3 ON t3.doc_id = lm.doc_id
+             |ORDER BY lm.doc_id ASC""".stripMargin),
+      "Gopher repetition filters: dup-line / dup-line-char / top 2-3-gram char fractions, integer fixed-point == DuckDB replay"),
   )
 }

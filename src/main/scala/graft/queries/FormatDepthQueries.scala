@@ -783,5 +783,71 @@ object FormatDepthQueries {
              |FROM r JOIN t ON t.doc_id = r.doc_id AND t.i = r.i
              |ORDER BY shard_id ASC, rec_idx ASC""".stripMargin),
       "protobuf delimited-stream walk: varint/zigzag/packed/i64 fields + unknown-field skip + truncation clamp == formula oracle"),
+
+    // ------------------------------------------------------------------
+    // q250 (r8c): SPECTRAL perceptual image hash — the pHash construction
+    // (low-frequency transform coefficients thresholded at their median)
+    // with the Walsh–Hadamard transform in place of the DCT: WHT
+    // coefficients are ±1-signed INTEGER sums, so the hash is
+    // bit-reproducible and the oracle replays it EXACTLY from the pixel
+    // formula (sign = parity of popcount(u&x)+popcount(v&y) via SQL
+    // bit_count) — a cos()-based DCT would be engine-dependent. Uniform
+    // brightness shift moves only the DC coefficient (integer theorem),
+    // so this is a true perceptual hash, invariant where dHash (q195) is
+    // gradient-sensitive. Real javax.imageio PNG decode feeds a 16×16
+    // integer luma grid; dedup = the q195 window over the 8-byte hash.
+    // 100 TB: decode + transform map-side at the codec boundary, the
+    // group-by shuffles 8 bytes per image, never pixels.
+    GQuery(
+      "q250_image_phash",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 97).as("key"))
+          .as[(Long, Long)]
+          .map { case (id, key) =>
+            Multimodal.MediaRow(id, Multimodal.ImageOps.synthPng(key), "image/png")
+          }
+        Multimodal.ImageOps.imageSpectralRows(media)
+          .withColumn("dup_group_size",
+            count(lit(1)).over(Window.partitionBy(col("phash"))))
+          .orderBy(col("media_id").asc)
+      },
+      Some("""WITH dim AS (
+             |  SELECT doc_id, doc_id % 97 AS key,
+             |         CAST(16 + (doc_id % 97) % 17 AS INT) AS w,
+             |         CAST(16 + (doc_id % 97) % 13 AS INT) AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, y.y AS y, x.x AS x,
+             |         (7*((x.x*w)//16) + 13*((y.y*h)//16) + 31*key) % 256 AS l
+             |  FROM dim, range(0,16) y(y), range(0,16) x(x)),
+             |uv AS (SELECT u.u AS u, v.v AS v FROM range(0,4) u(u), range(0,4) v(v)
+             |       WHERE NOT (u.u = 0 AND v.v = 0)),
+             |co AS (
+             |  SELECT p.doc_id, uv.u, uv.v,
+             |         CAST(SUM(CASE WHEN (bit_count(uv.u & p.x) + bit_count(uv.v & p.y)) % 2 = 0
+             |                       THEN p.l ELSE -p.l END) AS BIGINT) AS c
+             |  FROM px p CROSS JOIN uv
+             |  GROUP BY p.doc_id, uv.u, uv.v),
+             |med AS (
+             |  SELECT doc_id, MAX(CASE WHEN rn = 8 THEN c END) AS median
+             |  FROM (SELECT doc_id, c,
+             |          row_number() OVER (PARTITION BY doc_id ORDER BY c ASC) AS rn
+             |        FROM co)
+             |  GROUP BY doc_id),
+             |hsh AS (
+             |  SELECT co.doc_id,
+             |         CAST(SUM(CASE WHEN co.c > med.median
+             |                  THEN CAST(1 AS BIGINT) << CAST(co.u*4 + co.v - 1 AS INT)
+             |                  ELSE 0 END) AS BIGINT) AS phash
+             |  FROM co JOIN med USING (doc_id)
+             |  GROUP BY co.doc_id)
+             |SELECT d.doc_id AS media_id, d.w AS width, d.h AS height, h.phash,
+             |       CAST(COUNT(*) OVER (PARTITION BY h.phash) AS BIGINT) AS dup_group_size
+             |FROM dim d JOIN hsh h ON h.doc_id = d.doc_id
+             |ORDER BY media_id ASC""".stripMargin),
+      "Walsh-Hadamard spectral perceptual hash over real PNG decode: integer-exact pHash + dedup grouping == formula oracle"),
   )
 }

@@ -117,5 +117,108 @@ object VectorIndexQueries {
              |WHERE t.rank <= 5
              |ORDER BY t.query_id ASC, t.rank ASC""".stripMargin),
       "product quantization: literal-codebook scan-speed encode + exact ADC ranking == DuckDB replay (dot/L2 folds probed bit-identical)"),
+
+    // ------------------------------------------------------------------
+    // q252: LSH recall/precision AUDIT — the measurement harness every
+    // production ANN deployment needs before trusting its index: on a
+    // deterministic corpus slice (vec_id % 4), compare hyperplane-LSH
+    // bucket-collision candidates (4 planes × 4 tables, the q40
+    // signature machinery) against the EXACT cosine-threshold pair set,
+    // per label block. Output per label: |relevant|, |candidates|,
+    // |hits|, and recall/precision in integer fixed-point. The oracle
+    // replays the ENTIRE pipeline — md5-derived ±1 planes, sign-bit
+    // buckets via list_dot_product (probed bit-identical to the fold),
+    // exact cosines, the set algebra — so the audit itself is gated
+    // exactly, not spot-checked. A label with no relevant pairs reports
+    // -1 (never a 0/0).
+    //
+    // 100 TB shape: this is an OFFLINE audit run on a sampled slice by
+    // construction (the % 4 gate is the sample); exact pairs stay
+    // bounded by block² on the sample, candidates by bucket occupancy —
+    // the operator's whole point is that you never run it on the full
+    // corpus, you run it on a slice sized to answer "is my recall ≥ X".
+    GQuery(
+      "q252_lsh_recall",
+      (s, d) => {
+        val theta = 0.15
+        val planes = 4
+        val tables = 4
+        val emb = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val rel = Similarity.blockedNearDupPairs(
+            emb, "vec_id", "embedding", "label", theta)
+          .join(emb.select(col("vec_id").as("id_a"), col("label")), Seq("id_a"))
+          .select(col("label"), col("id_a"), col("id_b"))
+        val sigs = emb.select(col("vec_id"), col("label"),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("t"),
+              Similarity.hyperplaneSignature(col("embedding"), 64, planes, t)
+                .as("bucket"))): _*)).as("e"))
+          .select(col("vec_id"), col("label"),
+            col("e.t").as("t"), col("e.bucket").as("bucket"))
+        val cand = sigs.as("x").join(sigs.as("y"),
+            col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+              col("x.label") === col("y.label") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.label").as("label"),
+            col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .distinct()
+        val hits = cand.join(rel, Seq("label", "id_a", "id_b"))
+        val byLabel = emb.select(col("label")).distinct()
+        def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.groupBy(col("label")).agg(count(lit(1)).as(name))
+        byLabel
+          .join(cnt(rel, "n_rel"), Seq("label"), "left")
+          .join(cnt(cand, "n_cand"), Seq("label"), "left")
+          .join(cnt(hits, "n_hit"), Seq("label"), "left")
+          .select(col("label"),
+            coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall_fp",
+            when(col("n_rel") > 0, expr("n_hit * 1000 DIV n_rel")).otherwise(lit(-1L)))
+          .withColumn("precision_fp",
+            when(col("n_cand") > 0, expr("n_hit * 1000 DIV n_cand")).otherwise(lit(-1L)))
+          .orderBy(col("label").asc)
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE vec_id % 4 = 0),
+             |pl AS (
+             |  SELECT t.t, p.p,
+             |         list(CASE WHEN CAST(('0x'||substr(md5(CAST(t.t AS VARCHAR)||':'||CAST(p.p AS VARCHAR)||':'||CAST(dd.d AS VARCHAR)),1,2)) AS INT) % 2 = 1
+             |                   THEN 1.0 ELSE -1.0 END ORDER BY dd.d) AS plist
+             |  FROM range(0,4) t(t), range(0,4) p(p), range(0,64) dd(d)
+             |  GROUP BY t.t, p.p),
+             |sig AS (
+             |  SELECT e.vec_id, e.label, pl.t,
+             |         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.plist) >= 0
+             |                  THEN 1 << CAST(pl.p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM e CROSS JOIN pl GROUP BY e.vec_id, e.label, pl.t),
+             |rel AS (
+             |  SELECT a.label, a.vec_id AS ia, b.vec_id AS ib
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(a.v, b.v) >= 0.15),
+             |cand AS (
+             |  SELECT DISTINCT x.label, x.vec_id AS ia, y.vec_id AS ib
+             |  FROM sig x JOIN sig y ON x.t = y.t AND x.bucket = y.bucket
+             |    AND x.label = y.label AND x.vec_id < y.vec_id),
+             |hit AS (
+             |  SELECT c.label, c.ia, c.ib
+             |  FROM cand c JOIN rel r ON r.label = c.label AND r.ia = c.ia AND r.ib = c.ib),
+             |lbl AS (SELECT DISTINCT label FROM e),
+             |agg AS (
+             |  SELECT l.label,
+             |         COALESCE(nr.n, 0) AS n_rel, COALESCE(nc.n, 0) AS n_cand,
+             |         COALESCE(nh.n, 0) AS n_hit
+             |  FROM lbl l
+             |  LEFT JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM rel GROUP BY 1) nr USING (label)
+             |  LEFT JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1) nc USING (label)
+             |  LEFT JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM hit GROUP BY 1) nh USING (label))
+             |SELECT label, n_rel, n_cand, n_hit,
+             |       CASE WHEN n_rel > 0 THEN n_hit * 1000 // n_rel ELSE -1 END AS recall_fp,
+             |       CASE WHEN n_cand > 0 THEN n_hit * 1000 // n_cand ELSE -1 END AS precision_fp
+             |FROM agg ORDER BY label ASC""".stripMargin),
+      "LSH index audit: bucket-collision candidates vs exact cosine pairs, per-label recall/precision == full-pipeline DuckDB replay"),
   )
 }

@@ -170,6 +170,30 @@ class FormatDepthSpec extends SparkTestBase {
     assert(ArrowIO.read(spark, tmp3, schema).count() == 0)
   }
 
+  // ------------------------------------------- spectral perceptual hash
+
+  test("whtHash16 hand-check: decreasing-x gradient sets exactly the (1,0),(2,0) bits") {
+    // L(y,x) = 255 - x: for v != 0 the y-sum of signs cancels exactly,
+    // so only the (u,0) coefficients survive. Over x in [0,16) the
+    // x-sums of (255-x)·sign are: u=1 (sign by bit0) → each pair
+    // (2k,2k+1) nets +1, Σ=+8; u=2 (sign by bit1) → each quad nets +2,
+    // Σ=+16; u=3 → every 4-block cancels, Σ=0. So the 15 coefficients
+    // are 13 zeros plus two positives at (1,0) and (2,0); the median is
+    // 0 and exactly those two bits set:
+    // hash = 1<<(1*4+0-1) | 1<<(2*4+0-1) = 1<<3 | 1<<7 = 136.
+    val g = Array.tabulate(16, 16)((_, x) => 255 - x)
+    assert(graft.multimodal.Multimodal.ImageOps.whtHash16(g) === 136L)
+  }
+
+  test("whtHash16 brightness invariance is exact (integer theorem, not tolerance)") {
+    val base = Array.tabulate(16, 16)((y, x) => (7 * x + 13 * y + 31) % 200)
+    val bright = base.map(_.map(_ + 17))
+    val ops = graft.multimodal.Multimodal.ImageOps
+    assert(ops.whtHash16(base) === ops.whtHash16(bright))
+    val constGrid = Array.fill(16, 16)(42)
+    assert(ops.whtHash16(constGrid) === 0L, "constant image has zero AC energy")
+  }
+
   // ------------------------------------------------------------ protobuf
 
   test("proto golden message: hand-assembled bytes parse to the exact fields") {
