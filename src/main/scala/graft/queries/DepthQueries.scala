@@ -294,6 +294,88 @@ object DepthQueries {
       "fixed-point PageRank: 3 exact integer iterations, join+agg per step"),
 
     // ------------------------------------------------------------------
+    // q254 (r8c): PERSONALIZED PageRank — q115's fixed-point machinery
+    // with the teleport mass concentrated on a trusted SEED set (nodes
+    // ≡ 0 mod 10) instead of spread uniformly: the seed-expansion
+    // operator web-curation pipelines use to score pages by proximity
+    // to a vetted whitelist (the TrustRank construction, Gyöngyi et al.
+    // 2004). Teleport base per seed = (150000 · N) DIV |S| micro-units
+    // (total teleport mass preserved), non-seeds get 0 — so rank mass
+    // flows outward from seeds through real edges only. Same exact
+    // integer arithmetic (double PPR would be accumulation-order-
+    // dependent), same per-iteration cost shape: edges shuffled by src
+    // once, ranks broadcast, one groupBy(dst).
+    GQuery(
+      "q254_personalized_pagerank",
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .select(pmod(col("l_partkey"), lit(100L)).as("src"),
+            pmod(col("l_suppkey"), lit(100L)).as("dst"))
+          .localCheckpoint(false)
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .localCheckpoint(false)
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+          .localCheckpoint(false)
+        val counts = nodes.agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("node") % 10 === 0, 1L).otherwise(0L)).as("n_seeds"))
+        val base = nodes.crossJoin(broadcast(counts))
+          .select(col("node"),
+            when(col("node") % 10 === 0,
+              expr("(150000 * n_nodes) DIV n_seeds")).otherwise(lit(0L)).as("base_fp"))
+          .localCheckpoint(false)
+        var ranks = base.select(col("node"), col("base_fp").as("rank_fp"))
+        for (_ <- 1 to 3) {
+          val contribs = edges
+            .join(broadcast(ranks), col("src") === col("node"))
+            .join(broadcast(deg), Seq("src"))
+            .select(col("dst"), expr("rank_fp div degree").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+          ranks = base
+            .join(contribs, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (col("base_fp") + expr("85 * coalesce(in_sum, 0L) div 100"))
+                .as("rank_fp"))
+            .localCheckpoint(false)
+        }
+        ranks.withColumn("is_seed", col("node") % 10 === 0)
+          .orderBy(col("node").asc)
+      },
+      Some("""WITH edges AS (
+             |  SELECT l_partkey % 100 AS src, l_suppkey % 100 AS dst FROM lineitem),
+             |nodes AS (
+             |  SELECT DISTINCT node FROM (
+             |    SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+             |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src),
+             |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             |               CAST(SUM(CASE WHEN node % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds
+             |        FROM nodes),
+             |base AS (
+             |  SELECT n.node,
+             |         CAST(CASE WHEN n.node % 10 = 0
+             |              THEN (150000 * c.n_nodes) // c.n_seeds ELSE 0 END AS BIGINT) AS base_fp
+             |  FROM nodes n CROSS JOIN cnt c),
+             |r0 AS (SELECT node, base_fp AS rank_fp FROM base),
+             |s1 AS (SELECT e.dst, CAST(SUM(r.rank_fp // d.degree) AS BIGINT) AS in_sum
+             |       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |       GROUP BY e.dst),
+             |r1 AS (SELECT b.node, CAST(b.base_fp + 85 * COALESCE(s.in_sum, 0) // 100 AS BIGINT) AS rank_fp
+             |       FROM base b LEFT JOIN s1 s ON b.node = s.dst),
+             |s2 AS (SELECT e.dst, CAST(SUM(r.rank_fp // d.degree) AS BIGINT) AS in_sum
+             |       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT b.node, CAST(b.base_fp + 85 * COALESCE(s.in_sum, 0) // 100 AS BIGINT) AS rank_fp
+             |       FROM base b LEFT JOIN s2 s ON b.node = s.dst),
+             |s3 AS (SELECT e.dst, CAST(SUM(r.rank_fp // d.degree) AS BIGINT) AS in_sum
+             |       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |       GROUP BY e.dst),
+             |r3 AS (SELECT b.node, CAST(b.base_fp + 85 * COALESCE(s.in_sum, 0) // 100 AS BIGINT) AS rank_fp
+             |       FROM base b LEFT JOIN s3 s ON b.node = s.dst)
+             |SELECT node, rank_fp, node % 10 = 0 AS is_seed
+             |FROM r3 ORDER BY node ASC""".stripMargin),
+      "personalized PageRank (TrustRank shape): teleport mass on a seed set, 3 exact integer iterations"),
+
+    // ------------------------------------------------------------------
     // q116: feature hashing (the "hashing trick", HashingTF's shape) —
     // token counts bucketed by hash into a fixed 64-dim feature space, no
     // vocabulary to build or broadcast (THE property that matters at

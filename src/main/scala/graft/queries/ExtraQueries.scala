@@ -384,6 +384,89 @@ object ExtraQueries {
       "resample to hourly grid + forward-fill across gaps"),
 
     // ------------------------------------------------------------------
+    // q253 (r8c): resample with LINEAR interpolation — the gap-fill
+    // policy a metrics/feature pipeline wants where q64's forward-fill
+    // would flat-line through a trend. Same hourly grid; each missing
+    // bucket takes prev + (next − prev)·(Δt / ΔT) from its bracketing
+    // observations (four ignore-nulls window lookups — prev/next value
+    // and bucket), computed in DOUBLE with the identical expression
+    // shape on both engines; edge buckets with only one bracket stay
+    // null and are labeled 'edge'. 100 TB: one window shuffle per
+    // user — the q64 plan with two extra window columns, no new
+    // exchange (window functions over one (partition, order) share a
+    // single sort).
+    GQuery(
+      "q253_resample_linear",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, d)
+          .filter(col("user_id") < 10)
+          .groupBy(col("user_id"),
+            (floor(epochSec(col("ts")) / 3600) * 3600).cast("long").as("bucket"))
+          .agg(sum(col("value").cast(DecimalType(18, 6))).cast("double").as("v"))
+        val bounds = hourly.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        val grid = hourly.select(col("user_id")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"), lit(3600L))).as("bucket"))
+        val wPrev = Window.partitionBy(col("user_id")).orderBy(col("bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy(col("user_id")).orderBy(col("bucket").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        grid.join(hourly, Seq("user_id", "bucket"), "left")
+          .select(col("user_id"), col("bucket"), col("v"),
+            last(when(col("v").isNotNull, col("v")), ignoreNulls = true).over(wPrev).as("pv"),
+            last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(wPrev).as("pb"),
+            first(when(col("v").isNotNull, col("v")), ignoreNulls = true).over(wNext).as("nv"),
+            first(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(wNext).as("nb"))
+          .select(col("user_id"), col("bucket"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                col("pv") + (col("nv") - col("pv")) *
+                  ((col("bucket") - col("pb")).cast("double") /
+                    (col("nb") - col("pb")).cast("double")))
+              .otherwise(lit(null).cast("double")).as("v_lin"),
+            when(col("v").isNotNull, lit("obs"))
+              .when(col("pv").isNotNull && col("nv").isNotNull, lit("interp"))
+              .otherwise(lit("edge")).as("kind"))
+          .orderBy(col("user_id").asc, col("bucket").asc)
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+             |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+             |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+             |bounds AS (SELECT min(bucket) lo, max(bucket) hi FROM hourly),
+             |grid AS (
+             |  SELECT u.user_id, CAST(unnest(range(b.lo, b.hi + 3600, 3600)) AS BIGINT) AS bucket
+             |  FROM (SELECT DISTINCT user_id FROM hourly) u CROSS JOIN bounds b),
+             |j AS (
+             |  SELECT g.user_id, g.bucket, h.v,
+             |         LAST_VALUE(h.v IGNORE NULLS) OVER
+             |           (PARTITION BY g.user_id ORDER BY g.bucket
+             |            ROWS UNBOUNDED PRECEDING) AS pv,
+             |         LAST_VALUE(CASE WHEN h.v IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER
+             |           (PARTITION BY g.user_id ORDER BY g.bucket
+             |            ROWS UNBOUNDED PRECEDING) AS pb,
+             |         FIRST_VALUE(h.v IGNORE NULLS) OVER
+             |           (PARTITION BY g.user_id ORDER BY g.bucket
+             |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |         FIRST_VALUE(CASE WHEN h.v IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER
+             |           (PARTITION BY g.user_id ORDER BY g.bucket
+             |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+             |  FROM grid g LEFT JOIN hourly h
+             |    ON h.user_id = g.user_id AND h.bucket = g.bucket)
+             |SELECT user_id, bucket,
+             |       CASE WHEN v IS NOT NULL THEN v
+             |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+             |              pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+             |            ELSE NULL END AS v_lin,
+             |       CASE WHEN v IS NOT NULL THEN 'obs'
+             |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+             |            ELSE 'edge' END AS kind
+             |FROM j ORDER BY user_id ASC, bucket ASC""".stripMargin),
+      "resample to hourly grid + linear interpolation between bracketing observations"),
+
+    // ------------------------------------------------------------------
     // q65–q67: TPC-H-shaped composite analytics (adapted to the fixture
     // columns) — multi-operator pipelines the way users actually write them.
     //

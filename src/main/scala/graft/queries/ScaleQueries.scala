@@ -448,5 +448,71 @@ object ScaleQueries {
              |         AS dropped_chars
              |FROM ranked GROUP BY cluster ORDER BY cluster ASC""".stripMargin),
       "canonical doc per near-dup cluster: integer quality election, survivorship for corpora"),
+
+    // ------------------------------------------------------------------
+    // q255 (r8c): key-skew AUDIT — the diagnostic a 100 TB job runs
+    // BEFORE choosing between a plain shuffle join, salting (q75), and
+    // an AQE skew split: exact group-size distribution of a join key,
+    // reduced to the numbers that drive the decision — hot-key share,
+    // exact p50/p99 group sizes, and the salt factor that would level
+    // the hottest key to the average (ceil(max/avg)). The fixture key is
+    // synthesized skewed (30% of rows collapse onto key 0, the rest
+    // spread over 997 keys). Exact percentiles run as a row_number over
+    // the ALREADY-AGGREGATED (key, size) relation — keys-cardinality
+    // rows, not corpus rows; that single-partition sort is the honest
+    // price of exactness and is what production would swap for
+    // approx_percentile at extreme key cardinalities (documented, not
+    // hidden). One corpus shuffle (the groupBy), artifact-sized output.
+    GQuery(
+      "q255_skew_audit",
+      (s, d) => {
+        val keyed = Tables.lineitem(s, d)
+          .select(when(col("l_orderkey") % 10 < 3, lit(0L))
+            .otherwise(pmod(col("l_partkey"), lit(997L))).as("key"))
+        val sizes = keyed.groupBy(col("key")).agg(count(lit(1)).as("sz"))
+        val ranked = sizes.withColumn("rn",
+          row_number().over(Window.orderBy(col("sz").asc, col("key").asc)))
+        val stats = sizes.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("sz")).as("total_rows"),
+          max(col("sz")).as("max_size"))
+        stats.crossJoin(broadcast(
+            ranked.crossJoin(broadcast(stats.select(col("n_keys").as("nk"))))
+              .filter(col("rn") === expr("(nk + 1) DIV 2"))
+              .select(col("sz").as("p50_size"))))
+          .crossJoin(broadcast(
+            ranked.crossJoin(broadcast(stats.select(col("n_keys").as("nk"))))
+              .filter(col("rn") === expr("(nk * 99 + 99) DIV 100"))
+              .select(col("sz").as("p99_size"))))
+          .select(col("n_keys"), col("total_rows"), col("max_size"),
+            col("p50_size"), col("p99_size"),
+            expr("max_size * 1000 DIV total_rows").as("hot_share_fp"),
+            expr("(max_size * n_keys + total_rows - 1) DIV total_rows").as("suggested_salt"))
+          .withColumn("skewed", col("hot_share_fp") > 100)
+          .orderBy(col("n_keys").asc)
+      },
+      Some("""WITH keyed AS (
+             |  SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0
+             |              ELSE l_partkey % 997 END AS key
+             |  FROM lineitem),
+             |sizes AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS sz FROM keyed GROUP BY key),
+             |ranked AS (
+             |  SELECT sz, row_number() OVER (ORDER BY sz ASC, key ASC) AS rn FROM sizes),
+             |st AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             |         CAST(SUM(sz) AS BIGINT) AS total_rows,
+             |         CAST(MAX(sz) AS BIGINT) AS max_size
+             |  FROM sizes),
+             |p50 AS (SELECT r.sz AS p50_size FROM ranked r, st
+             |        WHERE r.rn = (st.n_keys + 1) // 2),
+             |p99 AS (SELECT r.sz AS p99_size FROM ranked r, st
+             |        WHERE r.rn = (st.n_keys * 99 + 99) // 100)
+             |SELECT st.n_keys, st.total_rows, st.max_size, p50.p50_size, p99.p99_size,
+             |       max_size * 1000 // total_rows AS hot_share_fp,
+             |       (max_size * n_keys + total_rows - 1) // total_rows AS suggested_salt,
+             |       max_size * 1000 // total_rows > 100 AS skewed
+             |FROM st, p50, p99
+             |ORDER BY st.n_keys ASC""".stripMargin),
+      "key-skew audit: exact group-size distribution -> hot share, p50/p99, salt factor == DuckDB replay"),
   )
 }
