@@ -220,5 +220,50 @@ object VectorIndexQueries {
              |       CASE WHEN n_cand > 0 THEN n_hit * 1000 // n_cand ELSE -1 END AS precision_fp
              |FROM agg ORDER BY label ASC""".stripMargin),
       "LSH index audit: bucket-collision candidates vs exact cosine pairs, per-label recall/precision == full-pipeline DuckDB replay"),
+
+    // ------------------------------------------------------------------
+    // q256: STREAMING vector dedup by PQ code — the q244 encoder
+    // composed with q172's watermark dedup through the REAL micro-batch
+    // engine (EventStreams.streamPqGate): PqEncode is a pure projection
+    // (codebook = plan constant), hence streaming-legal, and the dedup
+    // state keys on the m-byte code signature instead of the 256-byte
+    // vector — the 32× state cut that makes streaming near-dup admission
+    // control feasible. Batch 0 presents each of the 100 formula vectors
+    // exactly once (rowsPerBatch == keySpace); later batches are pure
+    // duplicates and the state store must suppress every one. The oracle
+    // replays vector → per-subspace argmin → signature → first-id
+    // entirely relationally (the 100 signatures are distinct, so there
+    // is no intra-batch first-arrival race to depend on).
+    GQuery(
+      "q256_stream_pq_dedup",
+      (s, _) => graft.streaming.EventStreams.streamPqGate(s),
+      Some("""WITH cb AS (
+             |  SELECT mm.m, jj.j,
+             |         list((CAST(('0x'||substr(md5('pq:'||mm.m||':'||jj.j||':'||dd.d),1,15)) AS BIGINT)
+             |               % 2001 - 1000) / 1024.0 ORDER BY dd.d) AS cvec
+             |  FROM (SELECT unnest(range(0, 8)) AS m) mm,
+             |       (SELECT unnest(range(0, 16)) AS j) jj,
+             |       (SELECT unnest(range(0, 8)) AS d) dd
+             |  GROUP BY mm.m, jj.j),
+             |vec AS (
+             |  SELECT kk.k,
+             |         list((CAST(('0x'||substr(md5('sv:'||kk.k||':'||dd.d),1,15)) AS BIGINT)
+             |               % 2001 - 1000) / 1024.0 ORDER BY dd.d) AS v
+             |  FROM (SELECT unnest(range(0, 100)) AS k) kk,
+             |       (SELECT unnest(range(0, 64)) AS d) dd
+             |  GROUP BY kk.k),
+             |codes AS (
+             |  SELECT k, m, j FROM (
+             |    SELECT vec.k, cb.m, cb.j,
+             |           row_number() OVER (PARTITION BY vec.k, cb.m ORDER BY
+             |             list_distance(vec.v[cb.m*8+1 : cb.m*8+8], cb.cvec) ASC, cb.j ASC) AS rn
+             |    FROM vec CROSS JOIN cb)
+             |  WHERE rn = 1),
+             |sig AS (
+             |  SELECT k, string_agg(CAST(j AS VARCHAR), ',' ORDER BY m) AS code_sig
+             |  FROM codes GROUP BY k)
+             |SELECT code_sig, CAST(k AS BIGINT) AS first_id
+             |FROM sig ORDER BY first_id ASC""".stripMargin),
+      "streaming PQ-code dedup via the real micro-batch engine: m-byte state per vector == full encode replay"),
   )
 }

@@ -488,4 +488,46 @@ object EventStreams {
       _.select(col("canonical_url"), col("id").as("first_id"))
         .orderBy(col("first_id").asc))
   }
+
+  /** STREAMING vector dedup by PQ code (q256): the q244 encoder is a
+    * pure projection (the codebook rides the plan as a constant), so it
+    * is streaming-legal by construction — each arriving embedding is
+    * quantized map-side and `dropDuplicatesWithinWatermark` keys its
+    * state on the CODE SIGNATURE, not the vector: per-key state is the
+    * ~m-byte code instead of dims·4 floats, the 32× state cut that makes
+    * streaming near-dup ingest admission control feasible at all.
+    * Vectors are the dyadic md5 formula of `id % keySpace`, so batch 0
+    * (rowsPerBatch == keySpace) presents each distinct vector exactly
+    * once and later batches are all duplicates — survivors are batch 0's
+    * rows, and the oracle replays vector → codes → signature → first-id
+    * relationally (the q230 determinism argument; the 100 formula
+    * vectors map to 100 DISTINCT signatures, so no intra-batch
+    * first-arrival race exists).
+    */
+  def streamPqGate(
+      spark: SparkSession,
+      totalRows: Long = 300,
+      keySpace: Long = 100): DataFrame = {
+    val raw = spark.readStream.format("graft.sources.GraftStreamSource")
+      .option("maxRows", totalRows.toString)
+      .option("rowsPerBatch", keySpace.toString)
+      .load()
+    val k = (col("id") % keySpace).cast("string")
+    val vec = transform(sequence(lit(0), lit(63)), dd =>
+      ((graft.functions.TextFunctions.md5Hash60(
+        concat(lit("sv:"), k, lit(":"), dd.cast("string"))) % 2001) - 1000)
+        .cast("double") / 1024.0)
+    val encoded = raw.select(
+      col("id"),
+      concat_ws(",", transform(
+        graft.functions.Similarity.pqEncode(vec, 64, 8, 16),
+        c => c.cast("string"))).as("code_sig"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("ts"))
+    val dedup = encoded
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("code_sig")
+    runToMemoryDetached(dedup, "stream_pq", "append")(
+      _.select(col("code_sig"), col("id").as("first_id"))
+        .orderBy(col("first_id").asc))
+  }
 }

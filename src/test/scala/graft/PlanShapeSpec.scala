@@ -396,4 +396,20 @@ class PlanShapeSpec extends SparkTestBase {
     for (in <- exchanges; vecCol <- Seq("recon", "qv", "embedding"))
       assert(!in.contains(vecCol), s"q244: $vecCol crosses an exchange: $in")
   }
+
+  test("q246/q247 are pure map-side projections: no join, no aggregate, one order exchange") {
+    // the ingest-inline claim both gates make: a quality filter
+    // (q246) and a shard-ownership assignment (q247) must run at scan
+    // speed — any Join/HashAggregate node means the operator regressed
+    // to a shuffle shape; the only exchange allowed is the final
+    // ORDER BY's range partitioning.
+    for (name <- Seq("q246_gopher_rules", "q247_rendezvous_hash")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+      assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+        s"$name must not aggregate:\n$p")
+      val nExchanges = p.split("\n\\(\\d+\\) ").count(_.startsWith("Exchange"))
+      assert(nExchanges == 1, s"$name: expected only the order exchange, got $nExchanges")
+    }
+  }
 }
