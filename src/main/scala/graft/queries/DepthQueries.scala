@@ -15,6 +15,40 @@ import graft.sources.Tables
   */
 object DepthQueries {
 
+  /** Shared fixed-point PageRank iteration (q115 uniform / q254
+    * personalized — ONE authoritative copy of the loop shape): per
+    * iteration one edges⋈ranks join (edges shuffle-partitioned by src,
+    * ranks tiny and broadcast) + one groupBy(dst); lazy localCheckpoint
+    * truncates the growing plan each step. `base` carries the per-node
+    * teleport term (node, base_fp); `init` the starting ranks (node,
+    * rank_fp). new_rank = base_fp + 85·Σ(in DIV degree) DIV 100, all
+    * exact BIGINT micro-units (double PageRank is accumulation-order-
+    * dependent and could never hash-match across engines).
+    */
+  private def pagerankIterate(
+      edges: org.apache.spark.sql.DataFrame,
+      base: org.apache.spark.sql.DataFrame,
+      init: org.apache.spark.sql.DataFrame,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(false)
+    var ranks = init
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(broadcast(ranks), col("src") === col("node"))
+        .join(broadcast(deg), Seq("src"))
+        .select(col("dst"), expr("rank_fp div degree").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = base
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (col("base_fp") + expr("85 * coalesce(in_sum, 0L) div 100"))
+            .as("rank_fp"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+
   val all: Seq[GQuery] = Seq(
     // ------------------------------------------------------------------
     // q109: null-safe equality join (<=> / IS NOT DISTINCT FROM) — the
@@ -250,23 +284,11 @@ object DepthQueries {
         val nodes = edges.select(col("src").as("node"))
           .union(edges.select(col("dst").as("node"))).distinct()
           .localCheckpoint(false)
-        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
-          .localCheckpoint(false)
-        var ranks = nodes.withColumn("rank_fp", lit(1000000L))
-        for (_ <- 1 to 3) {
-          val contribs = edges
-            .join(broadcast(ranks), col("src") === col("node"))
-            .join(broadcast(deg), Seq("src"))
-            .select(col("dst"), expr("rank_fp div degree").as("c"))
-            .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
-          ranks = nodes
-            .join(contribs, col("node") === col("dst"), "left")
-            .select(col("node"),
-              (lit(150000L) + expr("85 * coalesce(in_sum, 0L) div 100"))
-                .as("rank_fp"))
-            .localCheckpoint(false)
-        }
-        ranks.orderBy(col("node").asc)
+        pagerankIterate(edges,
+          base = nodes.withColumn("base_fp", lit(150000L)),
+          init = nodes.withColumn("rank_fp", lit(1000000L)),
+          iters = 3)
+          .orderBy(col("node").asc)
       },
       Some("""WITH edges AS (
              |  SELECT l_partkey % 100 AS src, l_suppkey % 100 AS dst FROM lineitem),
@@ -315,8 +337,6 @@ object DepthQueries {
         val nodes = edges.select(col("src").as("node"))
           .union(edges.select(col("dst").as("node"))).distinct()
           .localCheckpoint(false)
-        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
-          .localCheckpoint(false)
         val counts = nodes.agg(count(lit(1)).as("n_nodes"),
           sum(when(col("node") % 10 === 0, 1L).otherwise(0L)).as("n_seeds"))
         val base = nodes.crossJoin(broadcast(counts))
@@ -324,21 +344,10 @@ object DepthQueries {
             when(col("node") % 10 === 0,
               expr("(150000 * n_nodes) DIV n_seeds")).otherwise(lit(0L)).as("base_fp"))
           .localCheckpoint(false)
-        var ranks = base.select(col("node"), col("base_fp").as("rank_fp"))
-        for (_ <- 1 to 3) {
-          val contribs = edges
-            .join(broadcast(ranks), col("src") === col("node"))
-            .join(broadcast(deg), Seq("src"))
-            .select(col("dst"), expr("rank_fp div degree").as("c"))
-            .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
-          ranks = base
-            .join(contribs, col("node") === col("dst"), "left")
-            .select(col("node"),
-              (col("base_fp") + expr("85 * coalesce(in_sum, 0L) div 100"))
-                .as("rank_fp"))
-            .localCheckpoint(false)
-        }
-        ranks.withColumn("is_seed", col("node") % 10 === 0)
+        pagerankIterate(edges, base,
+          init = base.select(col("node"), col("base_fp").as("rank_fp")),
+          iters = 3)
+          .withColumn("is_seed", col("node") % 10 === 0)
           .orderBy(col("node").asc)
       },
       Some("""WITH edges AS (

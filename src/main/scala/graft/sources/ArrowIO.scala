@@ -107,33 +107,59 @@ object ArrowIO {
       if (rows.hasNext) {
         val pid = TaskContext.getPartitionId()
         val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.arrow")
-        val out = file.getFileSystem(confSer.value).create(file, true)
-        val allocator = new RootAllocator(Long.MaxValue)
-        val root = VectorSchemaRoot.create(arrowSchema(sparkSchema), allocator)
-        val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
-        try {
-          writer.start()
-          rows.grouped(BatchRows).foreach { batch =>
-            root.allocateNew()
-            var ri = 0
-            batch.foreach { r =>
-              var ci = 0
-              while (ci < sparkSchema.length) {
-                val vec = root.getVector(ci)
-                val v = r.get(ci)
-                if (v == null) vec.setNull(ri) else setValue(vec, ri, v)
-                ci += 1
-              }
-              ri += 1
-            }
-            root.setRowCount(ri)
-            writer.writeBatch()
-          }
-          writer.end()
-        } finally {
-          try writer.close() finally { root.close(); allocator.close() }
-        }
+        writeFile(file, confSer.value, sparkSchema, rows)
       }
+    }
+    // an all-empty input wrote no part files; land a schema-only file so
+    // the sink/source pairing round-trips the empty dataset instead of
+    // failing the reader's glob (the fs.create/foreachPartition split
+    // cannot see global emptiness from inside a task)
+    if (fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.arrow")).isEmpty)
+      writeFile(new org.apache.hadoop.fs.Path(path, "part-empty.arrow"),
+        hconf, sparkSchema, Iterator.empty)
+  }
+
+  /** One Arrow IPC file from a row iterator. Resources are released on
+    * EVERY path: a construction failure after fs.create still closes the
+    * stream, and the writer/root/allocator close in order regardless of
+    * body failure (ArrowFileWriter.close closes the channel and thus the
+    * Hadoop stream).
+    */
+  private def writeFile(file: org.apache.hadoop.fs.Path,
+      hconf: org.apache.hadoop.conf.Configuration,
+      sparkSchema: StructType, rows: Iterator[Row]): Unit = {
+    val out = file.getFileSystem(hconf).create(file, true)
+    var allocator: RootAllocator = null
+    var root: VectorSchemaRoot = null
+    var writer: ArrowFileWriter = null
+    try {
+      allocator = new RootAllocator(Long.MaxValue)
+      root = VectorSchemaRoot.create(arrowSchema(sparkSchema), allocator)
+      writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
+      writer.start()
+      rows.grouped(BatchRows).foreach { batch =>
+        root.allocateNew()
+        var ri = 0
+        batch.foreach { r =>
+          var ci = 0
+          while (ci < sparkSchema.length) {
+            val vec = root.getVector(ci)
+            val v = r.get(ci)
+            if (v == null) vec.setNull(ri) else setValue(vec, ri, v)
+            ci += 1
+          }
+          ri += 1
+        }
+        root.setRowCount(ri)
+        writer.writeBatch()
+      }
+      writer.end()
+    } finally {
+      import scala.util.control.NonFatal
+      if (writer != null) { try writer.close() catch { case NonFatal(_) => () } }
+      else { try out.close() catch { case NonFatal(_) => () } }
+      if (root != null) root.close()
+      if (allocator != null) allocator.close()
     }
   }
 
@@ -152,23 +178,35 @@ object ArrowIO {
       .select(col("content"))
     payloads.mapPartitions { rows =>
       import scala.util.control.NonFatal
+      val expectedTypes = arrowSchema(schema).getFields
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](0)
-        new Iterator[Row] {
+        new Iterator[Row] { self =>
           private var allocator: RootAllocator = null
           private var reader: ArrowFileReader = null
           private var vecs: Array[FieldVector] = null
           private var batchRows = 0
           private var ri = 0
 
+          // an abandoned iterator (limit/take/ task failure) would leak
+          // the allocator's DIRECT buffers — GC never reclaims them; the
+          // task-completion hook closes whatever is still open
+          private val _hook = Option(TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeAll()))
+
           try {
             allocator = new RootAllocator(Long.MaxValue)
             reader = new ArrowFileReader(
               new ByteArrayReadableSeekableByteChannel(bytes), allocator)
             val root = reader.getVectorSchemaRoot
-            // resolve by name; a missing expected column = corrupt shard
+            // resolve by name AND type; a missing column or a type drift
+            // (evolved producer) = corrupt shard, zero rows — never a
+            // mid-task ClassCastException
             vecs = names.map(root.getVector)
-            if (vecs.exists(_ == null)) closeAll()
+            val typeOk = vecs.forall(_ != null) &&
+              vecs.indices.forall(i =>
+                vecs(i).getField.getType == expectedTypes.get(i).getType)
+            if (!typeOk) closeAll()
           } catch { case NonFatal(_) => closeAll() }
 
           private def closeAll(): Unit = {

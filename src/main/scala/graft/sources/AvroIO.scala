@@ -109,6 +109,19 @@ object AvroIO {
         } finally writer.close()
       }
     }
+    // an all-empty input wrote no part files; land a header-only OCF so
+    // the sink/source pairing round-trips the empty dataset instead of
+    // failing the reader's glob
+    if (fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.avro")).isEmpty) {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val file = new org.apache.hadoop.fs.Path(path, "part-empty.avro")
+      val out = fs.create(file, true)
+      val writer = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      writer.setCodec(CodecFactory.snappyCodec())
+      writer.create(schema, out)
+      writer.close()
+    }
   }
 
   /** OCF read back to a DataFrame with the caller's EXPLICIT schema (the

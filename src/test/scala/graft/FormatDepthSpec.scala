@@ -126,6 +126,29 @@ class FormatDepthSpec extends SparkTestBase {
     assert(ArrowIO.read(spark, tmp2, schema).count() == 0)
   }
 
+  test("arrow and avro empty-dataset roundtrip: zero rows, never a reader crash") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.ArrowIO
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val empty = spark.createDataFrame(Seq.empty[Row].asJava, schema)
+    val tmpA = java.nio.file.Files.createTempDirectory("graft_arrow_empty").toString
+    ArrowIO.write(empty, tmpA)
+    assert(ArrowIO.read(spark, tmpA, schema).count() == 0)
+    val tmpV = java.nio.file.Files.createTempDirectory("graft_avro_empty").toString
+    AvroIO.write(empty, tmpV)
+    assert(AvroIO.read(spark, tmpV, schema).count() == 0)
+  }
+
+  test("arrow read treats a type-drifted column as corrupt (zero rows, no task failure)") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.ArrowIO
+    val writerSchema = StructType(Seq(StructField("id", IntegerType, nullable = false)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arrow_drift").toString
+    ArrowIO.write(spark.createDataFrame(Seq(Row(7)).asJava, writerSchema), tmp)
+    val readerSchema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    assert(ArrowIO.read(spark, tmp, readerSchema).count() == 0)
+  }
+
   test("arrow schema mapping rejects unsupported types eagerly") {
     import graft.sources.ArrowIO
     val bad = StructType(Seq(StructField("d", DateType, nullable = false)))
