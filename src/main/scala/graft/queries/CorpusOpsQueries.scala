@@ -42,7 +42,7 @@ object CorpusOpsQueries {
     GQuery(
       "q245_paragraph_dedup",
       (s, d) => {
-        val t = Tables.documents(s, d).select(col("doc_id"),
+        val t = Tables.spread(Tables.documents(s, d), col("doc_id")).select(col("doc_id"),
           concat(lit("shared header "), (col("doc_id") % 17).cast("string"),
             lit("\n\n"), col("text"), lit("\n\n"),
             lit("shared footer "), (col("doc_id") % 23).cast("string")).as("text2"))
@@ -137,7 +137,7 @@ object CorpusOpsQueries {
         val linesAll = concat(lines,
           when(col("doc_id") % 3 =!= 0, array(lit("to of and that have")))
             .otherwise(array().cast("array<string>")))
-        val built = Tables.documents(s, d)
+        val built = Tables.spread(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), array_join(linesAll, "\n").as("text2"))
         // ---- operator proper: parse text2 ----
         val lines2 = split(col("text2"), "\n")
@@ -269,7 +269,7 @@ object CorpusOpsQueries {
           }: _*)
           -array_max(cands).getField("nk")
         }
-        Tables.documents(s, d)
+        Tables.spread(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), owner(8).as("node_a"), owner(9).as("node_b"))
           .withColumn("moved", col("node_a") =!= col("node_b"))
           .withColumn("law_ok", !col("moved") || col("node_b") === 8)
@@ -325,7 +325,8 @@ object CorpusOpsQueries {
           val base = array_join(slice(toks, i * 5 + 1, lit(5)), " ")
           when(col("doc_id") % 4 === 0 && i % 3 === 2, line0).otherwise(base)
         })
-        val t = Tables.documents(s, d).select(col("doc_id"), lines.as("ls"))
+        val t = Tables.spread(Tables.documents(s, d), col("doc_id"))
+          .select(col("doc_id"), lines.as("ls"))
         val lineCnt = t.select(col("doc_id"), explode(col("ls")).as("line"))
           .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("c"))
         val lineM = lineCnt.groupBy(col("doc_id")).agg(

@@ -803,7 +803,7 @@ object FormatDepthQueries {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        val media = Tables.documents(s, d)
+        val media = Tables.spread(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), (col("doc_id") % 97).as("key"))
           .as[(Long, Long)]
           .map { case (id, key) =>

@@ -57,7 +57,10 @@ object VectorIndexQueries {
         val (dims, m, ks, k) = (64, 8, 16, 5)
         val emb = Tables.embeddings(s, d)
         val vd = transform(col("embedding"), x => x.cast("double"))
-        val enc = emb.select(col("vec_id"), Similarity.pqEncode(vd, dims, m, ks).as("codes"))
+        // the fixture ships one parquet file per table — spread the
+        // encode pass or the whole scan-speed projection runs on one task
+        val enc = Tables.spread(emb, col("vec_id"))
+          .select(col("vec_id"), Similarity.pqEncode(vd, dims, m, ks).as("codes"))
           .select(col("vec_id"),
             concat_ws(",", transform(col("codes"), c => c.cast("string"))).as("code_sig"),
             Similarity.pqReconstruct(col("codes"), dims, m, ks).as("recon"))
