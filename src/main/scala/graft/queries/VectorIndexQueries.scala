@@ -268,5 +268,124 @@ object VectorIndexQueries {
              |SELECT code_sig, CAST(k AS BIGINT) AS first_id
              |FROM sig ORDER BY first_id ASC""".stripMargin),
       "streaming PQ-code dedup via the real micro-batch engine: m-byte state per vector == full encode replay"),
+
+    // ------------------------------------------------------------------
+    // q257: IVF-PQ — the PRODUCTION ANN shape (Jegou et al. TPAMI 2011,
+    // the Faiss IVFPQ index): a coarse quantizer prunes which cells each
+    // query scores (q54's IVF idea), and within the probed cells
+    // candidates are scored from their PQ codes (q244's ADC), never the
+    // raw vectors. Here BOTH quantizers are plan-time constants (16
+    // formula coarse centroids as literal arrays, the PQ codebook inside
+    // PqEncode), so cell assignment AND encode are map-side scan-speed
+    // projection — fixed K=16 is the regime where the flat literal
+    // argmax is correct (contrast q220, where K ∝ n forces the
+    // hierarchical assign). Each query probes its nprobe=4 nearest
+    // cells; the candidate join broadcasts the (query, cell) probe pairs
+    // so pairwise work drops to Q·(N·nprobe/K) ADC lookups. Ties break
+    // toward the lower cell/neighbor id; the oracle replays assignment,
+    // probing, encode, reconstruction, and ranking relationally.
+    GQuery(
+      "q257_ivf_pq",
+      (s, d) => {
+        val (dims, m, ks, k, cells, nprobe) = (64, 8, 16, 5, 16, 4)
+        val cb = (0 until cells).map { c =>
+          (0 until dims).map { dd =>
+            val h = java.lang.Long.parseLong(
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(s"ivf:$c:$dd".getBytes("UTF-8"))
+                .take(8).map(b => f"$b%02x").mkString.take(15), 16)
+            ((h % 2001) - 1000).toDouble / 1024.0
+          }
+        }
+        def centLit(c: Int) = array(cb(c).map(lit): _*).cast("array<float>")
+        def cellCands(vec: org.apache.spark.sql.Column) =
+          array((0 until cells).map { c =>
+            struct(Similarity.cosine(vec, centLit(c)).as("csim"),
+              lit(-c).as("nc"))
+          }: _*)
+        val emb = Tables.embeddings(s, d)
+        val vd = transform(col("embedding"), x => x.cast("double"))
+        val enc = Tables.spread(emb, col("vec_id"))
+          .select(col("vec_id"),
+            (-array_max(cellCands(col("embedding"))).getField("nc")).as("cell"),
+            Similarity.pqEncode(vd, dims, m, ks).as("codes"))
+          .select(col("vec_id"), col("cell"),
+            Similarity.pqReconstruct(col("codes"), dims, m, ks).as("recon"))
+        // per-query probe list: top-nprobe cells by centroid cosine —
+        // sort the 16 (−csim, cell) structs ascending = csim descending
+        val probeArr = slice(array_sort(
+          array((0 until cells).map { c =>
+            struct((-Similarity.cosine(col("embedding"), centLit(c))).as("ncs"),
+              lit(c).as("c"))
+          }: _*)), 1, nprobe)
+        val q = emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("query_id"),
+            transform(col("embedding"), x => x.cast("double")).as("qv"),
+            explode(transform(probeArr, p => p.getField("c"))).as("cell"))
+        val scored = enc.join(broadcast(q), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            Similarity.dotFold(col("qv"), col("recon")).as("sim"))
+        Similarity.topKPerQuery(scored, k)
+          .withColumnRenamed("sim", "score")
+          .orderBy(col("query_id").asc, col("rank").asc)
+      },
+      Some("""WITH cent AS (
+             |  SELECT cc.c,
+             |         list((CAST(('0x'||substr(md5('ivf:'||cc.c||':'||dd.d),1,15)) AS BIGINT)
+             |               % 2001 - 1000) / 1024.0 ORDER BY dd.d) AS cvec
+             |  FROM (SELECT unnest(range(0, 16)) AS c) cc,
+             |       (SELECT unnest(range(0, 64)) AS d) dd
+             |  GROUP BY cc.c),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |asg AS (
+             |  SELECT vec_id, c AS cell FROM (
+             |    SELECT e.vec_id, cent.c,
+             |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |             list_cosine_similarity(e.v, cent.cvec) DESC, cent.c ASC) AS rn
+             |    FROM e CROSS JOIN cent)
+             |  WHERE rn = 1),
+             |cb AS (
+             |  SELECT mm.m, jj.j,
+             |         list((CAST(('0x'||substr(md5('pq:'||mm.m||':'||jj.j||':'||dd.d),1,15)) AS BIGINT)
+             |               % 2001 - 1000) / 1024.0 ORDER BY dd.d) AS cvec
+             |  FROM (SELECT unnest(range(0, 8)) AS m) mm,
+             |       (SELECT unnest(range(0, 16)) AS j) jj,
+             |       (SELECT unnest(range(0, 8)) AS d) dd
+             |  GROUP BY mm.m, jj.j),
+             |codes AS (
+             |  SELECT vec_id, m, j FROM (
+             |    SELECT e.vec_id, cb.m, cb.j,
+             |           row_number() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+             |             list_distance(e.v[cb.m*8+1 : cb.m*8+8], cb.cvec) ASC, cb.j ASC) AS rn
+             |    FROM e CROSS JOIN cb)
+             |  WHERE rn = 1),
+             |recon AS (
+             |  SELECT c.vec_id, flatten(list(cb.cvec ORDER BY c.m)) AS r
+             |  FROM codes c JOIN cb ON cb.m = c.m AND cb.j = c.j
+             |  GROUP BY c.vec_id),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+             |probes AS (
+             |  SELECT query_id, qv, c AS cell FROM (
+             |    SELECT q.query_id, q.qv, cent.c,
+             |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |             list_cosine_similarity(q.qv, cent.cvec) DESC, cent.c ASC) AS rn
+             |    FROM q CROSS JOIN cent)
+             |  WHERE rn <= 4),
+             |scored AS (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |         list_dot_product(p.qv, r.r) AS score
+             |  FROM probes p
+             |  JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+             |  JOIN recon r ON r.vec_id = a.vec_id),
+             |topk AS (
+             |  SELECT query_id, neighbor_id, score,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY score DESC, neighbor_id ASC) AS rank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+             |FROM topk WHERE rank <= 5
+             |ORDER BY query_id ASC, rank ASC""".stripMargin),
+      "IVF-PQ (the Faiss production shape): literal coarse quantizer prunes cells, ADC scores PQ codes in probed cells only == full DuckDB replay"),
   )
 }

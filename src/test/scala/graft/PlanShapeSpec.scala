@@ -400,6 +400,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges.nonEmpty, "expected the window/order exchanges")
     for (in <- exchanges; vecCol <- Seq("recon", "qv", "embedding"))
       assert(!in.contains(vecCol), s"q244: $vecCol crosses an exchange: $in")
+    // the IVF-PQ composite inherits the same discipline: probe pairs
+    // broadcast, candidates never shuffle-join
+    val p257 = plan("q257_ivf_pq")
+    assert(!p257.contains("SortMergeJoin") && !p257.contains("ShuffledHashJoin"),
+      s"q257 must not shuffle-join:\n$p257")
   }
 
   test("q246/q247 are pure map-side projections: no join, no aggregate, no data-dependent shuffle") {
