@@ -226,6 +226,33 @@ object DepthQueries {
       "custom DSv2 source: pushed id bounds skip 30/32 partitions, residual sq filter"),
 
     // ------------------------------------------------------------------
+    // q258 (r8c): DSv2 AGGREGATE pushdown — the connector completes the
+    // V2 pushdown triad (filters, columns, aggregates): COUNT(*)/MIN/
+    // MAX/SUM(id) with no GROUP BY are answered by the source in CLOSED
+    // FORM from the (already filter-narrowed) range bounds — the scan
+    // emits ONE row and zero per-row work happens anywhere, the moral
+    // equivalent of answering COUNT(*) from parquet footer statistics.
+    // SUM is pushed only when the closed form provably fits BIGINT;
+    // refusal falls back to Spark-side aggregation (always safe). The
+    // plan lock asserts the scan description advertises the complete
+    // pushdown and no per-row generation survives.
+    GQuery(
+      "q258_agg_pushdown",
+      (s, d) => {
+        s.read.format("graft.sources.GraftRangeSource")
+          .option("start", 0).option("end", 5000000).option("slices", 32)
+          .load()
+          .filter(col("id") >= 1234567 && col("id") < 4000000)
+          .agg(expr("count(*)").as("n"), min(col("id")).as("mn"),
+            max(col("id")).as("mx"), sum(col("id")).as("sm"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |       MIN(id) AS mn, MAX(id) AS mx,
+             |       CAST(SUM(id) AS BIGINT) AS sm
+             |FROM (SELECT range AS id FROM range(1234567, 4000000))""".stripMargin),
+      "DSv2 complete aggregate pushdown: closed-form COUNT/MIN/MAX/SUM from the filter-narrowed range, one row from the scan"),
+
+    // ------------------------------------------------------------------
     // q114: Z-order clustering value — the Morton interleave of two
     // clustering keys, the layout primitive behind multi-dimensional data
     // skipping (sort/range-partition by zval at write time → every file

@@ -72,12 +72,61 @@ private[sources] class GraftRangeTable(start: Long, end: Long, slices: Int)
 }
 
 private[sources] class GraftRangeScanBuilder(start0: Long, end0: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   // bounds narrowed by every accepted pushed filter (half-open [lo, hi))
   private var lo = start0
   private var hi = end0
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GraftRangeSource.fullSchema
+  private var aggNames: Array[String] = Array.empty
+
+  // ---- aggregate pushdown (SupportsPushDownAggregates) ----
+  // COUNT(*)/MIN(id)/MAX(id)/SUM(id) with no GROUP BY have CLOSED FORMS
+  // on a half-open integer range — the connector answers the whole query
+  // from [lo, hi) arithmetic and the scan emits ONE row, zero per-row
+  // work: the strongest form of "let the source do it" (the moral
+  // equivalent of answering COUNT(*) from parquet footer statistics).
+  // Filters are pushed before aggregates (Spark's contract), so the
+  // bounds are already narrowed. SUM is accepted only when the closed
+  // form provably fits a BIGINT; otherwise the pushdown is REFUSED and
+  // Spark computes the aggregate itself — refusal is always safe.
+  private def aggName(e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+      : Option[String] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def isId(col: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      col match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }
+    e match {
+      case _: CountStar => Some("cnt")
+      case m: Min if isId(m.column) => Some("mn")
+      case m: Max if isId(m.column) => Some("mx")
+      case s: Sum if isId(s.column) && !s.isDistinct && sumFits => Some("sm")
+      case _ => None
+    }
+  }
+
+  private def sumFits: Boolean = {
+    val (l, h) = (math.max(lo, start0), math.min(hi, end0))
+    h <= l || (BigInt(l) + (h - 1)) * (h - l) / 2 <= BigInt(Long.MaxValue)
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(aggName(_).isDefined)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) false
+    else {
+      aggNames = agg.aggregateExpressions.map(aggName(_).get)
+      true
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rejected) = filters.partition {
@@ -110,7 +159,52 @@ private[sources] class GraftRangeScanBuilder(start0: Long, end0: Long, slices: I
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new GraftRangeScan(start0, end0, math.max(lo, start0), math.min(hi, end0), slices, required)
+    if (aggNames.nonEmpty)
+      new GraftRangeAggScan(math.max(lo, start0), math.min(hi, end0), aggNames)
+    else
+      new GraftRangeScan(start0, end0, math.max(lo, start0), math.min(hi, end0), slices, required)
+}
+
+/** Completely-pushed aggregate scan: one partition, one row, the
+  * closed-form answers for the (already filter-narrowed) range. The
+  * nullable MIN/MAX slots honor SQL semantics for an empty range.
+  */
+private[sources] class GraftRangeAggScan(lo: Long, hi: Long, aggNames: Array[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(aggNames.map {
+      case "cnt" => StructField("cnt", LongType, nullable = false)
+      case n => StructField(n, LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRange range=[$lo,$hi) aggs=${aggNames.mkString(",")} (complete pushdown)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftRangeSlice(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeAggReaderFactory(aggNames)
+}
+
+private[sources] class GraftRangeAggReaderFactory(aggNames: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val s = partition.asInstanceOf[GraftRangeSlice]
+    val empty = s.hi <= s.lo
+    val values: Array[Any] = aggNames.map {
+      case "cnt" => (if (empty) 0L else s.hi - s.lo): Any
+      case "mn" => if (empty) null else s.lo
+      case "mx" => if (empty) null else s.hi - 1
+      case "sm" => if (empty) null
+        else ((BigInt(s.lo) + (s.hi - 1)) * (s.hi - s.lo) / 2).toLong
+      case other => throw new IllegalStateException(s"unreachable agg $other")
+    }
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = new GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] case class GraftRangeSlice(lo: Long, hi: Long) extends InputPartition

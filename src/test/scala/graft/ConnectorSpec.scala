@@ -113,6 +113,48 @@ class ConnectorSpec extends SparkTestBase {
     assert(ids.toSet == (0L until 100L).toSet)
   }
 
+  test("aggregate pushdown: the scan answers COUNT/MIN/MAX/SUM in closed form, plan has no row scan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft.sources.GraftRangeSource")
+      .option("start", 0).option("end", 1000000).option("slices", 8)
+      .load()
+      .filter(col("id") >= 100 && col("id") < 5000)
+      .agg(expr("count(*)").as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"), sum(col("id")).as("sm"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("complete pushdown"),
+      s"scan must advertise the pushed aggregates:\n$p")
+    val r = df.collect().head
+    assert(r.getLong(0) === 4900L && r.getLong(1) === 100L && r.getLong(2) === 4999L)
+    assert(r.getLong(3) === (100L to 4999L).sum)
+  }
+
+  test("aggregate pushdown refuses what it cannot answer; results stay correct") {
+    import org.apache.spark.sql.functions._
+    def src = spark.read.format("graft.sources.GraftRangeSource")
+      .option("start", 0).option("end", 10000).option("slices", 4).load()
+    // grouped aggregation is not supported — must fall back to Spark
+    val grouped = src.groupBy((col("id") % 3).as("g")).agg(count(lit(1)).as("n"))
+    val pg = grouped.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!pg.contains("complete pushdown"), pg)
+    assert(grouped.collect().map(_.getLong(1)).sum === 10000L)
+    // AVG is not in the supported set — full aggregation falls back too
+    // (pushAggregation is all-or-nothing for a complete pushdown)
+    val avg0 = src.agg(avg(col("id")).as("a"), expr("count(*)").as("n"))
+    val pa = avg0.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!pa.contains("complete pushdown"), pa)
+    val ra = avg0.collect().head
+    assert(ra.getDouble(0) === 4999.5 && ra.getLong(1) === 10000L)
+    // an empty filtered range answers SQL-correctly through the pushdown
+    val empty = src.filter(col("id") >= 9000 && col("id") < 9000)
+      .agg(expr("count(*)").as("n"), min(col("id")).as("mn"))
+      .collect().head
+    assert(empty.getLong(0) === 0L && empty.isNullAt(1))
+  }
+
   test("a failed write job publishes nothing (driver commit never runs)") {
     GraftCollectSink.clear("t_abort")
     write("t_abort", "append")(spark.range(0, 10).select(col("id")))
