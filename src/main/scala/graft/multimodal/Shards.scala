@@ -715,6 +715,43 @@ object Shards {
       }.toDF("doc_id", "raw_len", "def_len", "def2_len")
   }
 
+  /** Dictionary-trained zstd features for the q259 storage gate —
+    * the small-record problem a 100 TB event/metadata corpus actually
+    * has: records of a few hundred bytes compress terribly alone (the
+    * window never sees cross-record redundancy), so production stores
+    * (RocksDB, Kafka, Parquet v2 pages) train a SHARED DICTIONARY on a
+    * sample and compress each record against it. `dict` is the trained
+    * dictionary (driver-side artifact, broadcast via the closure — the
+    * same artifact discipline as the q217 classifier weights); output
+    * per doc: raw/plain-zstd/dict-zstd byte lengths, computed map-side,
+    * only lengths leave the task.
+    */
+  def dictCompressRows(docs: DataFrame, dict: Array[Byte]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val zdict = new com.github.luben.zstd.ZstdDictCompress(dict, 3)
+        rows.map { case (id, text) =>
+          val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val plain = com.github.luben.zstd.Zstd.compress(b, 3)
+          val withDict = com.github.luben.zstd.Zstd.compress(b, zdict)
+          (id, b.length.toLong, plain.length.toLong, withDict.length.toLong)
+        }
+      }.toDF("doc_id", "raw_len", "plain_len", "dict_len")
+  }
+
+  /** Train a zstd dictionary from sample records (ZDICT under the JNI).
+    * Deterministic for a fixed sample sequence and library version; the
+    * gate's verdicts carry wide margins so they never depend on exact
+    * dictionary bytes.
+    */
+  def trainZstdDict(samples: Seq[Array[Byte]], dictSize: Int = 4096): Array[Byte] = {
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+      samples.map(_.length).sum + 1024, dictSize)
+    samples.foreach(trainer.addSample)
+    trainer.trainSamples()
+  }
+
   /** Per-partition magic-dispatched decompress-and-fingerprint over a
     * MIXED-codec corpus: (media_id, codec, out_len, byte_sum). Real
     * corpora mix producers (gzip legacy shards next to zstd re-packs),

@@ -343,6 +343,66 @@ object CurationDagQueries {
       "streaming canonical-URL dedup via the real micro-batch engine == formula oracle"),
 
     // ------------------------------------------------------------------
+    // q259 (r8c): DICTIONARY-trained compression — the small-record
+    // storage problem a 100 TB event/metadata corpus actually has:
+    // records of ~100 bytes compress terribly alone (no window ever sees
+    // cross-record redundancy), so production stores train a shared zstd
+    // dictionary on a sample and compress each record against it (the
+    // RocksDB/Kafka/Parquet-v2 discipline). The gate synthesizes
+    // templated JSON-ish event records, trains a REAL ZDICT dictionary
+    // on the doc_id%2 sample (driver-side artifact — ~100 B × n/2
+    // samples, the q217 model-artifact discipline; order fixed by
+    // doc_id so training is deterministic), and compresses every record
+    // both ways at the codec boundary. Exact compressed sizes are
+    // zstd-implementation facts, so the gate emits wide-margin INVARIANT
+    // verdicts (the q231 contract): the dictionary must beat plain zstd
+    // on EVERY record (plain zstd pays its literal cost per record; the
+    // dictionary carries the shared template), and must at least halve
+    // the raw bytes. raw_len is exact (the oracle replays the record
+    // construction).
+    GQuery(
+      "q259_dict_compress",
+      (s, d) => {
+        import graft.multimodal.Shards
+        val record = concat(
+          lit("{\"user\":\"u"), (col("doc_id") % 50).cast("string"),
+          lit("\",\"event\":\""),
+          when(col("doc_id") % 3 === 0, lit("click"))
+            .when(col("doc_id") % 3 === 1, lit("view")).otherwise(lit("purchase")),
+          lit("\",\"page\":\"/products/category/"), (col("doc_id") % 17).cast("string"),
+          lit("\",\"session\":\""), substring(md5(col("doc_id").cast("string")), 1, 8),
+          lit("\",\"status\":\"accepted\",\"retries\":0}"))
+        val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
+          .select(col("doc_id"), record.as("text"))
+        // BOUNDED sample: the driver artifact must not grow with the
+        // corpus — 4096 records (~450 KB) train the dictionary at any
+        // scale; deterministic via the total order + limit
+        val samples = docs.filter(col("doc_id") % 2 === 0)
+          .orderBy(col("doc_id").asc).limit(4096)
+          .select(col("text")).collect()
+          .map(_.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .toSeq
+        val dict = Shards.trainZstdDict(samples, dictSize = 1024)
+        Shards.dictCompressRows(docs, dict)
+          .select(col("doc_id"), col("raw_len"),
+            (col("dict_len") < col("plain_len")).as("v_dict_wins"),
+            (col("dict_len") * 2 < col("raw_len")).as("v_dict_small"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT doc_id,
+             |       CAST(length('{"user":"u' || CAST(doc_id % 50 AS VARCHAR) ||
+             |         '","event":"' ||
+             |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'click'
+             |              WHEN 1 THEN 'view' ELSE 'purchase' END ||
+             |         '","page":"/products/category/' || CAST(doc_id % 17 AS VARCHAR) ||
+             |         '","session":"' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ||
+             |         '","status":"accepted","retries":0}') AS BIGINT) AS raw_len,
+             |       true AS v_dict_wins,
+             |       true AS v_dict_small
+             |FROM documents ORDER BY doc_id ASC""".stripMargin),
+      "zstd dictionary training + per-record dict compression: dictionary beats plain zstd and halves raw bytes on every templated record"),
+
+    // ------------------------------------------------------------------
     // q231: compression-ratio quality signal (CCNet/Gopher: highly
     // repetitive text compresses suspiciously well; high-entropy noise
     // does not) — REAL deflate at the codec boundary (Shards
