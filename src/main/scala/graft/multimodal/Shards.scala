@@ -132,6 +132,48 @@ object Shards {
       out.result()
     }
 
+    /** The [[tarMembers]] walk with member BODIES — for codec-boundary
+      * composites that must decode member content in the same task
+      * (q260's WDS image pipeline). Same contracts: corrupt header or
+      * truncated member ends the walk at the valid prefix; only regular
+      * files are emitted. Payload slices never leave the boundary — the
+      * caller reduces them to features before returning rows.
+      */
+    def tarMemberBytes(p: Array[Byte]): Seq[(String, Array[Byte])] = {
+      val out = Seq.newBuilder[(String, Array[Byte])]
+      var off = 0L
+      var done = false
+      while (!done && off + 512 <= p.length) {
+        val base = off.toInt
+        var allZero = true
+        var i = base
+        while (allZero && i < base + 512) { if (p(i) != 0) allZero = false; i += 1 }
+        if (allZero) done = true
+        else if (!isUstar(p, base)) done = true
+        else {
+          val size = octal(p, base + 124, 12)
+          if (size < 0) done = true
+          else {
+            val dataEnd = off + 512 + size
+            val typeflag = p(base + 156)
+            if (dataEnd > p.length) done = true
+            else {
+              if (typeflag == '0' || typeflag == 0) {
+                var nameEnd = base
+                while (nameEnd < base + 100 && p(nameEnd) != 0) nameEnd += 1
+                val name = new String(p, base, nameEnd - base,
+                  java.nio.charset.StandardCharsets.US_ASCII)
+                out += ((name, java.util.Arrays.copyOfRange(
+                  p, (off + 512).toInt, dataEnd.toInt)))
+              }
+              off = off + 512 + ((size + 511L) / 512L) * 512L
+            }
+          }
+        }
+      }
+      out.result()
+    }
+
     /** Write a POSIX ustar archive from (name, body) members — the
       * WRITE half of [[tarMembers]] (IEEE 1003.1: NUL-padded names,
       * ASCII-octal sizes, spaces-then-computed checksum, 512-byte body
@@ -679,6 +721,44 @@ object Shards {
         array_join(array_sort(collect_list(col("ext"))), ",").as("exts"))
   }
 
+  /** The multimodal WDS ingestion composite at ONE codec boundary
+    * (q260): tar walk → first-dot sample assembly → REAL PNG decode →
+    * 16×16 luma grid → spectral hash, all inside the same task — shard
+    * bytes, member payloads, and pixels never leave it; what exits is
+    * (shard, sample, dims, 8-byte hash, label). Samples missing either
+    * part, with an undecodable png, or under 16 px fan out to no rows
+    * (the corrupt-media contract at sample grain).
+    */
+  def wdsImageSampleRows(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.payload != null).flatMap { r =>
+        ArchiveCodec.tarMemberBytes(r.payload)
+          .flatMap { case (name, body) =>
+            val dot = name.indexOf('.')
+            if (dot <= 0) None
+            else Some((name.substring(0, dot), name.substring(dot + 1), body))
+          }
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .flatMap { case (sampleKey, parts) =>
+            val byExt = parts.map(p => p._2 -> p._3).toMap
+            (byExt.get("png"), byExt.get("cls")) match {
+              case (Some(png), Some(cls)) =>
+                val img =
+                  try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+                  catch { case scala.util.control.NonFatal(_) => null }
+                if (img == null || img.getWidth < 16 || img.getHeight < 16) None
+                else Some((r.media_id, sampleKey, img.getWidth, img.getHeight,
+                  Multimodal.ImageOps.whtHash16(
+                    Multimodal.ImageOps.lumaGrid(img, 16, 16)),
+                  new String(cls, java.nio.charset.StandardCharsets.US_ASCII)))
+              case _ => None
+            }
+          }
+      }
+    }.toDF("shard_id", "sample_key", "width", "height", "phash", "cls")
+  }
+
   /** Per-partition gzip decompress-and-fingerprint: (media_id, out_len,
     * byte_sum) with the corrupt-media contract (-1, 0) for non-gzip
     * payloads. Only decompressed FEATURES leave the boundary — the
@@ -825,6 +905,24 @@ object Shards {
       }
       bos.write(new Array[Byte](1024))
       bos.toByteArray
+    }
+
+    /** Multimodal WebDataset shard: 2 + key%3 samples, each a
+      * (s<i>.png, s<i>.cls) pair — the png is a REAL encoded
+      * [[Multimodal.ImageOps.synthPng]] of pk = (7·key + 13·i) % 97 (so
+      * distinct shards SHARE images: corpus-level dedup is non-trivial),
+      * the cls member carries the label "c" + pk%5. Every gated feature
+      * downstream is a pure formula of (key, i).
+      */
+    def wdsImageShard(key: Long): Array[Byte] = {
+      val n = 2 + (key % 3).toInt
+      ArchiveCodec.tarArchive((0 until n).iterator.flatMap { i =>
+        val pk = (7 * key + 13 * i) % 97
+        Iterator(
+          (s"s$i.png", Multimodal.ImageOps.synthPng(pk)),
+          (s"s$i.cls", ("c" + pk % 5).getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII)))
+      })
     }
 
     /** DEFLATE zip of the same member-content formula: 2 + key%3 entries

@@ -403,6 +403,88 @@ object CurationDagQueries {
       "zstd dictionary training + per-record dict compression: dictionary beats plain zstd and halves raw bytes on every templated record"),
 
     // ------------------------------------------------------------------
+    // q260 (r8c): the MULTIMODAL curation DAG — q229's composition
+    // argument on the image side: WebDataset shards → tar member walk →
+    // first-dot sample assembly → REAL PNG decode → spectral perceptual
+    // hash (q250's integer-exact WHT), all at ONE codec boundary (shard
+    // bytes, member payloads, and pixels never leave the task), then
+    // corpus-level image dedup election over the 8-byte hashes (min
+    // (shard, sample) per phash — distinct shards share images by the
+    // pk formula, so cross-shard dedup is non-trivial). Gated on the
+    // doc_id%3 shard subset (the q175 precedent) to bound the oracle's
+    // pixel replay; every output field is a pure formula of (key, i) —
+    // the oracle recomputes walk, decode, hash, and election without
+    // seeing a byte. 100 TB: one map-side fan-out, one 8-byte-key
+    // window — the WDS ingest shape for an image corpus.
+    GQuery(
+      "q260_wds_image_dag",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val media = Tables.spread(
+            Tables.documents(s, d).filter(col("doc_id") % 3 === 0), col("doc_id"))
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val key = id % 109
+              graft.multimodal.Multimodal.MediaRow(id,
+                graft.multimodal.Shards.SyntheticShards.wdsImageShard(key),
+                "application/x-wds")
+            }
+          }
+        val feats = graft.multimodal.Shards.wdsImageSampleRows(media)
+        val w = Window.partitionBy(col("phash"))
+          .orderBy(col("shard_id").asc, col("sample_key").asc)
+        feats.withColumn("keep", row_number().over(w) === 1)
+          .orderBy(col("shard_id").asc, col("sample_key").asc)
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, doc_id % 109 AS key FROM documents WHERE doc_id % 3 = 0),
+             |smp AS (
+             |  SELECT doc_id, key, CAST(i.i AS INT) AS i,
+             |         (7 * key + 13 * i.i) % 97 AS pk
+             |  FROM k, range(0, 4) i(i) WHERE i.i < 2 + key % 3),
+             |dim AS (
+             |  SELECT doc_id, i, pk,
+             |         CAST(16 + pk % 17 AS INT) AS w, CAST(16 + pk % 13 AS INT) AS h
+             |  FROM smp),
+             |px AS (
+             |  SELECT doc_id, i, pk, y.y AS y, x.x AS x,
+             |         (7*((x.x*w)//16) + 13*((y.y*h)//16) + 31*pk) % 256 AS l
+             |  FROM dim, range(0,16) y(y), range(0,16) x(x)),
+             |uv AS (SELECT u.u AS u, v.v AS v FROM range(0,4) u(u), range(0,4) v(v)
+             |       WHERE NOT (u.u = 0 AND v.v = 0)),
+             |co AS (
+             |  SELECT p.doc_id, p.i, uv.u, uv.v,
+             |         CAST(SUM(CASE WHEN (bit_count(uv.u & p.x) + bit_count(uv.v & p.y)) % 2 = 0
+             |                       THEN p.l ELSE -p.l END) AS BIGINT) AS c
+             |  FROM px p CROSS JOIN uv
+             |  GROUP BY p.doc_id, p.i, uv.u, uv.v),
+             |med AS (
+             |  SELECT doc_id, i, MAX(CASE WHEN rn = 8 THEN c END) AS median
+             |  FROM (SELECT doc_id, i, c,
+             |          row_number() OVER (PARTITION BY doc_id, i ORDER BY c ASC) AS rn
+             |        FROM co)
+             |  GROUP BY doc_id, i),
+             |hsh AS (
+             |  SELECT co.doc_id, co.i,
+             |         CAST(SUM(CASE WHEN co.c > med.median
+             |                  THEN CAST(1 AS BIGINT) << CAST(co.u*4 + co.v - 1 AS INT)
+             |                  ELSE 0 END) AS BIGINT) AS phash
+             |  FROM co JOIN med ON med.doc_id = co.doc_id AND med.i = co.i
+             |  GROUP BY co.doc_id, co.i),
+             |f AS (
+             |  SELECT d.doc_id AS shard_id, 's' || CAST(d.i AS VARCHAR) AS sample_key,
+             |         d.w AS width, d.h AS height, h.phash,
+             |         'c' || CAST(d.pk % 5 AS VARCHAR) AS cls
+             |  FROM dim d JOIN hsh h ON h.doc_id = d.doc_id AND h.i = d.i)
+             |SELECT shard_id, sample_key, width, height, phash, cls,
+             |       row_number() OVER (PARTITION BY phash
+             |         ORDER BY shard_id ASC, sample_key ASC) = 1 AS keep
+             |FROM f ORDER BY shard_id ASC, sample_key ASC""".stripMargin),
+      "multimodal WDS DAG: shard walk -> sample assembly -> real PNG decode -> WHT hash -> cross-shard dedup election, one codec boundary == formula oracle"),
+
+    // ------------------------------------------------------------------
     // q231: compression-ratio quality signal (CCNet/Gopher: highly
     // repetitive text compresses suspiciously well; high-entropy noise
     // does not) — REAL deflate at the codec boundary (Shards

@@ -372,4 +372,47 @@ class ShardsSpec extends SparkTestBase {
     assert(rows.map(_._1).distinct.sorted.toSeq == Seq(1L))
     assert(rows.length == 2 + (3 % 3))
   }
+
+  test("tarMemberBytes: bodies match the metadata walk; truncation drops the tail member") {
+    val shard = Shards.SyntheticShards.tarShard(5L)
+    val withBytes = Shards.ArchiveCodec.tarMemberBytes(shard)
+    val meta = Shards.ArchiveCodec.tarMembers(9L, shard)
+    assert(withBytes.map(_._1) == meta.map(_.name))
+    withBytes.zip(meta).foreach { case ((_, body), m) =>
+      assert(body.length.toLong == m.size)
+      assert(body.map(_ & 0xff).map(_.toLong).sum == m.byte_sum)
+    }
+    // the tail member owns header(512) + padded body(512) + terminator
+    // blocks(1024); cutting 1600 bytes reaches into its body
+    val cut = Shards.ArchiveCodec.tarMemberBytes(shard.dropRight(1600))
+    assert(cut.length == withBytes.length - 1, "truncation must cost exactly the tail")
+    assert(Shards.ArchiveCodec.tarMemberBytes("not a tar".getBytes).isEmpty)
+  }
+
+  test("wdsImageShard: real decodable PNGs; shared pk images dedup across shards") {
+    import spark.implicits._
+    val media = Seq(7L, 14L).map { id =>
+      Multimodal.MediaRow(id,
+        Shards.SyntheticShards.wdsImageShard(id % 109), "application/x-wds")
+    }.toDS()
+    val rows = Shards.wdsImageSampleRows(media).collect()
+    // shard keys 7 and 14: n = 2 + key%3 samples each
+    assert(rows.count(_.getLong(0) == 7L) == 2 + (7 % 3))
+    assert(rows.count(_.getLong(0) == 14L) == 2 + (14 % 3))
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 16 && r.getInt(3) >= 16)
+      assert(r.getString(5).matches("c[0-4]"))
+    }
+    // identical pk formula values must produce identical hashes: shard 7
+    // sample i has pk (49+13i)%97, shard 14 has (98+13i)%97 — pk 62 is
+    // shared (i=1 on shard 7, i=6 impossible; verify via recompute)
+    val byPk = rows.map { r =>
+      val key = r.getLong(0) % 109
+      val i = r.getString(1).stripPrefix("s").toInt
+      ((7 * key + 13 * i) % 97, r.getLong(4))
+    }
+    byPk.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).distinct.length == 1, s"same pk, different phash: $g")
+    }
+  }
 }
