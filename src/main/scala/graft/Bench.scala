@@ -264,7 +264,17 @@ object Bench {
     })
     val baseline = loadBaseline(baselinePath)
     val envFactor = environmentFactor(published.toMap, baseline)
-    val slow = slowQueries(published.toMap, baseline, envFactor = envFactor)
+    // Gate stat (r8 verdict #2): with only 3 completed rounds the warm
+    // median averages TWO samples, so a single stalled round flags a
+    // query at 4–8× (r8: 10 of 11 driver flags were one-round outliers
+    // whose OTHER warm round sat at baseline). With < 3 warm rounds the
+    // gate therefore uses the warm MIN — "ran at baseline speed at least
+    // once in this JVM" is the right bar when the sample count cannot
+    // absorb an outlier; with ≥ 3 warm rounds the median is already
+    // outlier-robust and stays the gate. The published per-query stat is
+    // unchanged — only the slow gate reads the min.
+    val (gateName, gateStats) = gateStatsFor(published.toMap, statName, warmRounds.toSeq)
+    val slow = slowQueries(gateStats, baseline, envFactor = envFactor)
     // a flagged query publishes its EVERY per-round observation (r7
     // VERDICT #2): cold-vs-warm and round-to-round spread distinguish a
     // one-off materialization cost, an environment drift, and a real
@@ -276,10 +286,10 @@ object Bench {
         ",\"rounds\":" + perRound + "}"
     }.mkString("{", ",", "}")
     slow.foreach { case (n, (t, b)) =>
-      System.err.println(f"[bench] SLOW $n: stat $t%.2fs > ${SlowFactor}x env-adjusted baseline $b%.2fs (env $envFactor%.2fx)")
+      System.err.println(f"[bench] SLOW $n: $gateName $t%.2fs > ${SlowFactor}x env-adjusted baseline $b%.2fs (env $envFactor%.2fx)")
     }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"$statName","queries":$qs,"spread":$spreads,"reps":$reps,"rounds_completed":$roundsCompleted,"round_totals":$roundTotals,"env_factor":${fmt(envFactor)},"failed":$failedJson,"not_run":$notRunJson,"slow":$slowJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"$statName","queries":$qs,"spread":$spreads,"reps":$reps,"rounds_completed":$roundsCompleted,"round_totals":$roundTotals,"env_factor":${fmt(envFactor)},"failed":$failedJson,"not_run":$notRunJson,"slow_gate":"$gateName","slow":$slowJson,"sf":"$sfDir"}""")
     // Compact trailer, printed LAST: every external capture of this run
     // observed so far stores only the final ~2000 chars of output, and the
     // full line above (200 queries ≈ 8 KB) loses its head — including
@@ -288,7 +298,7 @@ object Bench {
     // slowest queries.
     val top = published.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","value":${fmt(total)},"unit":"sec","stat":"$statName","n_queries":${published.count(_._2 >= 0)},"n_failed":${failed.size},"n_not_run":${notRun.length},"reps":$reps,"rounds_completed":$roundsCompleted,"round_totals":$roundTotals,"env_factor":${fmt(envFactor)},"top10":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":${fmt(total)},"unit":"sec","stat":"$statName","n_queries":${published.count(_._2 >= 0)},"n_failed":${failed.size},"n_not_run":${notRun.length},"reps":$reps,"rounds_completed":$roundsCompleted,"round_totals":$roundTotals,"env_factor":${fmt(envFactor)},"slow_gate":"$gateName","n_slow":${slow.size},"top10":$top,"sf":"$sfDir"}""")
     spark.stop()
     if (slow.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
       sys.exit(2)
@@ -298,6 +308,29 @@ object Bench {
     * its (environment-adjusted) recorded baseline median is flagged.
     */
   val SlowFactor = 3.0
+
+  /** The per-query stat the SLOW GATE compares against baseline (r8
+    * verdict #2): with only 1–2 warm rounds the published warm median
+    * cannot absorb an outlier (with exactly 2 samples it is their MEAN,
+    * so one stalled round flags a healthy query at 4–8× — r8: 10 of 11
+    * driver flags were one-round outliers whose other warm round sat at
+    * baseline). In that regime the gate uses the warm MIN — "ran at
+    * baseline speed at least once in this JVM" is the right regression
+    * bar when the sample count is too small for robustness. With ≥ 3
+    * warm rounds the median is already outlier-robust and stays the
+    * gate. The PUBLISHED stat is never changed — only what `slow`
+    * compares. Returns (gateStatName, name -> gate stat); failed/-1
+    * entries pass through unchanged (slowQueries skips them).
+    */
+  def gateStatsFor(
+      published: Map[String, Double],
+      statName: String,
+      warmRounds: Seq[scala.collection.Map[String, Double]]): (String, Map[String, Double]) =
+    if (warmRounds.isEmpty || warmRounds.length >= 3) (statName, published)
+    else ("warm_min", published.map { case (n, v) =>
+      val obs = warmRounds.flatMap(_.get(n))
+      n -> (if (v >= 0 && obs.nonEmpty) obs.min else v)
+    })
 
   /** Averaged median (middle pair averaged on even length) — the one
     * median definition for BOTH the per-query stat and the environment

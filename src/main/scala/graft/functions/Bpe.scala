@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  private val MemOnly = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+  // MEMORY_AND_DISK, not MEMORY_ONLY: localCheckpoint truncates lineage,
+  // so an LRU-evicted MEMORY_ONLY block is unrecomputable — a hard crash
+  // under storage pressure (ADVICE r8). This level spills only ON
+  // eviction; the healthy path never touches disk.
+  private val CkptLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
   final case class Trained(merges: Vector[DataFrame], syms: DataFrame)
 
@@ -50,10 +54,10 @@ object Bpe {
         .groupBy(col("sym"), col("nxt")).agg(sum(col("cnt")).as("c"))
         .select(col("sym").as("a"), col("nxt").as("b"), col("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc).limit(1)
-        // consumed by the merge AND the caller; MEMORY_ONLY — these are
-        // 1-row / dictionary-sized tables, a disk-backed level only adds
-        // block-write latency per round (the q68/q175 driver lesson)
-        .localCheckpoint(false, MemOnly)
+        // consumed by the merge AND the caller; spill-on-eviction — these are
+        // 1-row / dictionary-sized tables, eviction-spill is free and the
+        // lineage-free block can never be lost to LRU (ADVICE r8)
+        .localCheckpoint(false, CkptLevel)
       bests :+= best.select(lit(r.toLong).as("round"), col("a"), col("b"), col("c"))
       // LEFT join on a constant key, not crossJoin: once pairs are
       // exhausted `best` is EMPTY and a cross join would silently collapse
@@ -78,7 +82,7 @@ object Bpe {
             .otherwise(col("sym")).as("sym"))
         .withColumn("pos2", row_number().over(wOrd).cast("long"))
         .select(col("word"), col("pos2").as("pos"), col("sym"))
-        .localCheckpoint(false, MemOnly) // constant plan depth per round
+        .localCheckpoint(false, CkptLevel) // constant plan depth per round
     }
     Trained(bests, syms)
   }

@@ -33,19 +33,22 @@ object KMeans {
     // one broadcast-join level per iteration and analysis/codegen cost
     // would grow linearly with iteration count. Checkpointing keeps the
     // plan a constant-depth scan of k rows regardless of iterations
-    // (KMeansSpec asserts this). MEMORY_ONLY, not the default
-    // MEMORY_AND_DISK: the checkpointed tables are k rows — a disk-backed
-    // level buys nothing, and on a slow-disk host the per-iteration block
-    // writes were the prime suspect in q68's driver-only 4.6x (r7
-    // VERDICT #2). On a real cluster prefer reliable checkpoint() for
-    // fault tolerance; local[N] has no executor loss.
-    val MemOnly = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    // (KMeansSpec asserts this). MEMORY_AND_DISK, not MEMORY_ONLY: a
+    // checkpointed RDD has NO lineage, so an LRU-evicted MEMORY_ONLY
+    // block is unrecomputable — a hard missing-block crash under storage
+    // pressure from corpus-sized caches in the same job (ADVICE r8).
+    // MEMORY_AND_DISK writes to disk only ON eviction, so the healthy
+    // path still does zero per-iteration disk writes (the r7 q68
+    // slow-disk concern was about eager writes, which this level never
+    // does). On a real cluster prefer reliable checkpoint() for fault
+    // tolerance; local[N] has no executor loss.
+    val CkptLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var centroids = df.orderBy(col(idCol).asc).limit(k)
       .select((row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col(idCol).asc)) - 1)
           .as("cluster"),
         col(vecCol).as("centroid"))
-      .localCheckpoint(true, MemOnly)
+      .localCheckpoint(true, CkptLevel)
 
     for (_ <- 0 until iterations) {
       // carry the vector THROUGH assignment: re-joining the corpus by id to
@@ -59,7 +62,7 @@ object KMeans {
       centroids = centroids.select(col("cluster"), col("centroid").as("_prev"))
         .join(recomputed.withColumnRenamed("centroid", "_new"), Seq("cluster"), "left")
         .select(col("cluster"), coalesce(col("_new"), col("_prev")).as("centroid"))
-        .localCheckpoint(true, MemOnly)
+        .localCheckpoint(true, CkptLevel)
     }
     (assign(df, idCol, vecCol, centroids), centroids)
   }

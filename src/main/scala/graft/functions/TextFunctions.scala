@@ -158,8 +158,13 @@ object TextFunctions {
     * spec-pinned in SemanticCurationSpec). Expected chunk ≈ 61 chars.
     *
     * The window hash is a POLYNOMIAL over the code points — Horner with
-    * base 131 over the 8 window chars, exact in BIGINT (max value
-    * ≈ 2^57) — the FastCDC/gear discipline: O(1) integer work per
+    * base 131 over the 8 window chars, REDUCED mod 61 at every step so
+    * the accumulator stays < 61·131 + maxCodepoint < 2^21 on ANY
+    * Unicode input (an unreduced fold overflows BIGINT — and throws
+    * under Spark's default ANSI mode — once 8 window codepoints exceed
+    * ~14.6k, i.e. on ordinary CJK text; per-step reduction is congruent
+    * to the end-reduced form, so ASCII boundaries are bit-identical).
+    * This is the FastCDC/gear discipline: O(1) integer work per
     * position instead of a full digest (the per-position md5 this
     * replaced made q223 the slowest query in the suite, ~100× the
     * arithmetic cost, for zero extra dedup power — any well-mixing
@@ -167,7 +172,10 @@ object TextFunctions {
     * is computed ONCE per document and bound through a single-element
     * `transform` lambda, so the per-position work is 8 O(1) array
     * indexes — never a re-split. Exactly replayable in any engine with
-    * ascii + integer arithmetic. Empty text → empty array.
+    * codepoint-indexed substr/ascii + integer arithmetic (Spark 4's
+    * split(text,"")/length/substring and DuckDB's substr/ascii are both
+    * codepoint-consistent, astral chars included — verified, not
+    * assumed). Empty text → empty array.
     */
   val CdcBase = 131L
   val CdcMod = 61L
@@ -182,8 +190,8 @@ object TextFunctions {
     val hitsOf = (cs: Column) =>
       filter(sequence(lit(8), len), i =>
         (0 until 8).foldLeft(lit(0L)) { (acc, j) =>
-          acc * CdcBase + element_at(cs, i - 7 + j)
-        } % CdcMod === 0)
+          (acc * CdcBase + element_at(cs, i - 7 + j)) % CdcMod
+        } === 0)
     val hits = when(len >= 8,
       element_at(transform(array(codes), hitsOf), 1))
       .otherwise(array().cast("array<int>"))

@@ -42,8 +42,27 @@ object CurationDagQueries {
     //    pipeline would compute them on supersets).
     // Per-stage survivor counts ride the output AND an observe() metric
     // (telemetry without a second pass). The narrow flag relation is
-    // MEMORY_ONLY-persisted where two stages consume it; clean_text is
-    // carried only into the chunk stage's explode.
+    // persisted MEMORY_AND_DISK where two stages consume it (r8 verdict:
+    // MEMORY_ONLY made the persist recompute-fragile — one eviction under
+    // memory pressure re-ran the md5-per-gram quality projection for the
+    // whole corpus, a 13 s → 100 s bench storm; spilling the narrow flag
+    // rows is cheap, recomputing the signal projection is not);
+    // clean_text is carried only into the chunk stage's explode.
+    //
+    // GATE SUBSET (r8 verdict #1, the q175/q176 precedent): the sf0.1
+    // gate runs the DAG on doc_id % 120 < 40 — whole 40-id blocks, so
+    // stage 1's two-ids-per-(source,path) pair structure is preserved
+    // intact (a doc_id % 3 = 0 subset would break the pairs: the two ids
+    // in a group differ by 20 ≡ 2 (mod 3), so at most one would survive
+    // the FILTER and the dedup election would stop shrinking anything).
+    // Same predicate in the oracle's three documents scans; the FULL
+    // corpus DAG stays in the sf1 scaling rotation (BASELINE.md).
+    //
+    // Quantizer width K is sized from the embeddings table's parquet
+    // FOOTER row count (metadata-only, no scan job) — the r8 verdict
+    // flagged the previous `embFull.count()` as a full-corpus driver
+    // action run solely to pick a constant. The oracle's COUNT(*) equals
+    // the footer sum by parquet's own contract.
     //
     // The DuckDB oracle replays every stage from the generating formulas
     // (canonical key from the messy-URL construction, deny CASE, q217
@@ -55,9 +74,10 @@ object CurationDagQueries {
     GQuery(
       "q229_curation_dag",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.documents(s, d).filter(col("doc_id") % 120 < 40)
         val embFull = Tables.embeddings(s, d)
-        val k = math.max(4, math.ceil(embFull.count() / 256.0).toInt)
+        val nEmb = Tables.parquetRowCount(s, s"$d/embeddings.parquet")
+        val k = math.max(4, math.ceil(nEmb / 256.0).toInt)
 
         // ---- map-side signal projection (no shuffle) ----
         val messy = concat(
@@ -108,7 +128,7 @@ object CurationDagQueries {
           .select(col("doc_id"), col("lang"), col("clean_text"),
             col("score_fp"), col("pass1"), col("pass2"), col("pass3"))
           // consumed by the chunk stage AND the flag chain
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         // ---- stage 4: chunk dedup over stage-3 survivors only ----
         val chunks = flags3.filter(col("pass3"))
@@ -116,7 +136,7 @@ object CurationDagQueries {
           .select(col("doc_id"), posexplode(
             expr("transform(sequence(0, CAST(ceil(size(ws)/10.0) AS INT) - 1)," +
               " i -> array_join(slice(ws, i*10+1, 10), ' '))")).as(Seq("ci", "chunk")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val canon = chunks.groupBy(col("chunk"))
           .agg(min(struct(col("doc_id"), col("ci"))).as("c"))
           .select(col("chunk"), col("c.doc_id").as("cd"), col("c.ci").as("cc"))
@@ -149,7 +169,7 @@ object CurationDagQueries {
           .select(col("doc_id"), col("lang"), col("score_fp"),
             col("pass1"), col("pass2"), col("pass3"), col("pass4"), col("pass5"))
           // consumed by the stage accounting AND the bucket histogram
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         // ---- stage accounting (one aggregate; observe() telemetry
         // rides the same pass) ----
@@ -194,9 +214,10 @@ object CurationDagQueries {
              |         'https://' || source || '.example.com/a/' ||
              |           CAST(doc_id // 40 AS VARCHAR) AS ckey,
              |         (doc_id % 3 = 1 OR (doc_id % 3 = 2 AND source = 'src3')) AS denied
-             |  FROM documents),
+             |  FROM documents WHERE doc_id % 120 < 40),
              |e1 AS (SELECT ckey, MIN(doc_id) AS first_doc FROM f1 GROUP BY ckey),
-             |toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |          FROM documents WHERE doc_id % 120 < 40),
              |g AS (
              |  SELECT doc_id, unnest(ws) AS gram FROM toks
              |  UNION ALL
@@ -302,7 +323,8 @@ object CurationDagQueries {
              |           ORDER BY sc.score_fp DESC, f6.doc_id ASC) AS BIGINT) AS bucket
              |  FROM f6 JOIN sc USING (doc_id) WHERE f6.pass5)
              |SELECT 'stage' AS kind, '0_input' AS k1, '' AS k2,
-             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+             |        WHERE doc_id % 120 < 40) AS n
              |UNION ALL SELECT 'stage', '1_url_dedup', '',
              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM f6 WHERE pass1)
              |UNION ALL SELECT 'stage', '2_denylist', '',

@@ -849,5 +849,65 @@ object FormatDepthQueries {
              |FROM dim d JOIN hsh h ON h.doc_id = d.doc_id
              |ORDER BY media_id ASC""".stripMargin),
       "Walsh-Hadamard spectral perceptual hash over real PNG decode: integer-exact pHash + dedup grouping == formula oracle"),
+
+    // ------------------------------------------------------------------
+    // q261 (r9): STEREO + LPC FLAC decode — the r8 verdict's top format
+    // gap closed: real-world FLAC corpora are overwhelmingly stereo with
+    // LPC subframes, which the q237 decoder didn't cover. The synth side
+    // encodes a decorrelated stereo pair (triangle left, saw right)
+    // ROTATING ALL FOUR channel assignments across frames (independent,
+    // left/side, right/side, mid/side — side channels at 17 bits) and
+    // all subframe types including a genuine quantized-coefficient LPC
+    // predictor; the engine reconstructs the inter-channel transforms
+    // and LPC exactly (RFC 9639 integer semantics), and losslessness
+    // makes the oracle a pure waveform-formula replay over BOTH
+    // channels. Golden hand-assembled mid/side, left/side, and LPC
+    // frames in FormatDepthSpec pin the bit layout independently of the
+    // encoder. 100 TB: map-side decode at the codec boundary, 4 stat
+    // columns per media row shuffle.
+    GQuery(
+      "q261_flac_stereo",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val ns = (120 + id % 80).toInt
+              val k = (2 + id % 5).toInt
+              val j = (3 + id % 7).toInt
+              val phase = (11 * (id % 253)).toInt
+              val left = Array.tabulate(ns)(i =>
+                (math.abs((i.toLong * k + phase) % 4000L - 2000L) - 1000L).toInt)
+              val right = Array.tabulate(ns)(i => ((i.toLong * j) % 2001L - 1000L).toInt)
+              Multimodal.MediaRow(id,
+                graft.multimodal.FlacCodec.encodeStereoStream(left, right, 8000, 32),
+                "audio/flac")
+            }
+          }
+        media.mapPartitions { rows =>
+          rows.map { r =>
+            val (n, sumV, sumAbs, peak) =
+              graft.multimodal.FlacCodec.decodeStats(r.payload)
+            (r.media_id, n, sumV, sumAbs, peak)
+          }
+        }.toDF("media_id", "n_samples", "sum_v", "sum_abs", "peak_abs")
+          .orderBy(col("media_id").asc)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, 120 + doc_id % 80 AS ns, 2 + doc_id % 5 AS k,
+             |         3 + doc_id % 7 AS j, 11 * (doc_id % 253) AS phase
+             |  FROM documents),
+             |s AS (SELECT doc_id, k, j, phase, unnest(range(0, ns)) AS i FROM m),
+             |v AS (
+             |  SELECT doc_id, ABS((i * k + phase) % 4000 - 2000) - 1000 AS v FROM s
+             |  UNION ALL
+             |  SELECT doc_id, (i * j) % 2001 - 1000 AS v FROM s)
+             |SELECT doc_id AS media_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+             |       CAST(SUM(v) AS BIGINT) AS sum_v,
+             |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+             |       CAST(MAX(ABS(v)) AS INT) AS peak_abs
+             |FROM v GROUP BY doc_id ORDER BY media_id ASC""".stripMargin),
+      "stereo+LPC FLAC decode (all four channel assignments, 17-bit side channels, quantized LPC): lossless, so decoded samples == both waveform formulas exactly"),
   )
 }

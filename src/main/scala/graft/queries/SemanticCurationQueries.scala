@@ -260,7 +260,11 @@ object SemanticCurationQueries {
     // (mod 61) — O(1) integer work per position (the FastCDC gear-hash
     // discipline; the per-position md5 this replaced was ~100× the
     // arithmetic for identical dedup power), expected chunk ~61 chars,
-    // exactly replayable cross-engine via ascii + BIGINT Horner. The chunk
+    // exactly replayable cross-engine via codepoint ascii + a Horner
+    // fold REDUCED mod 61 at every step (bounded on any Unicode input —
+    // an unreduced fold overflows BIGINT on CJK windows and throws under
+    // Spark's default ANSI mode; both engines reduce per step so the
+    // congruence is exact, not just ASCII-coincidental). The chunk
     // transform is pure higher-order builtins (map-side); dedup is the
     // one hash groupBy on chunk content. Output per doc: chunk count,
     // how many of its chunks are corpus-duplicated, and an order-exact
@@ -288,13 +292,13 @@ object SemanticCurationQueries {
       Some("""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
              |hit AS (
              |  SELECT doc_id, i FROM d, unnest(range(8, len + 1)) t(i)
-             |  WHERE (((((((CAST(ascii(substr(text, CAST(i - 7 AS INT), 1)) AS BIGINT)
-             |        * 131 + ascii(substr(text, CAST(i - 6 AS INT), 1)))
-             |        * 131 + ascii(substr(text, CAST(i - 5 AS INT), 1)))
-             |        * 131 + ascii(substr(text, CAST(i - 4 AS INT), 1)))
-             |        * 131 + ascii(substr(text, CAST(i - 3 AS INT), 1)))
-             |        * 131 + ascii(substr(text, CAST(i - 2 AS INT), 1)))
-             |        * 131 + ascii(substr(text, CAST(i - 1 AS INT), 1)))
+             |  WHERE ((((((((((((((CAST(ascii(substr(text, CAST(i - 7 AS INT), 1)) AS BIGINT) % 61)
+             |        * 131 + ascii(substr(text, CAST(i - 6 AS INT), 1))) % 61)
+             |        * 131 + ascii(substr(text, CAST(i - 5 AS INT), 1))) % 61)
+             |        * 131 + ascii(substr(text, CAST(i - 4 AS INT), 1))) % 61)
+             |        * 131 + ascii(substr(text, CAST(i - 3 AS INT), 1))) % 61)
+             |        * 131 + ascii(substr(text, CAST(i - 2 AS INT), 1))) % 61)
+             |        * 131 + ascii(substr(text, CAST(i - 1 AS INT), 1))) % 61)
              |        * 131 + ascii(substr(text, CAST(i AS INT), 1))) % 61 = 0),
              |b AS (
              |  SELECT doc_id, 0 AS pos FROM d WHERE len > 0

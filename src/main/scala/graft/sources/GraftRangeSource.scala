@@ -111,7 +111,13 @@ private[sources] class GraftRangeScanBuilder(start0: Long, end0: Long, slices: I
 
   private def sumFits: Boolean = {
     val (l, h) = (math.max(lo, start0), math.min(hi, end0))
-    h <= l || (BigInt(l) + (h - 1)) * (h - l) / 2 <= BigInt(Long.MaxValue)
+    // the closed form must fit a Long on BOTH sides: a range of
+    // large-magnitude NEGATIVE ids underflows Long.MinValue just as a
+    // positive one overflows Long.MaxValue, and the reader's .toLong
+    // would silently wrap — refusing pushdown is the correct fallback.
+    // All arithmetic in BigInt: h-l itself can exceed Long range.
+    val sum = (BigInt(l) + (BigInt(h) - 1)) * (BigInt(h) - BigInt(l)) / 2
+    h <= l || (sum <= BigInt(Long.MaxValue) && sum >= BigInt(Long.MinValue))
   }
 
   override def supportCompletePushDown(

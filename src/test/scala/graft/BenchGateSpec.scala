@@ -110,6 +110,35 @@ class BenchGateSpec extends AnyFunSuite {
     assert(slow.keySet == Set("qc"))
   }
 
+  test("gate stat with 2 warm rounds is the MIN: one stalled round cannot flag") {
+    // r8 driver run: rounds_completed=3 → exactly 2 warm samples, so the
+    // published warm_median is their MEAN and a single 16 s stall on a
+    // 2.7 s query flagged it at 4x. The GATE must read the warm min
+    // instead; the published stat stays the median.
+    val published = Map("qa" -> 9.56, "qb" -> 2.0) // qa's mean of (2.72, 16.4)
+    val warm = Seq(Map("qa" -> 2.72, "qb" -> 2.1), Map("qa" -> 16.4, "qb" -> 1.9))
+    val (name, gate) = Bench.gateStatsFor(published, "warm_median", warm)
+    assert(name == "warm_min")
+    assert(gate("qa") == 2.72 && gate("qb") == 1.9)
+    // against a 2.43s baseline: median 9.56 would flag (3.9x), min clears
+    val baseline = Map("qa" -> 2.43, "qb" -> 2.0)
+    assert(Bench.slowQueries(gate, baseline).isEmpty)
+    assert(Bench.slowQueries(published, baseline).keySet == Set("qa"))
+  }
+
+  test("gate stat with >=3 warm rounds or none is the published stat unchanged") {
+    val published = Map("qa" -> 5.0, "qfail" -> -1.0)
+    val threeWarm = Seq.fill(3)(Map("qa" -> 5.0, "qfail" -> 1.0))
+    assert(Bench.gateStatsFor(published, "warm_median", threeWarm) ==
+      (("warm_median", published)))
+    assert(Bench.gateStatsFor(published, "cold_round", Seq.empty) ==
+      (("cold_round", published)))
+    // failed markers pass through even in the min regime
+    val (n1, g1) = Bench.gateStatsFor(published, "warm_median",
+      Seq(Map("qa" -> 4.0, "qfail" -> 1.0)))
+    assert(n1 == "warm_min" && g1("qa") == 4.0 && g1("qfail") == -1.0)
+  }
+
   test("every registered query has a baseline row in BOTH per-config files") {
     // the slow gate only covers queries present in the baseline; a new
     // query registered without recording its medians would silently

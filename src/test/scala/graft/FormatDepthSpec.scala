@@ -511,6 +511,81 @@ class FormatDepthSpec extends SparkTestBase {
     assert(graft.multimodal.FlacCodec.decodeStats(bytes) == ((4L, 2L, 6L, 3)))
   }
 
+  test("FLAC golden stereo frame: hand-assembled mid/side CONSTANT decodes exactly") {
+    // bs=2, chCode 10 (mid/side): mid CONSTANT 4 @16 bits, side CONSTANT
+    // 2 @17 bits → mid2 = (4<<1)|(2&1) = 8; L = (8+2)>>1 = 5, R = 3.
+    // Assembled from RFC 9639's bit layout by hand so a shared
+    // encoder/decoder layout bug cannot self-cancel.
+    val hdr = Seq(0xff, 0xf8, 0x60, 0xa8, 0x00, 0x01)
+    val body = Seq(0x00, 0x00, 0x04, // subframe 1: CONSTANT, 16-bit value 4
+      0x00, 0x00, 0x01, 0x00)        // subframe 2: CONSTANT, 17-bit value 2 + pad
+    val frame = hdr ++ Seq(specCrc8(hdr)) ++ body
+    val c16 = specCrc16(frame)
+    val bytes = SyntheticMedia.flac(8000, 2, 16, 2, 0) ++
+      (frame ++ Seq(c16 >> 8, c16 & 0xff)).map(_.toByte).toArray
+    assert(graft.multimodal.FlacCodec.decodeStats(bytes) == ((4L, 16L, 16L, 5)))
+  }
+
+  test("FLAC golden stereo frame: hand-assembled left/side CONSTANT decodes exactly") {
+    // bs=2, chCode 8 (left/side): left CONSTANT 7 @16, side CONSTANT 3
+    // @17 → right = 7 − 3 = 4.
+    val hdr = Seq(0xff, 0xf8, 0x60, 0x88, 0x00, 0x01)
+    val body = Seq(0x00, 0x00, 0x07,
+      0x00, 0x00, 0x01, 0x80) // 17-bit value 3: 16 zeros, then "11" + 7 pad
+    val frame = hdr ++ Seq(specCrc8(hdr)) ++ body
+    val c16 = specCrc16(frame)
+    val bytes = SyntheticMedia.flac(8000, 2, 16, 2, 0) ++
+      (frame ++ Seq(c16 >> 8, c16 & 0xff)).map(_.toByte).toArray
+    assert(graft.multimodal.FlacCodec.decodeStats(bytes) == ((4L, 22L, 22L, 7)))
+  }
+
+  test("FLAC golden frame: hand-assembled order-1 LPC subframe decodes exactly") {
+    // mono bs=3, LPC order 1 (typ 0x20 → subframe hdr byte 0x40), warmup
+    // 10, precision 4 (precM1=3), shift 0, coef +1, rice param 1,
+    // residuals [+1, −2] → samples 10, 11, 9. Bits hand-packed:
+    // 0011|00000|0001|00|0000|0001|010|011|000 = 0x30 0x08 0x02 0x98.
+    val hdr = Seq(0xff, 0xf8, 0x60, 0x08, 0x00, 0x02)
+    val body = Seq(0x40, 0x00, 0x0a, 0x30, 0x08, 0x02, 0x98)
+    val frame = hdr ++ Seq(specCrc8(hdr)) ++ body
+    val c16 = specCrc16(frame)
+    val bytes = flacMetaOnly(3) ++
+      (frame ++ Seq(c16 >> 8, c16 & 0xff)).map(_.toByte).toArray
+    assert(graft.multimodal.FlacCodec.decodeStats(bytes) == ((3L, 30L, 30L, 11)))
+  }
+
+  test("FLAC stereo encode∘decode is the identity across channel assignments") {
+    import graft.multimodal.FlacCodec
+    def stats(ls: Array[Int], rs: Array[Int]): (Long, Long, Long, Int) = {
+      val all = ls ++ rs
+      (all.length.toLong, all.map(_.toLong).sum, all.map(v => math.abs(v).toLong).sum,
+        all.map(math.abs).max)
+    }
+    val cases: Seq[(Array[Int], Array[Int])] = Seq(
+      // slow triangle vs saw — decorrelated enough that side ≠ 0
+      (Array.tabulate(500)(i => math.abs((i * 3 + 70) % 4000 - 2000) - 1000),
+        Array.tabulate(500)(i => (i * 7) % 2001 - 1000)),
+      // identical channels: side ≡ 0 (CONSTANT side subframes)
+      (Array.tabulate(130)(i => (i * 11) % 300 - 150),
+        Array.tabulate(130)(i => (i * 11) % 300 - 150)),
+      // full-range extremes: side needs all 17 bits
+      (Array(-32768, 32767, -32768, 32767, -1, 0, 1, 12345),
+        Array(32767, -32768, 32767, -32768, 1, 0, -1, -12345)),
+      // single sample
+      (Array(42), Array(-17)))
+    for ((l, r) <- cases; bs <- Seq(1, 7, 64, 256)) {
+      val enc = FlacCodec.encodeStereoStream(l, r, 8000, bs)
+      assert(FlacCodec.decodeStats(enc) == stats(l, r), s"n=${l.length} bs=$bs")
+    }
+    // with blocksize < 4·length the frame rotation guarantees all four
+    // channel assignments appear — pin that the stream really contains
+    // chCodes 1, 8, 9, 10 (byte 3 high nibble of each frame header is
+    // not re-derived here; instead: 4+ frames means the rotation wrapped)
+    val enc = FlacCodec.encodeStereoStream(
+      Array.tabulate(64)(i => i * 13 % 500 - 250),
+      Array.tabulate(64)(i => i * 29 % 401 - 200), 8000, 16)
+    assert(FlacCodec.decodeStats(enc)._1 == 128L)
+  }
+
   test("FLAC encode∘decode is the identity across subframe types and sizes") {
     import graft.multimodal.FlacCodec
     def stats(xs: Array[Int]): (Long, Long, Long, Int) =
@@ -526,6 +601,30 @@ class FormatDepthSpec extends SparkTestBase {
     for (xs <- cases; bs <- Seq(1, 7, 64, 256)) {
       val enc = FlacCodec.encodeStream(xs, 8000, bs)
       assert(FlacCodec.decodeStats(enc) == stats(xs), s"n=${xs.length} bs=$bs")
+    }
+  }
+
+  test("FLAC coded number: all 1–7 byte forms round-trip; out-of-range rejects") {
+    // ADVICE r8: the encoder stopped at the 4-byte form, so frame indices
+    // ≥ 2^21 emitted a lead byte the decoder parsed as a LONGER form —
+    // silent corruption of every later frame header. The full RFC 9639
+    // ladder (up to 36 bits) must round-trip bit-exactly.
+    import graft.multimodal.FlacCodec
+    val edges = Seq(0L, 1L, 0x7fL, 0x80L, 0x7ffL, 0x800L, 0xffffL, 0x10000L,
+      0x1fffffL, 0x200000L, 0x3ffffffL, 0x4000000L, 0x7fffffffL, 0x80000000L,
+      (1L << 36) - 1)
+    for (v <- edges) {
+      val w = new FlacCodec.BitWriter
+      FlacCodec.writeCodedNumber(w, v)
+      val bytes = w.toBytes
+      val r = new FlacCodec.BitReader(bytes, 0, bytes.length)
+      assert(FlacCodec.readCodedNumber(r) === v, s"v=$v")
+      assert(!r.failed && r.byteOff === bytes.length, s"v=$v trailing bytes")
+    }
+    // beyond 36 bits the spec has no form: the encoder must fail loudly,
+    // never emit a stream the decoder mis-frames
+    assertThrows[IllegalArgumentException] {
+      FlacCodec.writeCodedNumber(new FlacCodec.BitWriter, 1L << 36)
     }
   }
 

@@ -108,4 +108,36 @@ class SemanticCurationSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q223: non-ASCII text chunks without overflow (ANSI) and rejoins exactly") {
+    // ADVICE r8: the unreduced Horner fold overflowed BIGINT on 8-char
+    // windows of codepoints above ~14.6k and THREW under Spark's default
+    // ANSI mode. The per-step mod-61 fold must (a) not throw on CJK /
+    // Hangul / astral text, (b) rejoin to the exact input, (c) satisfy
+    // the per-step-reduced boundary rule over CODE POINTS (astral chars
+    // are one position — Spark 4's split(text,"") is codepoint-based).
+    val cjk = (0x6F22 to 0x6FA0).map(cp => new String(Character.toChars(cp))).mkString
+    val hangul = (0xAC00 to 0xAC80).map(cp => new String(Character.toChars(cp))).mkString
+    val astral = (0 until 40).map(i => new String(Character.toChars(0x1F600 + i)) + s" t$i").mkString(" ")
+    val mixed = s"ascii head $cjk mid $hangul tail $astral"
+    val got = Seq(cjk, hangul, astral, mixed).toDF("text")
+      .select(col("text"), graft.functions.TextFunctions.cdcChunks(col("text")).as("c"))
+      .collect()
+    got.foreach { r =>
+      val text = r.getString(0)
+      val cs = r.getSeq[String](1)
+      assert(cs.mkString("") === text, "chunks must rejoin to the exact text")
+      val cps = text.codePoints().toArray
+      var off = 0 // codepoint offset
+      cs.dropRight(1).foreach { c =>
+        off += c.codePointCount(0, c.length)
+        val win = cps.slice(off - 8, off)
+        val h = win.foldLeft(0L)((acc, cp) => (acc * 131L + cp) % 61L)
+        assert(h === 0L, s"boundary at codepoint $off")
+      }
+    }
+    // at least one of the non-ASCII corpora must actually cut (the rule
+    // fires at ~1/61 per position, these strings are 120+ positions)
+    assert(got.map(_.getSeq[String](1).length).max > 1)
+  }
 }
