@@ -427,4 +427,35 @@ class PlanShapeSpec extends SparkTestBase {
         s"$name: unexpected data-dependent exchange: ${e.linesIterator.next()}"))
     }
   }
+
+  test("heavy-tier shuffle-volume locks: measured exchange traffic within data-derived caps") {
+    // r9 (verdict #6): wall-time on a noisy box is a weak scale
+    // instrument — the volume a query MOVES through its shuffles is a
+    // deterministic fact of plan + data. Volumes are TOTAL stage shuffle
+    // writes (SparkListener over the engine's own task metrics —
+    // graft.tools.ShuffleVolumes.measured), so persist materialization
+    // and localCheckpoint jobs count too, not just the final adaptive
+    // plan. Caps sit ~2.5–3× the healthy volume at this fixture
+    // (records/bytes measured on a clean session): an all-pairs blowup
+    // (500 docs → 125k pair rows), a regression that shuffles text
+    // payloads instead of hashes/verdicts, or an extra corpus-sized
+    // exchange breaks a cap exactly, independent of machine load.
+    val caps = Seq(
+      //                    measured     recCap   byteCap
+      ("q229_curation_dag",   /*  2.7k/194k */  8000L,  600000L),
+      ("q185_canonical_docs", /*  9.6k/322k */ 25000L, 1000000L),
+      ("q138_embed_clusters", /*  3.3k/ 43k */ 10000L,  150000L),
+      ("q126_prefix_simjoin", /* 62.7k/864k */ 160000L, 2500000L),
+      ("q81_dedup_clusters",  /*  9.6k/321k */ 25000L, 1000000L),
+      ("q223_cdc_chunks",     /*  4.0k/225k */ 11000L,  700000L))
+    caps.foreach { case (name, recCap, byteCap) =>
+      val (rec, byt) = graft.tools.ShuffleVolumes.measured(spark) {
+        SparkEntry.queries(name)(spark, sf).collect()
+      }
+      assert(rec > 0, s"$name: no shuffle traffic recorded (instrument broken?)")
+      assert(rec <= recCap, s"$name shuffle records $rec > cap $recCap")
+      assert(byt <= byteCap, s"$name shuffle bytes $byt > cap $byteCap")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
 }
