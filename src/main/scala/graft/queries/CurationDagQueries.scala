@@ -74,7 +74,14 @@ object CurationDagQueries {
     GQuery(
       "q229_curation_dag",
       (s, d) => {
-        val docs = Tables.documents(s, d).filter(col("doc_id") % 120 < 40)
+        // gate subset (see header comment); SPARK_GRAFT_Q229_FULL=1 runs
+        // the DAG on the whole corpus — builder-side scaling rotation
+        // only (BASELINE.md sf0.1→sf1 slope rows), never set by the
+        // driver, so the gate and its oracle always see the subset
+        val docs0 = Tables.documents(s, d)
+        val docs =
+          if (sys.env.contains("SPARK_GRAFT_Q229_FULL")) docs0
+          else docs0.filter(col("doc_id") % 120 < 40)
         val embFull = Tables.embeddings(s, d)
         val nEmb = Tables.parquetRowCount(s, s"$d/embeddings.parquet")
         val k = math.max(4, math.ceil(nEmb / 256.0).toInt)
