@@ -952,6 +952,112 @@ object Multimodal {
       }
       (n, first, sumV, sumAbs, peak, maxErr)
     }
+
+    // ----------------------------------------------------------- MS ADPCM
+    // WAV format tag 0x0002 (ADPCMWAVEFORMAT, public Microsoft RIFF spec):
+    // adaptive 4-bit differential coding with a 2-tap FIR predictor chosen
+    // per block from 7 published coefficient pairs, and a per-nibble delta
+    // adaptation table. All tables below are the spec's own constants.
+    private[multimodal] val MsAdaptTable: Array[Int] = Array(
+      230, 230, 230, 230, 307, 409, 512, 614,
+      768, 614, 512, 409, 307, 230, 230, 230)
+    private[multimodal] val MsCoef1: Array[Int] = Array(256, 512, 0, 192, 240, 460, 392)
+    private[multimodal] val MsCoef2: Array[Int] = Array(0, -256, 0, 64, 0, -208, -232)
+
+    /** One MS ADPCM decode step: signed 4-bit nibble against history
+      * (s1 = previous, s2 = before that) → (sample, delta'). The
+      * predictor division is C-style truncation toward zero — the spec's
+      * pseudo-code semantics (`(s1*c1 + s2*c2) / 256` on ints), which
+      * differs from an arithmetic shift on negative sums; delta
+      * adaptation is the positive-domain `(table[nib] * delta) >> 8`
+      * floored at 16. Shared by decode AND the synth-side encoder so the
+      * two can never drift.
+      */
+    private[graft] def msStep(nib: Int, s1: Int, s2: Int, delta: Int, c1: Int, c2: Int): (Int, Int) = {
+      val signed = if (nib >= 8) nib - 16 else nib
+      val pred = (s1 * c1 + s2 * c2) / 256
+      val sample = math.max(-32768, math.min(32767, pred + delta * signed))
+      var d2 = (MsAdaptTable(nib) * delta) >> 8
+      if (d2 < 16) d2 = 16
+      (sample, d2)
+    }
+
+    /** Encode one sample against (s1, s2, delta) under coef pair (c1, c2):
+      * rounded quantization of the prediction error, then the state
+      * advances through [[msStep]] — the encoder tracks exactly what the
+      * decoder will reconstruct (drift-free, like every real encoder).
+      * Returns (nibble, reconstructed, delta').
+      */
+    private[graft] def msEncode(sample: Int, s1: Int, s2: Int, delta: Int, c1: Int, c2: Int): (Int, Int, Int) = {
+      val pred = (s1 * c1 + s2 * c2) / 256
+      val diff = sample - pred
+      val q0 = (diff + (if (diff >= 0) delta / 2 else -delta / 2)) / delta
+      val nib = math.max(-8, math.min(7, q0)) & 0x0f
+      val (rec, d2) = msStep(nib, s1, s2, delta, c1, c2)
+      (nib, rec, d2)
+    }
+
+    /** Decoded-sample walk of a mono MS ADPCM WAV (format tag 0x0002,
+      * 4 bits/sample): per block a 7-byte state header (predictor index
+      * u8 ≤ 6, initial delta s16le, sample1 s16le, sample2 s16le — the
+      * two history samples ARE the block's first two outputs, oldest
+      * first) followed by data bytes carrying two nibbles each, HIGH
+      * nibble first (the opposite packing of IMA's — spec, not
+      * convention). Returns (n_samples, first_sample, sum_v, sum_abs,
+      * peak_abs, max_err) against the caller's expected-sample function;
+      * zeros for non-MS-ADPCM payloads; a predictor index above 6 stops
+      * the walk at the corrupt-media contract.
+      */
+    def msAdpcmStats(p: Array[Byte], expected: Int => Int): (Long, Int, Long, Long, Int, Int) = {
+      val w = ContainerCodec.walkWav(p)
+      if (w == null || w.tag != 0x0002 || w.channels != 1 || w.bits != 4 ||
+        w.dataOff < 0) return (0L, 0, 0L, 0L, 0, 0)
+      val blockAlign = w.blockAlign
+      val spb = if (w.spbExt > 0) w.spbExt else (blockAlign - 7) * 2 + 2
+      val factSamples = if (w.factSamples >= 0) w.factSamples else Long.MaxValue
+      val dataOff = w.dataOff; val dataLen = w.dataLen
+      if (blockAlign < 8 || spb < 2) return (0L, 0, 0L, 0L, 0, 0)
+      var n = 0L; var first = 0; var sumV = 0L; var sumAbs = 0L
+      var peak = 0; var maxErr = 0
+      def emit(v: Int): Unit = {
+        if (n == 0L) first = v
+        val e = math.abs(v - expected(n.toInt))
+        if (e > maxErr) maxErr = e
+        sumV += v
+        val a = math.abs(v)
+        sumAbs += a
+        if (a > peak) peak = a
+        n += 1
+      }
+      def le16(o: Int): Int = ((p(o + 1) << 8) | (p(o) & 0xff)).toShort.toInt
+      var b0 = dataOff
+      while (b0 + 7 <= dataOff + dataLen && n < factSamples) {
+        val blockEnd = math.min(b0 + blockAlign, dataOff + dataLen)
+        val predIdx = p(b0) & 0xff
+        if (predIdx > 6) return (n, first, sumV, sumAbs, peak, maxErr)
+        val c1 = MsCoef1(predIdx); val c2 = MsCoef2(predIdx)
+        var delta = math.max(16, le16(b0 + 1))
+        var s1 = le16(b0 + 3) // newer history sample
+        var s2 = le16(b0 + 5) // older history sample
+        var inBlock = 0
+        def room: Boolean = inBlock < spb && n < factSamples
+        if (room) { emit(s2); inBlock += 1 } // oldest first
+        if (room) { emit(s1); inBlock += 1 }
+        var o = b0 + 7
+        while (o < blockEnd && room) {
+          val byte = p(o) & 0xff
+          val (v1, d1) = msStep((byte >> 4) & 0x0f, s1, s2, delta, c1, c2)
+          emit(v1); s2 = s1; s1 = v1; delta = d1; inBlock += 1
+          if (room) {
+            val (v2, d2) = msStep(byte & 0x0f, s1, s2, delta, c1, c2)
+            emit(v2); s2 = s1; s1 = v2; delta = d2; inBlock += 1
+          }
+          o += 1
+        }
+        b0 += blockAlign
+      }
+      (n, first, sumV, sumAbs, peak, maxErr)
+    }
   }
 
   /** FLAC STREAMINFO row — carries the bits_per_sample field the generic
@@ -1796,6 +1902,92 @@ object Multimodal {
         .putShort(2) // cbSize
         .putShort(spb.toShort) // samplesPerBlock
         .put("fact".getBytes(ascii)).putInt(4).putInt(samples)
+        .put("data".getBytes(ascii)).putInt(payload.length)
+        .put(payload)
+      bb.array()
+    }
+
+    /** Mono MS ADPCM WAV (format tag 0x0002): per block the 7-byte state
+      * header (predictor index, initial delta, the first two waveform
+      * samples verbatim as history) then HIGH-first nibbles from the
+      * mirrored [[AudioCodec.msEncode]] state machine. Predictor pair
+      * rotates over all 7 spec coefficients by block so every pair is
+      * gate-exercised; the fmt extension carries the full ADPCMWAVEFORMAT
+      * form (wSamplesPerBlock, wNumCoef = 7, the 7 published pairs).
+      */
+    def wavMsAdpcm(samples: Int, k: Int, blockAlign: Int, phase: Int = 0): Array[Byte] = {
+      require(blockAlign >= 10 && samples >= 2 && phase >= 0)
+      def s(i: Int): Int =
+        (math.abs((i.toLong * k + phase) % 4000L - 2000L) - 1000L).toInt
+      val spb = (blockAlign - 7) * 2 + 2
+      val nBlocks = (samples + spb - 1) / spb
+      val buf = new java.io.ByteArrayOutputStream()
+      var i = 0
+      var blk = 0
+      while (blk < nBlocks) {
+        val inBlock = math.min(spb, samples - i)
+        val predIdx = blk % 7
+        val (c1, c2) = (AudioCodec.MsCoef1(predIdx), AudioCodec.MsCoef2(predIdx))
+        // history: s2 = oldest = s(i), s1 = s(i+1); a final 1-sample block
+        // repeats the sample as its own history (still decodes to ≥ spb
+        // bound, fact clamps the count)
+        var s2 = s(i)
+        var s1 = if (inBlock >= 2) s(i + 1) else s(i)
+        // per-block initial delta sized so the FIRST prediction error is
+        // representable in one nibble (a real encoder scans the block to
+        // pick iDelta; the first-step error bounds the whole block's
+        // reconstruction error because adaptation only refines from there
+        // — without this, the (0,0) "no prediction" pair starts 2000
+        // off with delta 64 and the tracker lags ~500 for several steps)
+        val d0 =
+          if (inBlock >= 3) math.abs(s(i + 2) - (s1 * c1 + s2 * c2) / 256)
+          else 0
+        var delta = math.max(16, d0 / 6)
+        buf.write(predIdx)
+        buf.write(delta & 0xff); buf.write((delta >> 8) & 0xff)
+        buf.write(s1 & 0xff); buf.write((s1 >> 8) & 0xff)
+        buf.write(s2 & 0xff); buf.write((s2 >> 8) & 0xff)
+        i += math.min(2, inBlock)
+        var produced = math.min(2, inBlock)
+        var pending = -1 // high nibble awaiting its low partner
+        while (produced < inBlock) {
+          val (nib, rec, d2) = AudioCodec.msEncode(s(i), s1, s2, delta, c1, c2)
+          s2 = s1; s1 = rec; delta = d2
+          if (pending < 0) pending = nib
+          else { buf.write((pending << 4) | nib); pending = -1 }
+          produced += 1
+          i += 1
+        }
+        if (pending >= 0) buf.write(pending << 4) // odd tail: low nibble unused
+        if (blk < nBlocks - 1) {
+          val written = 7 + (inBlock - 2 + 1) / 2
+          var pad = blockAlign - written
+          while (pad > 0) { buf.write(0); pad -= 1 }
+        }
+        blk += 1
+      }
+      val payload = buf.toByteArray
+      // fmt(50: base 16 + cbSize 2 + spb 2 + nCoef 2 + 7 coef pairs 28)
+      val riffSize = 4 + (8 + 50) + (8 + 4) + (8 + payload.length)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)).putInt(riffSize)
+        .put("WAVE".getBytes(ascii))
+        .put("fmt ".getBytes(ascii)).putInt(50)
+        .putShort(0x0002)
+        .putShort(1) // mono
+        .putInt(8000)
+        .putInt(8000 * blockAlign / spb) // nominal byte rate
+        .putShort(blockAlign.toShort)
+        .putShort(4) // bits/sample
+        .putShort(32) // cbSize
+        .putShort(spb.toShort) // wSamplesPerBlock
+        .putShort(7) // wNumCoef
+      for (ci <- 0 until 7)
+        bb.putShort(AudioCodec.MsCoef1(ci).toShort)
+          .putShort(AudioCodec.MsCoef2(ci).toShort)
+      bb.put("fact".getBytes(ascii)).putInt(4).putInt(samples)
         .put("data".getBytes(ascii)).putInt(payload.length)
         .put(payload)
       bb.array()

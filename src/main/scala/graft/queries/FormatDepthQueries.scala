@@ -909,5 +909,59 @@ object FormatDepthQueries {
              |       CAST(MAX(ABS(v)) AS INT) AS peak_abs
              |FROM v GROUP BY doc_id ORDER BY media_id ASC""".stripMargin),
       "stereo+LPC FLAC decode (all four channel assignments, 17-bit side channels, quantized LPC): lossless, so decoded samples == both waveform formulas exactly"),
+
+    // ------------------------------------------------------------------
+    // q262 (r9): REAL MS ADPCM sample decode (WAV format tag 0x0002) —
+    // the OTHER ubiquitous 4-bit WAV codec next to IMA (q234), and a
+    // structurally different one: a per-block 2-tap FIR predictor chosen
+    // from 7 published coefficient pairs (incl. the "no prediction"
+    // (0,0) pair), C-truncating predictor division, verbatim 2-sample
+    // history in the block header, HIGH-first nibble packing (IMA is
+    // low-first), and multiplicative delta adaptation. The synth side
+    // rotates ALL 7 predictor pairs across blocks and sizes each block's
+    // initial delta off the first prediction error (what a real encoder's
+    // block scan does). Gate pins what is exact — sample count
+    // (fact-bounded) and the first decoded sample (verbatim header ==
+    // the waveform formula at 0) — plus reconstruction verdicts ≤ 256
+    // against the encoded triangle (measured ≤ 140 across the fixture;
+    // FormatDepthSpec pins spec golden step vectors incl. the truncation
+    // semantics so a shared encoder/decoder bug cannot self-cancel).
+    // 100 TB: map-side decode at the codec boundary.
+    GQuery(
+      "q262_msadpcm_decode",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id,
+                Multimodal.SyntheticMedia.wavMsAdpcm(
+                  samples = (70 + id % 80).toInt,
+                  k = (2 + id % 7).toInt,
+                  blockAlign = 24 + 8 * (id % 3).toInt,
+                  phase = (13 * (id % 307)).toInt),
+                "audio/ms-adpcm")
+            }
+          }
+        media.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.media_id
+            val k = 2 + id % 7
+            val phase = 13L * (id % 307)
+            def expected(i: Int): Int =
+              (math.abs((i.toLong * k + phase) % 4000L - 2000L) - 1000L).toInt
+            val (n, first, _, _, peak, maxErr) =
+              Multimodal.AudioCodec.msAdpcmStats(r.payload, expected)
+            (id, n, first, maxErr <= 256, peak <= 1256)
+          }
+        }.toDF("media_id", "n_samples", "first_sample", "err_ok", "peak_ok")
+          .orderBy(col("media_id").asc)
+      },
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(70 + doc_id % 80 AS BIGINT) AS n_samples,
+             |       CAST(ABS((13 * (doc_id % 307)) % 4000 - 2000) - 1000 AS INT) AS first_sample,
+             |       true AS err_ok, true AS peak_ok
+             |FROM documents ORDER BY media_id ASC""".stripMargin),
+      "MS ADPCM block decode (7 rotating predictor pairs, high-first nibbles): exact count/first-sample + bounded reconstruction error vs encoded triangle wave"),
   )
 }

@@ -374,6 +374,76 @@ class FormatDepthSpec extends SparkTestBase {
     assert(i1 == 0) // -1 adjustment clamps at 0
   }
 
+  test("MS ADPCM step golden vectors (hand-derived from the published spec tables)") {
+    import graft.multimodal.Multimodal.AudioCodec.msStep
+    // pred = (100*256 + 50*0)/256 = 100; sample = 100 + 16*3 = 148;
+    // delta' = (230*16)>>8 = 14 -> floor 16
+    assert(msStep(3, 100, 50, 16, 256, 0) == ((148, 16)))
+    // nibble 0xF = -1; pred = (-100*512 + 0)/256 = -200; sample = -300;
+    // delta' = (230*100)>>8 = 89
+    assert(msStep(0xF, -100, 0, 100, 512, -256) == ((-300, 89)))
+    // nibble 8 = -8 over the (0,0) "no prediction" pair; adaptation entry
+    // 8 is the table's peak 768: delta' = (768*16)>>8 = 48
+    assert(msStep(8, 0, 0, 16, 0, 0) == ((-128, 48)))
+    // C-truncation semantics: (-3*192 + -1*64)/256 = -640/256 = -2
+    // (an arithmetic >>8 would give -3 — the spec's pseudo-code divides)
+    assert(msStep(0, -3, -1, 16, 192, 64) == ((-2, 16)))
+    // saturation clamps the sample; delta keeps adapting past int16
+    assert(msStep(7, 32767, 32767, 30000, 256, 0) == ((32767, (614 * 30000) >> 8)))
+  }
+
+  test("MS ADPCM decode: exact count/first/history, bounded tracking, all 7 predictors") {
+    import graft.multimodal.Multimodal
+    var worst = 0
+    for (id <- 0L until 120L) {
+      val samples = (70 + id % 80).toInt
+      val k = (2 + id % 7).toInt
+      val phase = (13 * (id % 307)).toInt
+      val p = Multimodal.SyntheticMedia.wavMsAdpcm(
+        samples, k, blockAlign = 24 + 8 * (id % 3).toInt, phase = phase)
+      def expected(i: Int): Int =
+        (math.abs((i.toLong * k + phase) % 4000L - 2000L) - 1000L).toInt
+      val (n, first, _, _, peak, maxErr) =
+        Multimodal.AudioCodec.msAdpcmStats(p, expected)
+      assert(n == samples, s"id=$id")
+      assert(first == expected(0), s"id=$id") // verbatim header history
+      assert(peak <= 1256, s"id=$id peak=$peak")
+      if (maxErr > worst) worst = maxErr
+    }
+    // gate bound is 256; the measured envelope should sit well inside it
+    assert(worst <= 200, s"reconstruction drifted: worst=$worst")
+    assert(worst > 0, "zero error would mean the nibble path never ran")
+  }
+
+  test("MS ADPCM decode: corrupt predictor index stops; garbage and truncation never throw") {
+    import graft.multimodal.Multimodal
+    val good = Multimodal.SyntheticMedia.wavMsAdpcm(90, 3, 24, 5)
+    // corrupt the FIRST block's predictor index (> 6): walk stops with
+    // zero samples, the corrupt-media contract, never an exception
+    val w = good.clone()
+    val dataOff = {
+      // find the data chunk payload start: scan for 'data' fourcc
+      val idx = (0 until w.length - 4).find(i =>
+        w(i) == 'd' && w(i + 1) == 'a' && w(i + 2) == 't' && w(i + 3) == 'a').get
+      idx + 8
+    }
+    w(dataOff) = 9.toByte
+    val (n0, _, _, _, _, _) = Multimodal.AudioCodec.msAdpcmStats(w, _ => 0)
+    assert(n0 == 0L)
+    // truncation mid-block decodes only the nibbles present
+    val cut = java.util.Arrays.copyOfRange(good, 0, good.length - 5)
+    // patch the data chunk length so the walk clamp engages (walkWav
+    // already clamps dataLen to bytes present)
+    val (nT, _, _, _, _, _) = Multimodal.AudioCodec.msAdpcmStats(cut, _ => 0)
+    assert(nT > 0L && nT < 90L)
+    // non-WAV garbage: zeros
+    assert(Multimodal.AudioCodec.msAdpcmStats(Array.fill(64)(0x5a.toByte), _ => 0)
+      == ((0L, 0, 0L, 0L, 0, 0)))
+    // an IMA payload is not an MS payload
+    val ima = Multimodal.SyntheticMedia.wavAdpcm(80, 3, 28)
+    assert(Multimodal.AudioCodec.msAdpcmStats(ima, _ => 0)._1 == 0L)
+  }
+
   test("ADPCM decode tracks the encoded triangle wave within tight bounds") {
     for (id <- 0L until 12L) {
       val k = 2 + (id % 7).toInt
