@@ -98,13 +98,16 @@ object TextFunctions {
     * text (…/p?a=1?b=2 keeps `a=1?b=2`, legal per RFC 3986), and a '?'
     * inside a fragment is fragment text, never a query (…/p#a?b=1
     * canonicalizes to …/p). Bracketed IPv6 hosts keep their brackets as
-    * the host token (`[::1]` — lowercase/port rules still apply; IPv6
-    * textual normalization like `0:0:0:0:0:0:0:1`→`::1` is out of scope
-    * and documented here, not silently half-applied). The q219 gate
-    * proves the composition against construction-time ground truth;
-    * adversarial shapes (non-default port, all-utm query, repeated `&`,
-    * '?' in fragment AND in query, userinfo, IPv6) are spec-pinned in
-    * WebCurationSpec.
+    * the host token and are normalized to the RFC 5952 canonical text
+    * form via the codegen'd [[graft.expressions.Ipv6Normalize]]
+    * (`[0:0:0:0:0:0:0:1]` and `[::0:0:1]` become the same key `[::1]`;
+    * a literal the normalizer does not understand — zone id, IPv4-mixed
+    * form — passes through lowercased but otherwise unchanged). The q219
+    * gate proves the composition against construction-time ground truth
+    * and q263 proves the IPv6 leg the same way; adversarial shapes
+    * (non-default port, all-utm query, repeated `&`, '?' in fragment AND
+    * in query, userinfo, RFC 5952 tie/single-zero/edge-run cases) are
+    * spec-pinned in WebCurationSpec.
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -117,7 +120,12 @@ object TextFunctions {
     val rawHost = when(hostport.startsWith("["),
       regexp_extract(hostport, "^(\\[[^\\]]*\\])", 1))
       .otherwise(regexp_extract(hostport, "^([^:]+)", 1))
-    val host = regexp_replace(normalizeHost(rawHost), "^www\\.", "")
+    // bracketed literals take the RFC 5952 canonical form (after the
+    // lowercase rule — 5952's own first requirement); names take the
+    // host rules (trailing-dot strip + www. strip)
+    val host = when(rawHost.startsWith("["),
+      graft.expressions.Ipv6Normalize(lower(rawHost)))
+      .otherwise(regexp_replace(normalizeHost(rawHost), "^www\\.", ""))
     val port = regexp_extract(hostport, "\\]?:([0-9]+)$", 1)
     val keepPort = port =!= "" &&
       !(scheme === "https" && port === "443") &&

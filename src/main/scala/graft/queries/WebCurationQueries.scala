@@ -240,5 +240,58 @@ object WebCurationQueries {
              |FROM documents
              |GROUP BY 1 ORDER BY canonical_url ASC""".stripMargin),
       "URL canonicalization + dedup election: builtin-composed canonical key == oracle's formula-built ground truth"),
+
+    // ------------------------------------------------------------------
+    // q263 (r9): IPv6 host canonicalization — the last URL-key gap the
+    // r8 verdict listed. The gate synthesizes a fully-EXPANDED messy
+    // literal per doc (4-digit zero-padded groups, case-mangled by
+    // parity, explicit :443) with EXACTLY one planted zero run of length
+    // 2–4 at a formula-chosen offset (r = id%5, so runs at the very
+    // start — leading "::" — and reaching the very end — trailing "::"
+    // — both occur), wraps it in an authority, and canonicalizes with
+    // [[TF.canonicalizeUrl]] whose bracketed-host leg is the codegen'd
+    // RFC 5952 Ipv6Normalize expression. The oracle never normalizes: it
+    // EMITS the canonical form directly from the generating formula
+    // (lowercase hex without leading zeros via printf, the planted run
+    // as "::"), so compression-site choice, zero-stripping, lowercasing,
+    // and the port/bracket rules are all independently checked. Dedup
+    // shape: map-side expression, one final order — linear at 100 TB.
+    GQuery(
+      "q263_ipv6_hosts",
+      (s, d) => {
+        val i = col("doc_id")
+        val r = i % 5
+        val len = lit(2) + i % 3
+        def grp(j: Int) =
+          when(lit(j) >= r && lit(j) < r + len, lit(0L))
+            .otherwise((i * 7 + lit(j) * 13) % 65535 + 1)
+        val messy = concat_ws(":",
+          (0 until 8).map(j => lpad(hex(grp(j)), 4, "0")): _*)
+        val cased = when(i % 2 === 0, upper(messy)).otherwise(lower(messy))
+        val url = concat(lit("https://["), cased, lit("]:443/x/"),
+          (i % 9).cast("string"))
+        Tables.documents(s, d)
+          .select(i.as("doc_id"), TF.canonicalizeUrl(url).as("canonical_url"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, j.j AS j,
+             |         CASE WHEN j.j >= doc_id % 5
+             |               AND j.j < doc_id % 5 + 2 + doc_id % 3
+             |              THEN 0
+             |              ELSE (doc_id * 7 + j.j * 13) % 65535 + 1 END AS v
+             |  FROM documents, range(0, 8) j(j)),
+             |parts AS (
+             |  SELECT doc_id,
+             |         string_agg(printf('%x', v), ':' ORDER BY j)
+             |           FILTER (WHERE j < doc_id % 5) AS lhs,
+             |         string_agg(printf('%x', v), ':' ORDER BY j)
+             |           FILTER (WHERE j >= doc_id % 5 + 2 + doc_id % 3) AS rhs
+             |  FROM g GROUP BY doc_id)
+             |SELECT doc_id,
+             |       'https://[' || COALESCE(lhs, '') || '::' || COALESCE(rhs, '')
+             |         || ']/x/' || CAST(doc_id % 9 AS VARCHAR) AS canonical_url
+             |FROM parts ORDER BY doc_id ASC""".stripMargin),
+      "RFC 5952 IPv6 host canonicalization inside the URL key: codegen'd normalizer == oracle's formula-emitted canonical form"),
   )
 }

@@ -138,6 +138,40 @@ class WebCurationSpec extends SparkTestBase {
     got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
   }
 
+  test("q263: RFC 5952 IPv6 canonical form — every rule on hand-built literals") {
+    import graft.expressions.Ipv6Normalize
+    val cases = Seq(
+      // the RFC's own motivating example family
+      ("0:0:0:0:0:0:0:1", "::1"),
+      ("2001:0db8:0:0:1:0:0:1", "2001:db8::1:0:0:1"), // tie: FIRST run wins (§4.2.3)
+      ("1:0:2:3:4:5:6:7", "1:0:2:3:4:5:6:7"),         // single zero NOT compressed (§4.2.2)
+      ("0:0:0:0:0:0:0:0", "::"),
+      ("1:0:0:2:0:0:0:3", "1:0:0:2::3"),              // longest run, not first
+      ("2001:db8::0:1", "2001:db8::1"),               // re-compression of a sloppy ::
+      ("1:2:3:4:5:6:7::", "1:2:3:4:5:6:7:0"),         // :: of ONE group expands, not kept
+      ("::FFFF:0:0", "::ffff:0:0"),                   // tail run of 2 already leading-compressed
+      ("[0000:0000:0000:0000:0000:0000:0000:0001]", "[::1]"),
+      // honest boundary: not-understood literals pass through unchanged
+      ("fe80::1%eth0", "fe80::1%eth0"),
+      ("::ffff:192.168.0.1", "::ffff:192.168.0.1"),
+      ("1:2:3", "1:2:3"),
+      ("1:2:3:4:5:6:7:8:9", "1:2:3:4:5:6:7:8:9"),
+      ("g::1", "g::1"),
+      ("1::2::3", "1::2::3"))
+    val got = cases.map(_._1).toDF("s")
+      .select(Ipv6Normalize(col("s")).as("c")).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, e)) => assert(g === e, s"input $in") }
+    // composed through the URL key: expansion variants of one host collide
+    val urls = Seq(
+      "https://[0:0:0:0:0:0:0:1]/p",
+      "https://[::0:0:1]:443/p",
+      "HTTPS://[0000:0000:0000:0000:0000:0000:0000:0001]/p")
+    val keys = urls.toDF("url")
+      .select(graft.functions.TextFunctions.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).distinct
+    assert(keys.toSeq == Seq("https://[::1]/p"))
+  }
+
   test("q219: election groups by canonical key with min-id survivor") {
     val rows = run("q219_url_canonicalize").collect()
     assert(rows.nonEmpty)
