@@ -187,5 +187,93 @@ object LayoutQueries {
              |  SELECT 'l_returnflag', rf_nulls, rf_ndv, rf_min, rf_max FROM s) u
              |ORDER BY col_name ASC""".stripMargin),
       "ANALYZE in one scan: per-column null/NDV/min/max stats via multi-distinct agg + stack"),
+
+    // ------------------------------------------------------------------
+    // q264 (r9): TRANSACTIONAL table format — the commit-log semantics
+    // the r8 verdict listed as the top remaining engine delta (Delta/
+    // Iceberg-style). graft.sources.TxLog: version-file log with
+    // create-no-overwrite as the atomic claim, snapshot-isolated reads,
+    // optimistic append/overwrite, checkpoint-bounded replay, vacuum.
+    // The gate builds a table through the FULL lifecycle each run —
+    // append, append, OVERWRITE (all prior files become remove actions),
+    // append — and reads the final snapshot: exactly the overwrite's
+    // rows plus the post-overwrite append must survive. The oracle
+    // computes that end state directly from the fixture, so a log-replay
+    // bug (a remove not applied, an add dropped, an overwrite that
+    // merged instead of replaced) is a hash mismatch. 100 TB: data IO is
+    // ordinary distributed parquet; the log is O(commits) driver-side
+    // JSON; TxLogSpec pins concurrency/torn-log/schema contracts SQL
+    // cannot see.
+    GQuery(
+      "q264_txlog_snapshot",
+      (s, d) => {
+        val dir = tmpDir("txlog", d)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 5 === 0))
+        graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 5 === 1))
+        graft.sources.TxLog.overwrite(s, dir, li.filter(col("l_orderkey") % 5 === 2))
+        graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 5 === 3))
+        graft.sources.TxLog.read(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc)
+      },
+      Some("""SELECT l_returnflag,
+             |       CAST(COUNT(*) AS BIGINT) AS n,
+             |       SUM(l_quantity) AS sum_qty
+             |FROM lineitem WHERE l_orderkey % 5 IN (2, 3)
+             |GROUP BY 1 ORDER BY l_returnflag ASC""".stripMargin),
+      "transactional commit log: append/append/overwrite/append lifecycle, final snapshot == oracle's fixture-computed end state"),
+
+    // ------------------------------------------------------------------
+    // q265 (r9): TIME TRAVEL + metadata-only counts over the same
+    // lifecycle — every historical version is read back as-of and must
+    // equal the state the oracle computes for that point in history; the
+    // metadata row count (per-file parquet-footer truth carried in the
+    // log, never a scan) must agree with the scan count at EVERY
+    // version, gating the log's bookkeeping as data, not as a spec
+    // assertion.
+    GQuery(
+      "q265_txlog_timetravel",
+      (s, d) => {
+        val dir = tmpDir("txlogtt", d)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 7 === 0))
+        graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 7 === 1))
+        graft.sources.TxLog.overwrite(s, dir, li.filter(col("l_orderkey") % 7 === 2))
+        graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 7 === 3))
+        (1 to 4).map { v =>
+          graft.sources.TxLog.read(s, dir, Some(v.toLong))
+            .agg(count(lit(1)).as("n_scan"),
+              coalesce(sum(col("l_quantity")), lit(0.0)).as("sum_qty"))
+            .select(lit(v.toLong).as("version"),
+              lit(graft.sources.TxLog.rowCount(s, dir, Some(v.toLong))).as("n_meta"),
+              col("n_scan"), col("sum_qty"))
+        }.reduce(_ unionAll _).orderBy(col("version").asc)
+      },
+      Some("""WITH src AS (SELECT l_orderkey % 7 AS m, l_quantity FROM lineitem)
+             |SELECT CAST(1 AS BIGINT) AS version,
+             |       CAST(COUNT(*) AS BIGINT) AS n_meta,
+             |       CAST(COUNT(*) AS BIGINT) AS n_scan, SUM(l_quantity) AS sum_qty
+             |FROM src WHERE m = 0
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             |       CAST(COUNT(*) AS BIGINT), SUM(l_quantity)
+             |FROM src WHERE m IN (0, 1)
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             |       CAST(COUNT(*) AS BIGINT), SUM(l_quantity)
+             |FROM src WHERE m = 2
+             |UNION ALL
+             |SELECT CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             |       CAST(COUNT(*) AS BIGINT), SUM(l_quantity)
+             |FROM src WHERE m IN (2, 3)
+             |ORDER BY version ASC""".stripMargin),
+      "time travel: every historical version == oracle state at that point; metadata row counts == scan counts as gated data"),
   )
 }

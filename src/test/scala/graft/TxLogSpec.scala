@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TxLog
+
+/** The transactional-table-format contracts: snapshot isolation,
+  * optimistic concurrency (the create-no-overwrite primitive), schema
+  * enforcement, time travel, torn-log honesty, checkpoint-bounded
+  * replay, metadata-only counts, and vacuum retention.
+  */
+class TxLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("txlog").toString
+    java.nio.file.Files.delete(java.nio.file.Paths.get(d))
+    d
+  }
+
+  private def batch(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+
+  test("append/overwrite/read: versions accumulate, overwrite replaces") {
+    val dir = freshDir()
+    assert(TxLog.append(spark, dir, batch(0, 10)) == 1L)
+    assert(TxLog.append(spark, dir, batch(10, 15)) == 2L)
+    assert(TxLog.read(spark, dir).count() == 15L)
+    assert(TxLog.overwrite(spark, dir, batch(100, 103)) == 3L)
+    val rows = TxLog.read(spark, dir).select(col("id")).as[Long].collect().sorted
+    assert(rows.toSeq == Seq(100L, 101L, 102L))
+    assert(TxLog.append(spark, dir, batch(200, 202)) == 4L)
+    assert(TxLog.read(spark, dir).count() == 5L)
+  }
+
+  test("time travel reads every historical version exactly") {
+    val dir = freshDir()
+    TxLog.append(spark, dir, batch(0, 4))
+    TxLog.append(spark, dir, batch(4, 9))
+    TxLog.overwrite(spark, dir, batch(50, 52))
+    assert(TxLog.read(spark, dir, Some(1L)).count() == 4L)
+    assert(TxLog.read(spark, dir, Some(2L)).count() == 9L)
+    assert(TxLog.read(spark, dir, Some(3L)).count() == 2L)
+    // version 0 is the empty table; asOf beyond HEAD is HEAD
+    assert(TxLog.read(spark, dir, Some(0L)).count() == 0L)
+    assert(TxLog.read(spark, dir, Some(99L)).count() == 2L)
+  }
+
+  test("metadata-only row count matches the scan count at every version") {
+    val dir = freshDir()
+    TxLog.append(spark, dir, batch(0, 7))
+    TxLog.append(spark, dir, batch(7, 20))
+    TxLog.overwrite(spark, dir, batch(0, 3))
+    for (v <- 1L to 3L)
+      assert(TxLog.rowCount(spark, dir, Some(v)) == TxLog.read(spark, dir, Some(v)).count(),
+        s"version $v")
+  }
+
+  test("schema enforcement: append rejects drift, overwrite may change it") {
+    val dir = freshDir()
+    TxLog.append(spark, dir, batch(0, 3))
+    val drifted = Seq((1L, 2.5)).toDF("id", "score")
+    assertThrows[IllegalArgumentException] { TxLog.append(spark, dir, drifted) }
+    // the failed append must not have committed anything
+    assert(TxLog.snapshot(spark, dir).version == 1L)
+    TxLog.overwrite(spark, dir, drifted) // full replace: new schema is legal
+    assert(TxLog.read(spark, dir).schema.fieldNames.toSeq == Seq("id", "score"))
+    TxLog.append(spark, dir, Seq((2L, 3.5)).toDF("id", "score")) // now conforms
+    assert(TxLog.read(spark, dir).count() == 2L)
+  }
+
+  test("optimistic concurrency: parallel appends all land, none lost") {
+    val dir = freshDir()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = TxLog.append(spark, dir, batch(t * 100, t * 100 + 10))
+        })
+      }
+      val versions = futures.map(_.get()).sorted
+      assert(versions == (1L to 8L), s"got $versions") // distinct, contiguous
+      assert(TxLog.read(spark, dir).count() == 80L)    // no lost update
+      assert(TxLog.rowCount(spark, dir) == 80L)
+    } finally pool.shutdown()
+  }
+
+  test("torn log entries: final is uncommitted, non-final fails loudly") {
+    val dir = freshDir()
+    TxLog.append(spark, dir, batch(0, 5))
+    TxLog.append(spark, dir, batch(5, 8))
+    // a crashed writer's torn FINAL entry: readers ignore it
+    val torn = java.nio.file.Paths.get(dir, "_txlog", f"${3L}%020d.json")
+    java.nio.file.Files.write(torn, "{\"version\":3,".getBytes)
+    assert(TxLog.snapshot(spark, dir).version == 2L)
+    assert(TxLog.read(spark, dir).count() == 8L)
+    // a writer colliding with the torn slot must not silently overwrite it
+    assertThrows[IllegalStateException] { TxLog.append(spark, dir, batch(8, 9)) }
+    // torn NON-final: version 4 lands after the torn 3 → corrupt table
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_txlog", f"${4L}%020d.json"), "also torn".getBytes)
+    assertThrows[IllegalStateException] { TxLog.snapshot(spark, dir) }
+  }
+
+  test("checkpoint bounds replay; vacuum drops dead files, keeps live history") {
+    val dir = freshDir()
+    for (i <- 0 until TxLog.CheckpointInterval) // versions 1..10 → checkpoint at 10
+      TxLog.append(spark, dir, batch(i * 10, i * 10 + 10))
+    val ckpt = java.nio.file.Paths.get(dir, "_txlog",
+      f"${TxLog.CheckpointInterval.toLong}%020d.checkpoint.json")
+    assert(java.nio.file.Files.exists(ckpt), "checkpoint not written")
+    assert(TxLog.read(spark, dir).count() == 100L)
+    // overwrite makes all 10 earlier data dirs dead
+    TxLog.overwrite(spark, dir, batch(0, 5))
+    val removed = TxLog.vacuum(spark, dir)
+    assert(removed > 0L, "vacuum removed nothing")
+    // latest still reads; pre-checkpoint log entries are gone by retention
+    assert(TxLog.read(spark, dir).count() == 5L)
+    val logs = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_txlog"))
+      .toArray.map(_.toString).count(_.endsWith(".json"))
+    assert(logs >= 2) // checkpoint + the overwrite entry at least
+    // a vacuumed historical version's DATA is gone: reading it now fails
+    // (retention trade documented on vacuum) — version metadata may
+    // still resolve, so assert the scan itself breaks or returns empty
+    val v1 = try TxLog.read(spark, dir, Some(1L)).count() catch { case _: Exception => -1L }
+    assert(v1 == -1L || v1 == 0L)
+  }
+
+  test("empty and absent tables read as zero rows, never a crash") {
+    val dir = freshDir()
+    assert(TxLog.read(spark, dir).count() == 0L)
+    assert(TxLog.snapshot(spark, dir).version == 0L)
+    assert(TxLog.rowCount(spark, dir) == 0L)
+  }
+}
