@@ -4,7 +4,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
 
 /** Minimal Delta-style TRANSACTIONAL table format over parquet — the
   * table-format-transactionality gap the r8 verdict ranked top-3 among
@@ -21,20 +22,31 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Concurrency (optimistic, writer-writer): a commit is the atomic
   * creation of the next version file with create(overwrite = false) —
   * atomic on HDFS (namenode create) and on local file systems (O_EXCL).
-  * On collision the writer re-reads the snapshot, re-resolves (appends
-  * never conflict semantically; an overwrite recomputes its remove set
-  * against the fresh state), and retries the next version. Object
-  * stores without atomic put-if-absent need an external commit
-  * coordinator — documented out of scope, exactly as the public Delta
-  * protocol documents it.
+  * On collision an append/overwrite re-reads the snapshot, re-resolves
+  * (appends never conflict semantically; an overwrite recomputes its
+  * remove set against the fresh state), and retries the next version; a
+  * MERGE is serializable-or-abort — its rewrite was computed against one
+  * snapshot, so a concurrent commit aborts it loudly instead of silently
+  * publishing a stale rewrite. Object stores without atomic
+  * put-if-absent need an external commit coordinator — documented out of
+  * scope, exactly as the public Delta protocol documents it.
   *
   * Reader semantics: snapshot isolation — a read resolves the live file
   * set at one version and never sees a half-commit (data directories are
   * immutable once their entry is visible). A torn FINAL entry (crashed
-  * writer) is ignored; a torn NON-final entry is a corrupt table and
-  * reads fail loudly rather than silently dropping committed data.
+  * writer) is uncommitted; an existing-but-unparseable entry gets
+  * bounded patience (an in-flight writer's bytes land between create and
+  * close) before any torn verdict; a torn NON-final entry is a corrupt
+  * table and reads fail loudly rather than silently dropping committed
+  * data.
   *
-  * Schema: enforced on append (exact StructType match against the
+  * Data skipping: every add action carries the file's parquet-footer row
+  * count and per-INT64-column min/max — so COUNT(*) is metadata-only and
+  * [[readPruned]]/[[merge]] skip files whose key range cannot match
+  * (the Delta/Iceberg file-stats pruning shape; non-INT64 columns simply
+  * carry no stats and are never pruned on — safe, not silently wrong).
+  *
+  * Schema: enforced on append/merge (exact StructType match against the
   * current snapshot — silent drift is how lakes rot); `overwrite` may
   * change it (the full-replace semantics).
   */
@@ -43,20 +55,27 @@ object TxLog {
   val CheckpointInterval = 10
   private val MaxRetries = 50
 
+  /** Per-file INT64 column ranges: col -> (min, max). */
+  type FileStats = Map[String, (Long, Long)]
+
   final case class Entry(
       version: Long,
-      operation: String, // "append" | "overwrite" | "checkpoint"
+      operation: String, // "append" | "overwrite" | "merge" | "checkpoint"
       schemaJson: String,
       add: Seq[String],    // table-relative paths
       remove: Seq[String],
-      rowCounts: Seq[Long]) // per added file, parquet-footer truth
+      rowCounts: Seq[Long], // per added file, parquet-footer truth
+      stats: Seq[FileStats]) // per added file
 
-  final case class Snapshot(version: Long, schema: StructType, files: Seq[String], rows: Long)
+  final case class Snapshot(
+      version: Long,
+      schema: StructType,
+      files: Seq[String],
+      rows: Long,
+      fileRows: Map[String, Long],
+      fileStats: Map[String, FileStats])
 
-  private def mapper = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m
-  }
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def logDir(table: Path) = new Path(table, "_txlog")
   private def entryPath(table: Path, v: Long) = new Path(logDir(table), f"$v%020d.json")
@@ -70,6 +89,13 @@ object TxLog {
     val add = root.putArray("add"); e.add.foreach(add.add)
     val rem = root.putArray("remove"); e.remove.foreach(rem.add)
     val rc = root.putArray("rowCounts"); e.rowCounts.foreach(rc.add)
+    val st = root.putArray("stats")
+    e.stats.foreach { m =>
+      val o = st.addObject()
+      m.foreach { case (c, (lo, hi)) =>
+        val a = o.putArray(c); a.add(lo); a.add(hi)
+      }
+    }
     (root.toString + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
@@ -79,14 +105,26 @@ object TxLog {
       val n = mapper.readTree(bytes)
       if (n == null || !n.has("version") || !n.has("operation") || !n.has("schema") ||
         !n.has("add") || !n.has("remove")) null
-      else Entry(
-        n.get("version").asLong(),
-        n.get("operation").asText(),
-        n.get("schema").asText(),
-        n.get("add").elements().asScala.map(_.asText()).toSeq,
-        n.get("remove").elements().asScala.map(_.asText()).toSeq,
-        if (n.has("rowCounts")) n.get("rowCounts").elements().asScala.map(_.asLong()).toSeq
-        else Seq.empty)
+      else {
+        val add = n.get("add").elements().asScala.map(_.asText()).toSeq
+        val stats: Seq[FileStats] =
+          if (!n.has("stats")) add.map(_ => Map.empty[String, (Long, Long)])
+          else n.get("stats").elements().asScala.map { o =>
+            o.properties().asScala.map { en =>
+              val a = en.getValue
+              en.getKey -> (a.get(0).asLong(), a.get(1).asLong())
+            }.toMap
+          }.toSeq
+        Entry(
+          n.get("version").asLong(),
+          n.get("operation").asText(),
+          n.get("schema").asText(),
+          add,
+          n.get("remove").elements().asScala.map(_.asText()).toSeq,
+          if (n.has("rowCounts")) n.get("rowCounts").elements().asScala.map(_.asLong()).toSeq
+          else Seq.empty,
+          stats)
+      }
     } catch { case _: Exception => null }
 
   private def fsOf(spark: SparkSession, table: Path): FileSystem =
@@ -139,7 +177,7 @@ object TxLog {
     val fs = fsOf(spark, table)
     val (vsAll, csAll) = listLog(fs, table)
     val vs = asOf.fold(vsAll)(v => vsAll.filter(_ <= v))
-    if (vs.isEmpty) return Snapshot(0L, new StructType(), Seq.empty, 0L)
+    if (vs.isEmpty) return Snapshot(0L, new StructType(), Seq.empty, 0L, Map.empty, Map.empty)
     // start from the newest parseable checkpoint <= asOf, replay forward
     val usable = asOf.fold(csAll)(v => csAll.filter(_ <= v))
     var base: Entry = null
@@ -148,18 +186,26 @@ object TxLog {
       val e = readEntry(fs, ckptPath(table, cv))
       if (e != null) { base = e; baseV = cv; true } else false
     }
-    val files = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val files = scala.collection.mutable.LinkedHashMap[String, (Long, FileStats)]()
     var schemaJson = ""
+    def applyEntry(e: Entry): Unit = {
+      e.remove.foreach(files.remove)
+      e.add.indices.foreach { i =>
+        files(e.add(i)) = (
+          e.rowCounts.lift(i).getOrElse(0L),
+          e.stats.lift(i).getOrElse(Map.empty))
+      }
+      schemaJson = e.schemaJson
+    }
     def finish(ver: Long): Snapshot = {
       val schema =
         if (schemaJson.isEmpty) new StructType()
         else DataType.fromJson(schemaJson).asInstanceOf[StructType]
-      Snapshot(ver, schema, files.keys.toSeq, files.values.sum)
+      Snapshot(ver, schema, files.keys.toSeq, files.values.map(_._1).sum,
+        files.map { case (f, (r, _)) => f -> r }.toMap,
+        files.map { case (f, (_, st)) => f -> st }.toMap)
     }
-    if (base != null) {
-      schemaJson = base.schemaJson
-      base.add.zipAll(base.rowCounts, "", 0L).foreach { case (f, rc) => files(f) = rc }
-    }
+    if (base != null) applyEntry(base)
     val present = vs.toSet
     var v = baseV + 1
     val last = vs.last
@@ -179,9 +225,7 @@ object TxLog {
         if (v == last) return finish(v - 1)
         throw new IllegalStateException(s"txlog torn non-final entry $v in $dir — repair required")
       }
-      e.remove.foreach(files.remove)
-      e.add.zipAll(e.rowCounts, "", 0L).foreach { case (f, rc) => files(f) = rc }
-      schemaJson = e.schemaJson
+      applyEntry(e)
       v += 1
     }
     finish(last)
@@ -190,11 +234,32 @@ object TxLog {
   /** Snapshot read as a DataFrame (time travel via `asOf`). */
   def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, dir, asOf)
-    if (snap.files.isEmpty)
+    scanFiles(spark, dir, snap, snap.files)
+  }
+
+  /** Snapshot read pruned by a key range: files whose logged [min, max]
+    * cannot intersect [lo, hi] are never opened (file-stats data
+    * skipping); files without stats for `key` are read — safe, never
+    * silently wrong. The residual filter still applies, so the result is
+    * exactly `read(...).filter(key between)`.
+    */
+  def readPruned(spark: SparkSession, dir: String, key: String, lo: Long, hi: Long,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, dir, asOf)
+    val keep = snap.files.filter { f =>
+      snap.fileStats.get(f).flatMap(_.get(key)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    scanFiles(spark, dir, snap, keep).filter(col(key).between(lo, hi))
+  }
+
+  private def scanFiles(spark: SparkSession, dir: String, snap: Snapshot, files: Seq[String]): DataFrame =
+    if (files.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), snap.schema)
     else
-      spark.read.schema(snap.schema).parquet(snap.files.map(f => s"$dir/$f"): _*)
-  }
+      spark.read.schema(snap.schema).parquet(files.map(f => s"$dir/$f"): _*)
 
   /** Metadata-only row count at a version — the log carries per-file
     * footer counts, so COUNT(*) never scans data (the 100 TB posture).
@@ -203,17 +268,65 @@ object TxLog {
     snapshot(spark, dir, asOf).rows
 
   def append(spark: SparkSession, dir: String, df: DataFrame): Long =
-    commit(spark, dir, df, overwriteAll = false)
+    commitLoop(spark, dir, df, overwriteAll = false)
 
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Long =
-    commit(spark, dir, df, overwriteAll = true)
+    commitLoop(spark, dir, df, overwriteAll = true)
 
-  private def commit(spark: SparkSession, dir: String, df: DataFrame, overwriteAll: Boolean): Long = {
+  /** Copy-on-write keyed MERGE (upsert): rows of `source` replace target
+    * rows with the same `key`; unmatched source rows insert. Only files
+    * whose logged key range intersects the source's key range are
+    * rewritten — untouched files survive by reference (the Delta MERGE
+    * file-pruning shape; at 100 TB a merge touching one day's partition
+    * rewrites one day, not the lake). Serializable: computed against one
+    * snapshot, the commit CAS-claims exactly the next version and aborts
+    * on any concurrent commit (retrying the whole merge is the caller's
+    * decision — a stale rewrite must never publish silently).
+    */
+  def merge(spark: SparkSession, dir: String, source: DataFrame, key: String): Long =
+    mergeAt(spark, dir, source, key, snapshot(spark, dir, None))
+
+  /** The snapshot-explicit form of [[merge]] — the unit seam that makes
+    * the serializable-or-abort contract testable: a commit that lands
+    * between `snap` and the claim makes this merge's rewrite stale, and
+    * it must abort, never publish.
+    */
+  private[graft] def mergeAt(spark: SparkSession, dir: String, source: DataFrame, key: String,
+      snap: Snapshot): Long = {
+    require(snap.files.nonEmpty, s"txlog merge into an empty table $dir: use append")
+    require(snap.schema.json == source.schema.json,
+      s"txlog merge schema mismatch in $dir: table ${snap.schema.simpleString} vs source ${source.schema.simpleString}")
+    val bounds = source.agg(smin(col(key)).cast(LongType), smax(col(key)).cast(LongType)).head()
+    if (bounds.isNullAt(0)) return snap.version // empty source: no-op
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (touched, untouched) = snap.files.partition { f =>
+      snap.fileStats.get(f).flatMap(_.get(key)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    val target = scanFiles(spark, dir, snap, touched)
+    val rewritten = target.join(source.select(col(key)).distinct(), Seq(key), "left_anti")
+      .unionByName(source)
+    val (addRel, counts, stats) = writeData(spark, dir, rewritten)
+    val entry = Entry(snap.version + 1, "merge", snap.schema.json,
+      addRel, touched, counts, stats)
+    if (!tryClaim(spark, dir, entry))
+      throw new java.util.ConcurrentModificationException(
+        s"txlog merge lost the race at version ${snap.version + 1} in $dir — recompute against the new snapshot")
+    maybeCheckpoint(spark, dir, snap.version + 1)
+    val _ = untouched // untouched files carry over by NOT being removed
+    snap.version + 1
+  }
+
+  /** Write df's files under a commit-unique directory and return
+    * (relative paths, footer row counts, footer INT64 min/max stats).
+    * Data is unreferenced until a log entry lands — a crash here leaks
+    * only unreachable files (vacuum's job), never a broken table.
+    */
+  private def writeData(spark: SparkSession, dir: String, df: DataFrame): (Seq[String], Seq[Long], Seq[FileStats]) = {
     val table = new Path(dir)
     val fs = fsOf(spark, table)
-    // 1. write the data files FIRST, into a commit-unique directory —
-    //    unreferenced until the log entry lands, so a crash here leaks
-    //    only unreachable files (vacuum's job), never a broken table
     val uuid = java.util.UUID.randomUUID().toString
     val dataRel = s"data/$uuid"
     df.write.parquet(s"$dir/$dataRel")
@@ -221,15 +334,65 @@ object TxLog {
       .map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_") && !p.getName.startsWith("."))
       .sortBy(_.getName)
+    val (counts, stats) = written.map(footerInfo(spark, _)).unzip
+    (written.map(p => s"$dataRel/${p.getName}"), counts, stats)
+  }
+
+  /** Footer truth for one file: (row count, INT64 col -> (min, max)). */
+  private def footerInfo(spark: SparkSession, p: Path): (Long, FileStats) = {
     val conf = spark.sessionState.newHadoopConf()
-    val counts = written.map { p =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      try r.getRecordCount finally r.close()
-    }
-    val addRel = written.map(p => s"$dataRel/${p.getName}")
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      val agg = scala.collection.mutable.Map[String, (Long, Long)]()
+      var statsComplete = true
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          if (c.getPrimitiveType.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64) {
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) statsComplete = false
+            else {
+              val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+              val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+              val cur = agg.get(name)
+              agg(name) = cur.fold((mn, mx))(c0 => (math.min(c0._1, mn), math.max(c0._2, mx)))
+            }
+          }
+        }
+      }
+      // a column with any stats-less block must not advertise a range —
+      // pruning on a partial range would silently drop rows
+      (r.getRecordCount, if (statsComplete) agg.toMap else Map.empty)
+    } finally r.close()
+  }
+
+  /** CAS-claim exactly `entry.version` (create-no-overwrite). False =
+    * the version was taken by a parseable competitor; a NEVER-parseable
+    * occupant is a poisoned slot and fails loudly.
+    */
+  private def tryClaim(spark: SparkSession, dir: String, entry: Entry): Boolean = {
+    val table = new Path(dir)
+    val fs = fsOf(spark, table)
+    if (!fs.mkdirs(logDir(table)) && !fs.exists(logDir(table))) return false
+    val created =
+      try {
+        val out = fs.create(entryPath(table, entry.version), false) // the atomicity primitive
+        try out.write(writeJson(entry)) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!created &&
+      readEntryPatient(fs, entryPath(table, entry.version), patienceMs = 2000) == null)
+      throw new IllegalStateException(
+        s"txlog torn entry at version ${entry.version} in $dir — repair required")
+    created
+  }
+
+  private def commitLoop(spark: SparkSession, dir: String, df: DataFrame, overwriteAll: Boolean): Long = {
+    val (addRel, counts, stats) = writeData(spark, dir, df)
     val schemaJson = df.schema.json
-    // 2. optimistic commit loop
     var attempt = 0
     while (attempt < MaxRetries) {
       val snap = snapshot(spark, dir, None)
@@ -238,47 +401,26 @@ object TxLog {
           s"txlog append schema mismatch in $dir: table ${snap.schema.simpleString} vs data ${df.schema.simpleString}")
       val v = snap.version + 1
       val entry = Entry(v, if (overwriteAll) "overwrite" else "append", schemaJson,
-        addRel, if (overwriteAll) snap.files else Seq.empty, counts)
-      if (fs.mkdirs(logDir(table)) || fs.exists(logDir(table))) {
-        val tryCreate =
-          try {
-            val out = fs.create(entryPath(table, v), false) // the atomicity primitive
-            try out.write(writeJson(entry)) finally out.close()
-            true
-          } catch { case _: java.io.IOException => false } // version taken: retry
-        if (tryCreate) {
-          maybeCheckpoint(spark, fs, table, dir, v)
-          return v
-        }
-        // collision: wait out an in-flight winner; if the occupant
-        // NEVER parses, a writer crashed mid-create and the slot is
-        // poisoned — fail loudly (repair), never overwrite a file
-        // another writer may still be writing
-        if (readEntryPatient(fs, entryPath(table, v), patienceMs = 2000) == null)
-          throw new IllegalStateException(s"txlog torn entry at version $v in $dir — repair required")
+        addRel, if (overwriteAll) snap.files else Seq.empty, counts, stats)
+      if (tryClaim(spark, dir, entry)) {
+        maybeCheckpoint(spark, dir, v)
+        return v
       }
       attempt += 1
     }
     throw new IllegalStateException(s"txlog commit contention in $dir: $MaxRetries retries exhausted")
   }
 
-  private def maybeCheckpoint(spark: SparkSession, fs: FileSystem, table: Path, dir: String, v: Long): Unit =
+  private def maybeCheckpoint(spark: SparkSession, dir: String, v: Long): Unit =
     if (v % CheckpointInterval == 0) try {
+      val table = new Path(dir)
+      val fs = fsOf(spark, table)
       val snap = snapshot(spark, dir, Some(v))
-      val entry = Entry(v, "checkpoint", snap.schema.json, snap.files,
-        Seq.empty, perFileCounts(spark, dir, snap.files))
+      val entry = Entry(v, "checkpoint", snap.schema.json, snap.files, Seq.empty,
+        snap.files.map(snap.fileRows), snap.files.map(snap.fileStats))
       val out = fs.create(ckptPath(table, v), true) // checkpoints are idempotent
       try out.write(writeJson(entry)) finally out.close()
     } catch { case _: Exception => () } // best-effort: replay still works
-
-  private def perFileCounts(spark: SparkSession, dir: String, files: Seq[String]): Seq[Long] = {
-    val conf = spark.sessionState.newHadoopConf()
-    files.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(s"$dir/$f"), conf))
-      try r.getRecordCount finally r.close()
-    }
-  }
 
   /** Delete data files no longer live in the LATEST snapshot and log
     * entries older than the newest checkpoint (time travel keeps working

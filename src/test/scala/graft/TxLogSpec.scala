@@ -125,6 +125,68 @@ class TxLogSpec extends SparkTestBase {
     assert(v1 == -1L || v1 == 0L)
   }
 
+  test("merge: updates replace, inserts land, untouched rows intact") {
+    val dir = freshDir()
+    TxLog.append(spark, dir, batch(0, 10))
+    val src = Seq((3L, "UPDATED3"), (7L, "UPDATED7"), (100L, "NEW100")).toDF("id", "s")
+    val v = TxLog.merge(spark, dir, src, "id")
+    assert(v == 2L)
+    val rows = TxLog.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(rows.size == 11)
+    assert(rows(3L) == "UPDATED3" && rows(7L) == "UPDATED7" && rows(100L) == "NEW100")
+    assert(rows(0L) == "v0" && rows(9L) == "v9")
+    // time travel still sees the pre-merge state
+    assert(TxLog.read(spark, dir, Some(1L)).as[(Long, String)].collect().toMap.apply(3L) == "v3")
+    // empty source is a no-op at the same version
+    assert(TxLog.merge(spark, dir, batch(0, 0), "id") == 2L)
+  }
+
+  test("merge prunes by file stats: files outside the source key range survive by reference") {
+    val dir = freshDir()
+    // three single-file commits with disjoint key ranges (tight footer stats)
+    for (b <- 0 until 3)
+      TxLog.append(spark, dir, batch(b * 10, b * 10 + 10).repartition(1))
+    val before = TxLog.snapshot(spark, dir)
+    assert(before.files.size == 3)
+    // a merge touching only keys 0–3 must rewrite ONLY the first file
+    TxLog.merge(spark, dir, Seq((2L, "U")).toDF("id", "s"), "id")
+    val after = TxLog.snapshot(spark, dir)
+    val survivors = before.files.toSet.intersect(after.files.toSet)
+    assert(survivors.size == 2, s"untouched files rewritten: kept $survivors")
+    assert(TxLog.read(spark, dir).count() == 30L)
+    assert(TxLog.read(spark, dir).filter(col("id") === 2L).as[(Long, String)].head()._2 == "U")
+  }
+
+  test("readPruned skips files by logged stats and matches the plain filtered read") {
+    val dir = freshDir()
+    for (b <- 0 until 4)
+      TxLog.append(spark, dir, batch(b * 100, b * 100 + 50).repartition(1))
+    val pruned = TxLog.readPruned(spark, dir, "id", 100L, 149L)
+    val plain = TxLog.read(spark, dir).filter(col("id").between(100L, 149L))
+    assert(pruned.as[(Long, String)].collect().sorted.toSeq ==
+      plain.as[(Long, String)].collect().sorted.toSeq)
+    // the pruned scan opens ONE file; the plain read opens all four
+    assert(pruned.inputFiles.length == 1, s"pruning failed: ${pruned.inputFiles.length} files")
+    assert(TxLog.read(spark, dir).inputFiles.length == 4)
+  }
+
+  test("merge aborts loudly when a concurrent commit takes its version") {
+    val dir = freshDir()
+    TxLog.append(spark, dir, batch(0, 5))
+    // the race, made deterministic through the snapshot-explicit seam:
+    // take the snapshot, let a competitor commit, then try to publish a
+    // merge computed against the now-stale snapshot
+    val stale = TxLog.snapshot(spark, dir)
+    TxLog.append(spark, dir, batch(5, 7)) // the competitor
+    assertThrows[java.util.ConcurrentModificationException] {
+      TxLog.mergeAt(spark, dir, Seq((1L, "U")).toDF("id", "s"), "id", stale)
+    }
+    // the table is unharmed: the competitor's commit is the state and
+    // the stale rewrite never published
+    assert(TxLog.read(spark, dir).count() == 7L)
+    assert(TxLog.read(spark, dir).as[(Long, String)].collect().toMap.apply(1L) == "v1")
+  }
+
   test("empty and absent tables read as zero rows, never a crash") {
     val dir = freshDir()
     assert(TxLog.read(spark, dir).count() == 0L)
