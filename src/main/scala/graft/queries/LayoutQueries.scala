@@ -275,5 +275,74 @@ object LayoutQueries {
              |FROM src WHERE m IN (2, 3)
              |ORDER BY version ASC""".stripMargin),
       "time travel: every historical version == oracle state at that point; metadata row counts == scan counts as gated data"),
+
+    // ------------------------------------------------------------------
+    // q266 (r9): copy-on-write MERGE (upsert) through the commit log —
+    // the table starts as the o_orderkey % 3 = 0 slice of orders, then a
+    // source of UPDATES (% 6 = 0 rows with o_custkey shifted +1000000)
+    // and INSERTS (% 3 = 1 rows) merges on the key. The oracle computes
+    // the post-merge state directly from the fixture, so matched-row
+    // replacement, unmatched-row insertion, and untouched-row survival
+    // each land in the hash. File pruning (only key-range-intersecting
+    // files rewrite) is pinned by TxLogSpec — SQL can't see file
+    // identity. 100 TB: the rewrite is file-granular copy-on-write; a
+    // merge touching one partition's keys rewrites one partition.
+    GQuery(
+      "q266_txlog_merge",
+      (s, d) => {
+        val dir = tmpDir("txlogmg", d)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val ords = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        graft.sources.TxLog.append(s, dir, ords.filter(col("o_orderkey") % 3 === 0))
+        val src = ords.filter(col("o_orderkey") % 6 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L)
+          .unionByName(ords.filter(col("o_orderkey") % 3 === 1))
+        graft.sources.TxLog.merge(s, dir, src, "o_orderkey")
+        graft.sources.TxLog.read(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+          .orderBy(col("o_orderstatus").asc)
+      },
+      Some("""WITH final AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 6 = 0 THEN o_custkey + 1000000
+             |              ELSE o_custkey END AS o_custkey,
+             |         o_orderstatus
+             |  FROM orders WHERE o_orderkey % 3 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_orderstatus
+             |  FROM orders WHERE o_orderkey % 3 = 1)
+             |SELECT o_orderstatus,
+             |       CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+             |FROM final GROUP BY 1 ORDER BY o_orderstatus ASC""".stripMargin),
+      "copy-on-write MERGE: matched rows replaced, unmatched inserted, untouched intact == oracle's fixture-computed post-merge state"),
+
+    // ------------------------------------------------------------------
+    // q267 (r9): STREAMING ingest into the transactional table — the
+    // real micro-batch engine drives foreachBatch into
+    // TxLog.idempotentAppend (the Delta txn-action shape: each entry
+    // records its (appId, batchId), the snapshot tracks the high-water
+    // batch per app), then batch 0 is DELIBERATELY re-delivered — the
+    // at-least-once restart case every checkpointed sink must survive —
+    // and must change nothing. Exactly-once table state out of
+    // at-least-once delivery + idempotent commit, gated end-to-end:
+    // stream source → micro-batches → commit log → snapshot aggregate ==
+    // the oracle's closed-form over the emitted id range (any duplicate
+    // or lost batch breaks n AND sum_id). 100 TB: per batch one
+    // distributed parquet write + one O(1) driver log entry; replay
+    // suppression is a snapshot map lookup, never a table scan.
+    GQuery(
+      "q267_txlog_stream_sink",
+      (s, d) => graft.streaming.EventStreams.streamTxLogGate(
+        s, tmpDir("txlogsink", d), totalRows = 300, rowsPerBatch = 100),
+      Some("""SELECT i % 7 AS k,
+             |       CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(i) AS BIGINT) AS sum_id
+             |FROM range(0, 300) t(i)
+             |GROUP BY 1 ORDER BY k ASC""".stripMargin),
+      "streaming foreachBatch into the commit log with txn idempotency: replayed batch is a no-op, final state == closed-form oracle"),
   )
 }

@@ -65,7 +65,8 @@ object TxLog {
       add: Seq[String],    // table-relative paths
       remove: Seq[String],
       rowCounts: Seq[Long], // per added file, parquet-footer truth
-      stats: Seq[FileStats]) // per added file
+      stats: Seq[FileStats], // per added file
+      txns: Map[String, Long] = Map.empty) // appId -> highest committed batch
 
   final case class Snapshot(
       version: Long,
@@ -73,9 +74,28 @@ object TxLog {
       files: Seq[String],
       rows: Long,
       fileRows: Map[String, Long],
-      fileStats: Map[String, FileStats])
+      fileStats: Map[String, FileStats],
+      txns: Map[String, Long])
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Schema normalized to all-nullable for comparison/storage: a
+    * streaming micro-batch and its batch-frame replay differ only in
+    * nullability flags — never a semantic schema drift (and parquet
+    * reads everything back nullable anyway).
+    */
+  private def normSchemaJson(st: StructType): String = {
+    def nl(dt: DataType): DataType = dt match {
+      case t: StructType =>
+        StructType(t.fields.map(f => f.copy(dataType = nl(f.dataType), nullable = true)))
+      case t: org.apache.spark.sql.types.ArrayType =>
+        t.copy(elementType = nl(t.elementType), containsNull = true)
+      case t: org.apache.spark.sql.types.MapType =>
+        t.copy(valueType = nl(t.valueType), valueContainsNull = true)
+      case d => d
+    }
+    nl(st).asInstanceOf[StructType].json
+  }
 
   private def logDir(table: Path) = new Path(table, "_txlog")
   private def entryPath(table: Path, v: Long) = new Path(logDir(table), f"$v%020d.json")
@@ -95,6 +115,10 @@ object TxLog {
       m.foreach { case (c, (lo, hi)) =>
         val a = o.putArray(c); a.add(lo); a.add(hi)
       }
+    }
+    if (e.txns.nonEmpty) {
+      val tx = root.putObject("txns")
+      e.txns.foreach { case (a, b) => tx.put(a, b) }
     }
     (root.toString + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
@@ -123,7 +147,10 @@ object TxLog {
           n.get("remove").elements().asScala.map(_.asText()).toSeq,
           if (n.has("rowCounts")) n.get("rowCounts").elements().asScala.map(_.asLong()).toSeq
           else Seq.empty,
-          stats)
+          stats,
+          if (!n.has("txns")) Map.empty
+          else n.get("txns").properties().asScala
+            .map(en => en.getKey -> en.getValue.asLong()).toMap)
       }
     } catch { case _: Exception => null }
 
@@ -177,7 +204,8 @@ object TxLog {
     val fs = fsOf(spark, table)
     val (vsAll, csAll) = listLog(fs, table)
     val vs = asOf.fold(vsAll)(v => vsAll.filter(_ <= v))
-    if (vs.isEmpty) return Snapshot(0L, new StructType(), Seq.empty, 0L, Map.empty, Map.empty)
+    if (vs.isEmpty)
+      return Snapshot(0L, new StructType(), Seq.empty, 0L, Map.empty, Map.empty, Map.empty)
     // start from the newest parseable checkpoint <= asOf, replay forward
     val usable = asOf.fold(csAll)(v => csAll.filter(_ <= v))
     var base: Entry = null
@@ -187,6 +215,7 @@ object TxLog {
       if (e != null) { base = e; baseV = cv; true } else false
     }
     val files = scala.collection.mutable.LinkedHashMap[String, (Long, FileStats)]()
+    val txns = scala.collection.mutable.Map[String, Long]()
     var schemaJson = ""
     def applyEntry(e: Entry): Unit = {
       e.remove.foreach(files.remove)
@@ -194,6 +223,9 @@ object TxLog {
         files(e.add(i)) = (
           e.rowCounts.lift(i).getOrElse(0L),
           e.stats.lift(i).getOrElse(Map.empty))
+      }
+      e.txns.foreach { case (a, b) =>
+        txns(a) = math.max(txns.getOrElse(a, Long.MinValue), b)
       }
       schemaJson = e.schemaJson
     }
@@ -203,7 +235,8 @@ object TxLog {
         else DataType.fromJson(schemaJson).asInstanceOf[StructType]
       Snapshot(ver, schema, files.keys.toSeq, files.values.map(_._1).sum,
         files.map { case (f, (r, _)) => f -> r }.toMap,
-        files.map { case (f, (_, st)) => f -> st }.toMap)
+        files.map { case (f, (_, st)) => f -> st }.toMap,
+        txns.toMap)
     }
     if (base != null) applyEntry(base)
     val present = vs.toSet
@@ -273,6 +306,39 @@ object TxLog {
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Long =
     commitLoop(spark, dir, df, overwriteAll = true)
 
+  /** Idempotent append — the exactly-once STREAMING SINK primitive (the
+    * public Delta `txn` action shape): the entry records (appId,
+    * batchId), the snapshot tracks the highest committed batch per app,
+    * and a replayed batch (foreachBatch re-delivery after a restart, the
+    * at-least-once contract of checkpointed micro-batch sinks) commits
+    * NOTHING — so stream + txlog composes to exactly-once table state
+    * without any sink-side dedup scan.
+    */
+  def idempotentAppend(spark: SparkSession, dir: String, df: DataFrame,
+      appId: String, batchId: Long): Long = {
+    require(appId.nonEmpty, "txlog idempotentAppend needs a stable appId")
+    val pre = snapshot(spark, dir, None)
+    if (pre.txns.get(appId).exists(_ >= batchId)) return pre.version // replay: no-op
+    val (addRel, counts, stats) = writeData(spark, dir, df)
+    val schemaJson = normSchemaJson(df.schema)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val snap = snapshot(spark, dir, None)
+      if (snap.txns.get(appId).exists(_ >= batchId)) return snap.version // raced replay
+      if (snap.files.nonEmpty && snap.schema.json != schemaJson)
+        throw new IllegalArgumentException(
+          s"txlog append schema mismatch in $dir: table ${snap.schema.simpleString} vs data ${df.schema.simpleString}")
+      val entry = Entry(snap.version + 1, "append", schemaJson, addRel,
+        Seq.empty, counts, stats, Map(appId -> batchId))
+      if (tryClaim(spark, dir, entry)) {
+        maybeCheckpoint(spark, dir, snap.version + 1)
+        return snap.version + 1
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(s"txlog commit contention in $dir: $MaxRetries retries exhausted")
+  }
+
   /** Copy-on-write keyed MERGE (upsert): rows of `source` replace target
     * rows with the same `key`; unmatched source rows insert. Only files
     * whose logged key range intersects the source's key range are
@@ -294,7 +360,7 @@ object TxLog {
   private[graft] def mergeAt(spark: SparkSession, dir: String, source: DataFrame, key: String,
       snap: Snapshot): Long = {
     require(snap.files.nonEmpty, s"txlog merge into an empty table $dir: use append")
-    require(snap.schema.json == source.schema.json,
+    require(snap.schema.json == normSchemaJson(source.schema),
       s"txlog merge schema mismatch in $dir: table ${snap.schema.simpleString} vs source ${source.schema.simpleString}")
     val bounds = source.agg(smin(col(key)).cast(LongType), smax(col(key)).cast(LongType)).head()
     if (bounds.isNullAt(0)) return snap.version // empty source: no-op
@@ -392,7 +458,7 @@ object TxLog {
 
   private def commitLoop(spark: SparkSession, dir: String, df: DataFrame, overwriteAll: Boolean): Long = {
     val (addRel, counts, stats) = writeData(spark, dir, df)
-    val schemaJson = df.schema.json
+    val schemaJson = normSchemaJson(df.schema)
     var attempt = 0
     while (attempt < MaxRetries) {
       val snap = snapshot(spark, dir, None)
@@ -417,7 +483,7 @@ object TxLog {
       val fs = fsOf(spark, table)
       val snap = snapshot(spark, dir, Some(v))
       val entry = Entry(v, "checkpoint", snap.schema.json, snap.files, Seq.empty,
-        snap.files.map(snap.fileRows), snap.files.map(snap.fileStats))
+        snap.files.map(snap.fileRows), snap.files.map(snap.fileStats), snap.txns)
       val out = fs.create(ckptPath(table, v), true) // checkpoints are idempotent
       try out.write(writeJson(entry)) finally out.close()
     } catch { case _: Exception => () } // best-effort: replay still works

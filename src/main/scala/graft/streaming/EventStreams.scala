@@ -461,6 +461,51 @@ object EventStreams {
     * exactly once and every survivor is id == k; batches commit in offset
     * order. Scale: state is one entry per canonical key, watermark-expired.
     */
+  /** STREAMING ingest into the TRANSACTIONAL table (q267): the real
+    * micro-batch engine drives foreachBatch, each batch lands through
+    * [[graft.sources.TxLog.idempotentAppend]] with its (appId, batchId)
+    * txn action, and a DELIBERATE replay of batch 0 afterwards — the
+    * at-least-once re-delivery every checkpointed sink must survive —
+    * must change nothing. Exactly-once table state = at-least-once
+    * delivery + idempotent transactional commit, the composition this
+    * gate pins end-to-end (stream source → micro-batches → commit log →
+    * snapshot read). Scale: each micro-batch is one O(batch) distributed
+    * parquet write + one O(1) driver-side log entry; replay suppression
+    * is a map lookup in the snapshot, never a dedup scan of the table.
+    */
+  def streamTxLogGate(
+      spark: SparkSession,
+      dir: String,
+      totalRows: Long = 300,
+      rowsPerBatch: Long = 100): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_txsink_ckpt").toString
+    val raw = spark.readStream.format("graft.sources.GraftStreamSource")
+      .option("maxRows", totalRows.toString)
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .load()
+    val rows = raw.select(col("id"), (col("id") % 7).as("k"))
+    val q = rows.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.TxLog.idempotentAppend(
+          batch.sparkSession, dir, batch, "q267_sink", batchId)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the restart/at-least-once case the idempotent sink exists for:
+    // re-deliver batch 0 verbatim — the table must not change
+    val replay = spark.range(0, rowsPerBatch).toDF("id")
+      .select(col("id"), (col("id") % 7).as("k"))
+    graft.sources.TxLog.idempotentAppend(spark, dir, replay, "q267_sink", 0L)
+    graft.sources.TxLog.read(spark, dir)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+      .orderBy(col("k").asc)
+  }
+
   def streamCanonicalGate(
       spark: SparkSession,
       totalRows: Long = 300,

@@ -187,6 +187,28 @@ class TxLogSpec extends SparkTestBase {
     assert(TxLog.read(spark, dir).as[(Long, String)].collect().toMap.apply(1L) == "v1")
   }
 
+  test("idempotentAppend: replays and stale batches are no-ops, apps are independent") {
+    val dir = freshDir()
+    assert(TxLog.idempotentAppend(spark, dir, batch(0, 5), "appA", 0L) == 1L)
+    assert(TxLog.idempotentAppend(spark, dir, batch(5, 8), "appA", 1L) == 2L)
+    // exact replay of batch 1: no-op at the same version
+    assert(TxLog.idempotentAppend(spark, dir, batch(5, 8), "appA", 1L) == 2L)
+    // a STALE batch (restart replaying from an old offset): also a no-op
+    assert(TxLog.idempotentAppend(spark, dir, batch(0, 5), "appA", 0L) == 2L)
+    assert(TxLog.read(spark, dir).count() == 8L)
+    // a different app's batch 0 is independent and commits
+    assert(TxLog.idempotentAppend(spark, dir, batch(100, 102), "appB", 0L) == 3L)
+    assert(TxLog.read(spark, dir).count() == 10L)
+    assert(TxLog.snapshot(spark, dir).txns == Map("appA" -> 1L, "appB" -> 0L))
+    // the high-water marks survive a checkpoint: force one, then replay
+    for (i <- 0 until TxLog.CheckpointInterval)
+      TxLog.append(spark, dir, batch(200 + i, 201 + i))
+    val n = TxLog.read(spark, dir).count()
+    assert(TxLog.idempotentAppend(spark, dir, batch(5, 8), "appA", 1L) ==
+      TxLog.snapshot(spark, dir).version) // still a no-op post-checkpoint
+    assert(TxLog.read(spark, dir).count() == n)
+  }
+
   test("empty and absent tables read as zero rows, never a crash") {
     val dir = freshDir()
     assert(TxLog.read(spark, dir).count() == 0L)
