@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+import org.apache.spark.sql.functions.{col, count => scount, lit, max => smax, min => smin}
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
 
 /** Minimal Delta-style TRANSACTIONAL table format over parquet — the
@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * commit, so data writes NEVER overwrite and need no rename dance.
   *
   * Concurrency (optimistic, writer-writer): a commit is the atomic
-  * creation of the next version file with create(overwrite = false) —
-  * atomic on HDFS (namenode create) and on local file systems (O_EXCL).
+  * creation of the next version file — create(overwrite = false) on
+  * HDFS (an atomic namenode operation) and java.nio createFile
+  * (O_CREAT|O_EXCL) on local paths, because Hadoop's LocalFileSystem
+  * implements no-overwrite create as a non-atomic exists()-then-open.
   * On collision an append/overwrite re-reads the snapshot, re-resolves
   * (appends never conflict semantically; an overwrite recomputes its
   * remove set against the fresh state), and retries the next version; a
@@ -157,6 +159,12 @@ object TxLog {
   private def fsOf(spark: SparkSession, table: Path): FileSystem =
     table.getFileSystem(spark.sessionState.newHadoopConf())
 
+  private def isLocalFs(fs: FileSystem): Boolean = fs match {
+    case _: org.apache.hadoop.fs.RawLocalFileSystem => true
+    case _: org.apache.hadoop.fs.LocalFileSystem => true
+    case _ => false
+  }
+
   /** readEntry with bounded patience: create(no-overwrite) atomically
     * CLAIMS a version, but the entry's bytes land between create and
     * close, so another process can observe the file before its content —
@@ -204,8 +212,16 @@ object TxLog {
     val fs = fsOf(spark, table)
     val (vsAll, csAll) = listLog(fs, table)
     val vs = asOf.fold(vsAll)(v => vsAll.filter(_ <= v))
-    if (vs.isEmpty)
+    if (vs.isEmpty) {
+      // distinguish "the table was never written" / "asOf 0 = the empty
+      // table" from "that version predates vacuum retention" — reading a
+      // vacuumed version as empty would be silent data loss
+      val minRetained = (vsAll ++ csAll).minOption
+      if (asOf.exists(_ > 0L) && minRetained.exists(_ > asOf.get))
+        throw new IllegalStateException(
+          s"txlog version ${asOf.get} in $dir predates vacuum retention (oldest retained: ${minRetained.get})")
       return Snapshot(0L, new StructType(), Seq.empty, 0L, Map.empty, Map.empty, Map.empty)
+    }
     // start from the newest parseable checkpoint <= asOf, replay forward
     val usable = asOf.fold(csAll)(v => csAll.filter(_ <= v))
     var base: Entry = null
@@ -362,10 +378,19 @@ object TxLog {
     require(snap.files.nonEmpty, s"txlog merge into an empty table $dir: use append")
     require(snap.schema.json == normSchemaJson(source.schema),
       s"txlog merge schema mismatch in $dir: table ${snap.schema.simpleString} vs source ${source.schema.simpleString}")
-    val bounds = source.agg(smin(col(key)).cast(LongType), smax(col(key)).cast(LongType)).head()
-    if (bounds.isNullAt(0)) return snap.version // empty source: no-op
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val (touched, untouched) = snap.files.partition { f =>
+    val bounds = source
+      .agg(scount(lit(1)), smin(col(key)).cast(LongType), smax(col(key)).cast(LongType))
+      .head()
+    if (bounds.getLong(0) == 0L) return snap.version // empty source: no-op
+    // a NON-empty source with null/un-castable key bounds must fail, not
+    // silently no-op: all-NULL keys or a non-integer key type would
+    // otherwise discard every update (review r9 finding)
+    if (bounds.isNullAt(1) || bounds.isNullAt(2))
+      throw new IllegalArgumentException(
+        s"txlog merge key '$key' in $dir yields no integer bounds — all-NULL or non-castable key column")
+    val (lo, hi) = (bounds.getLong(1), bounds.getLong(2))
+    // untouched files carry over by NOT being in the remove set
+    val touched = snap.files.filter { f =>
       snap.fileStats.get(f).flatMap(_.get(key)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
@@ -381,7 +406,6 @@ object TxLog {
       throw new java.util.ConcurrentModificationException(
         s"txlog merge lost the race at version ${snap.version + 1} in $dir — recompute against the new snapshot")
     maybeCheckpoint(spark, dir, snap.version + 1)
-    val _ = untouched // untouched files carry over by NOT being removed
     snap.version + 1
   }
 
@@ -443,14 +467,32 @@ object TxLog {
     val table = new Path(dir)
     val fs = fsOf(spark, table)
     if (!fs.mkdirs(logDir(table)) && !fs.exists(logDir(table))) return false
+    // The atomicity primitive. On HDFS, create(overwrite = false) is an
+    // atomic namenode operation. Hadoop's LOCAL filesystem, however,
+    // implements it as exists()-then-open — two racing writers can both
+    // pass the check (review r9 finding) — so local paths claim through
+    // java.nio Files.createFile, which IS O_CREAT|O_EXCL: exactly one
+    // winner, the loser gets FileAlreadyExistsException. The winner then
+    // writes its bytes into the claimed file; a reader observing the
+    // empty/partial window is the in-flight case readEntryPatient covers.
+    val ep = entryPath(table, entry.version)
     val created =
       try {
-        val out = fs.create(entryPath(table, entry.version), false) // the atomicity primitive
-        try out.write(writeJson(entry)) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (!created &&
-      readEntryPatient(fs, entryPath(table, entry.version), patienceMs = 2000) == null)
+        if (isLocalFs(fs)) {
+          val nio = java.nio.file.Paths.get(ep.toUri.getPath)
+          java.nio.file.Files.createFile(nio) // atomic O_EXCL claim
+          java.nio.file.Files.write(nio, writeJson(entry))
+          true
+        } else {
+          val out = fs.create(ep, false)
+          try out.write(writeJson(entry)) finally out.close()
+          true
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    if (!created && readEntryPatient(fs, ep, patienceMs = 2000) == null)
       throw new IllegalStateException(
         s"txlog torn entry at version ${entry.version} in $dir — repair required")
     created
@@ -488,29 +530,63 @@ object TxLog {
       try out.write(writeJson(entry)) finally out.close()
     } catch { case _: Exception => () } // best-effort: replay still works
 
-  /** Delete data files no longer live in the LATEST snapshot and log
-    * entries older than the newest checkpoint (time travel keeps working
-    * back to that checkpoint; earlier versions are gone — the documented
-    * retention trade, same as any lake's VACUUM).
+  /** VACUUM with the three guards a concurrent lake needs (review r9
+    * findings, the same shape Delta documents):
+    *
+    *  - RETENTION: a file is live if ANY retained version references it —
+    *    retained = the newest PARSEABLE checkpoint and everything after —
+    *    so time travel back to that checkpoint keeps working after the
+    *    vacuum (earlier versions are gone; [[snapshot]] refuses them
+    *    loudly instead of reading them as empty).
+    *  - GRACE WINDOW (`graceMs`, default 10 min): a data file younger
+    *    than the window is never deleted — it may belong to an in-flight
+    *    commit that has written its files but not yet claimed its log
+    *    entry. Deleting it would let the commit land referencing missing
+    *    data. Tests that own the table exclusively may pass 0.
+    *  - CHECKPOINT TRUST: log-entry retention keys on a checkpoint that
+    *    PARSES — a torn checkpoint (crash inside the best-effort
+    *    checkpoint write) must not cause the entries the replay still
+    *    needs to be deleted.
     */
-  def vacuum(spark: SparkSession, dir: String): Long = {
+  def vacuum(spark: SparkSession, dir: String, graceMs: Long = 10 * 60 * 1000L): Long = {
     val table = new Path(dir)
     val fs = fsOf(spark, table)
-    val snap = snapshot(spark, dir, None)
-    val live = snap.files.toSet
+    val (vs, cs) = listLog(fs, table)
+    if (vs.isEmpty) return 0L
+    val ckParseable = cs.sorted.reverse.find(cv => readEntry(fs, ckptPath(table, cv)) != null)
+    // files referenced by ANY retained log document (checkpoint + after)
+    val retainedFrom = ckParseable.getOrElse(0L)
+    val live = scala.collection.mutable.Set[String]()
+    ckParseable.foreach(cv => live ++= readEntry(fs, ckptPath(table, cv)).add)
+    vs.filter(_ >= retainedFrom).foreach { v =>
+      val e = readEntry(fs, entryPath(table, v))
+      if (e != null) live ++= e.add
+    }
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = new Path(table, "data")
     var removed = 0L
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).foreach { d =>
+        def isMarker(n: String) = n.startsWith("_") || n.startsWith(".")
         fs.listStatus(d.getPath).foreach { f =>
-          val rel = s"data/${d.getPath.getName}/${f.getPath.getName}"
-          if (!live.contains(rel)) { fs.delete(f.getPath, false); removed += 1 }
+          val name = f.getPath.getName
+          val rel = s"data/${d.getPath.getName}/$name"
+          // only DATA files count toward `removed` — _SUCCESS/.crc
+          // markers ride along when their directory empties below
+          if (!isMarker(name) && !live.contains(rel) && f.getModificationTime < cutoff) {
+            fs.delete(f.getPath, false); removed += 1
+          }
         }
-        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
+        val remaining = fs.listStatus(d.getPath)
+        // a directory left with only write markers (or nothing) is spent —
+        // but only past the grace window: an in-flight commit's directory
+        // can transiently look marker-only while its parts stream in
+        if (remaining.forall(f => isMarker(f.getPath.getName)) &&
+          d.getModificationTime < cutoff)
+          fs.delete(d.getPath, true)
       }
     }
-    val (vs, cs) = listLog(fs, table)
-    cs.sorted.lastOption.foreach { ck =>
+    ckParseable.foreach { ck =>
       vs.filter(_ < ck).foreach(v => fs.delete(entryPath(table, v), false))
       cs.filter(_ < ck).foreach(v => fs.delete(ckptPath(table, v), false))
     }

@@ -101,7 +101,7 @@ class TxLogSpec extends SparkTestBase {
     assertThrows[IllegalStateException] { TxLog.snapshot(spark, dir) }
   }
 
-  test("checkpoint bounds replay; vacuum drops dead files, keeps live history") {
+  test("checkpoint bounds replay; vacuum honors retention, grace, and refuses vacuumed versions") {
     val dir = freshDir()
     for (i <- 0 until TxLog.CheckpointInterval) // versions 1..10 → checkpoint at 10
       TxLog.append(spark, dir, batch(i * 10, i * 10 + 10))
@@ -109,20 +109,26 @@ class TxLogSpec extends SparkTestBase {
       f"${TxLog.CheckpointInterval.toLong}%020d.checkpoint.json")
     assert(java.nio.file.Files.exists(ckpt), "checkpoint not written")
     assert(TxLog.read(spark, dir).count() == 100L)
-    // overwrite makes all 10 earlier data dirs dead
+    // overwrite (v11) makes all 10 earlier data dirs dead at HEAD — but
+    // the v10 checkpoint still references them: RETENTION must keep them
+    // so time travel back to the checkpoint works after the vacuum
     TxLog.overwrite(spark, dir, batch(0, 5))
-    val removed = TxLog.vacuum(spark, dir)
-    assert(removed > 0L, "vacuum removed nothing")
-    // latest still reads; pre-checkpoint log entries are gone by retention
-    assert(TxLog.read(spark, dir).count() == 5L)
-    val logs = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_txlog"))
-      .toArray.map(_.toString).count(_.endsWith(".json"))
-    assert(logs >= 2) // checkpoint + the overwrite entry at least
-    // a vacuumed historical version's DATA is gone: reading it now fails
-    // (retention trade documented on vacuum) — version metadata may
-    // still resolve, so assert the scan itself breaks or returns empty
-    val v1 = try TxLog.read(spark, dir, Some(1L)).count() catch { case _: Exception => -1L }
-    assert(v1 == -1L || v1 == 0L)
+    assert(TxLog.vacuum(spark, dir, graceMs = 0L) == 0L,
+      "vacuum deleted files a retained version still references")
+    assert(TxLog.read(spark, dir, Some(10L)).count() == 100L)
+    // advance past a SECOND checkpoint (v12..v20): the old files fall
+    // out of retention — but the GRACE window still protects young files
+    // (they could be an in-flight commit's not-yet-referenced data)
+    for (i <- 0 until 9) TxLog.append(spark, dir, batch(300 + i, 301 + i))
+    assert(TxLog.vacuum(spark, dir, graceMs = 3600L * 1000L) == 0L,
+      "vacuum ignored the grace window")
+    val removed = TxLog.vacuum(spark, dir, graceMs = 0L)
+    assert(removed > 0L, "vacuum removed nothing past retention")
+    assert(TxLog.read(spark, dir).count() == 14L) // 5 + 9 singles
+    assert(TxLog.read(spark, dir, Some(20L)).count() == 14L) // the checkpoint version reads
+    // a pre-retention version refuses LOUDLY — reading it as empty would
+    // be silent data loss
+    assertThrows[IllegalStateException] { TxLog.read(spark, dir, Some(10L)) }
   }
 
   test("merge: updates replace, inserts land, untouched rows intact") {
@@ -139,6 +145,10 @@ class TxLogSpec extends SparkTestBase {
     assert(TxLog.read(spark, dir, Some(1L)).as[(Long, String)].collect().toMap.apply(3L) == "v3")
     // empty source is a no-op at the same version
     assert(TxLog.merge(spark, dir, batch(0, 0), "id") == 2L)
+    // a NON-empty source whose key is all NULL must fail loudly — a
+    // silent no-op would discard every update (review r9 finding)
+    val nullKey = batch(0, 1).select(lit(null).cast("long").as("id"), col("s"))
+    assertThrows[IllegalArgumentException] { TxLog.merge(spark, dir, nullKey, "id") }
   }
 
   test("merge prunes by file stats: files outside the source key range survive by reference") {
