@@ -344,5 +344,86 @@ object LayoutQueries {
              |FROM range(0, 300) t(i)
              |GROUP BY 1 ORDER BY k ASC""".stripMargin),
       "streaming foreachBatch into the commit log with txn idempotency: replayed batch is a no-op, final state == closed-form oracle"),
+
+    // ------------------------------------------------------------------
+    // q268 (r9): clustered COMPACTION (OPTIMIZE) + pruned read — two
+    // interleaved appends leave every file spanning the whole key range;
+    // optimize rewrites the live set range-partitioned on l_orderkey, so
+    // the logged per-file min/max become disjoint and readPruned's file
+    // skipping turns sharp. The gate reads a key range through the
+    // PRUNED path after the optimize: content identity (optimize is
+    // layout-only) AND pruned-read correctness land in the hash — the
+    // oracle is a plain WHERE BETWEEN over the fixture. File-count
+    // sharpness (not SQL-visible) is pinned by TxLogSpec. 100 TB:
+    // clustering is the write-side property that makes file-stats
+    // pruning work at all — a merge or range read over a clustered
+    // table touches O(range) files, not O(table).
+    GQuery(
+      "q268_txlog_optimize",
+      (s, d) => {
+        val dir = tmpDir("txlogopt", d)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 2 === 0))
+        graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 2 === 1))
+        graft.sources.TxLog.optimize(s, dir, Seq("l_orderkey"), targetFiles = 8)
+        graft.sources.TxLog.readPruned(s, dir, "l_orderkey", 1000L, 3000L)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc)
+      },
+      Some("""SELECT l_returnflag,
+             |       CAST(COUNT(*) AS BIGINT) AS n,
+             |       SUM(l_quantity) AS sum_qty
+             |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+             |GROUP BY 1 ORDER BY l_returnflag ASC""".stripMargin),
+      "clustered compaction then file-stats-pruned range read: layout-only rewrite + sharp skipping == plain WHERE oracle"),
+
+    // ------------------------------------------------------------------
+    // q269 (r9): CHANGE FEED (file-granular CDC) over the full lifecycle
+    // — append/append/overwrite/append, then every row the commits added
+    // or removed, tagged (version, change_type). The oracle computes the
+    // same feed closed-form from the fixture: an append's inserts are
+    // its slice, the overwrite's deletes are the union of everything
+    // before it plus its own inserts. Incremental downstream processing
+    // (the training-pipeline "what changed since I last ran" question)
+    // reads this instead of diffing snapshots. 100 TB: the feed scans
+    // only the delta's files — never the table.
+    GQuery(
+      "q269_txlog_changes",
+      (s, d) => {
+        val dir = tmpDir("txlogcdc", d)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val ords = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        graft.sources.TxLog.append(s, dir, ords.filter(col("o_orderkey") % 4 === 0))
+        graft.sources.TxLog.append(s, dir, ords.filter(col("o_orderkey") % 4 === 1))
+        graft.sources.TxLog.overwrite(s, dir, ords.filter(col("o_orderkey") % 4 === 2))
+        graft.sources.TxLog.append(s, dir, ords.filter(col("o_orderkey") % 4 === 3))
+        graft.sources.TxLog.changes(s, dir, 0L, 4L)
+          .groupBy(col("_version").as("version"), col("_change_type").as("change"))
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+          .orderBy(col("version").asc, col("change").asc)
+      },
+      Some("""WITH src AS (SELECT o_orderkey % 4 AS m, o_custkey FROM orders)
+             |SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change,
+             |       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+             |FROM src WHERE m = 0
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT),
+             |       CAST(SUM(o_custkey) AS BIGINT) FROM src WHERE m = 1
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), 'delete', CAST(COUNT(*) AS BIGINT),
+             |       CAST(SUM(o_custkey) AS BIGINT) FROM src WHERE m IN (0, 1)
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT),
+             |       CAST(SUM(o_custkey) AS BIGINT) FROM src WHERE m = 2
+             |UNION ALL
+             |SELECT CAST(4 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT),
+             |       CAST(SUM(o_custkey) AS BIGINT) FROM src WHERE m = 3
+             |ORDER BY version ASC, change ASC""".stripMargin),
+      "file-granular change feed over the lifecycle: per-version insert/delete rows == closed-form fixture oracle"),
   )
 }

@@ -409,6 +409,81 @@ object TxLog {
     snap.version + 1
   }
 
+  /** Clustered COMPACTION (the lake OPTIMIZE/cluster-by operation):
+    * rewrite the CURRENT live file set range-partitioned and sorted by
+    * `clusterCols` into ~`targetFiles` files — after it, each file
+    * covers a near-disjoint range of the cluster key, so the logged
+    * min/max stats make [[readPruned]] and [[merge]]'s file pruning
+    * sharp instead of best-effort (the Z-order/cluster-by payoff:
+    * data-skipping effectiveness is a WRITE-side property). Content is
+    * bit-identical — only layout changes. Serializable-or-abort like
+    * merge: the rewrite is computed against one snapshot and never
+    * publishes over a concurrent commit.
+    */
+  def optimize(spark: SparkSession, dir: String, clusterCols: Seq[String],
+      targetFiles: Int): Long = {
+    require(clusterCols.nonEmpty && targetFiles >= 1)
+    val snap = snapshot(spark, dir, None)
+    if (snap.files.isEmpty) return snap.version
+    val clustered = scanFiles(spark, dir, snap, snap.files)
+      .repartitionByRange(targetFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+    val (addRel, counts, stats) = writeData(spark, dir, clustered)
+    val entry = Entry(snap.version + 1, "optimize", snap.schema.json,
+      addRel, snap.files, counts, stats)
+    if (!tryClaim(spark, dir, entry))
+      throw new java.util.ConcurrentModificationException(
+        s"txlog optimize lost the race at version ${snap.version + 1} in $dir")
+    maybeCheckpoint(spark, dir, snap.version + 1)
+    snap.version + 1
+  }
+
+  /** CHANGE FEED (file-granular CDC): every row added or removed by the
+    * commits in (fromExclusive, toInclusive], tagged `_change_type`
+    * ("insert" | "delete") and `_version`. An append yields inserts; an
+    * overwrite yields deletes of the prior state plus inserts; a merge
+    * yields delete+insert pairs for every row of the files it rewrote
+    * (file-granular CDC — an update appears as its delete/insert pair,
+    * carried rows appear as a no-op pair; exact row-level CDC would need
+    * per-row tracking the format deliberately does not pay for). An
+    * `optimize` is layout-only and contributes NOTHING to the feed.
+    * Requires the range's entries and removed files to still exist —
+    * i.e. run the feed before vacuum retention passes it (missing data
+    * fails loudly, never silently shrinks the delta).
+    */
+  def changes(spark: SparkSession, dir: String, fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val table = new Path(dir)
+    val fs = fsOf(spark, table)
+    import org.apache.spark.sql.functions.{lit => slit}
+    // schema of the state BEFORE each version (removed files were written
+    // under it) — replay schemas from the start
+    val (vsAll, _) = listLog(fs, table)
+    var parts = Vector.empty[DataFrame]
+    var prevSchemaJson = ""
+    vsAll.filter(_ <= toInclusive).foreach { v =>
+      val e = readEntry(fs, entryPath(table, v))
+      if (e == null)
+        throw new IllegalStateException(s"txlog changes: entry $v unreadable in $dir (vacuumed or torn)")
+      if (v > fromExclusive && e.operation != "optimize") {
+        def scan(files: Seq[String], schemaJson: String): Option[DataFrame] =
+          if (files.isEmpty || schemaJson.isEmpty) None
+          else Some(spark.read
+            .schema(DataType.fromJson(schemaJson).asInstanceOf[StructType])
+            .parquet(files.map(f => s"$dir/$f"): _*))
+        scan(e.add, e.schemaJson).foreach(df => parts :+=
+          df.withColumn("_change_type", slit("insert")).withColumn("_version", slit(v)))
+        scan(e.remove, prevSchemaJson).foreach(df => parts :+=
+          df.withColumn("_change_type", slit("delete")).withColumn("_version", slit(v)))
+      }
+      prevSchemaJson = e.schemaJson
+    }
+    if (parts.isEmpty) {
+      val snap = snapshot(spark, dir, Some(toInclusive))
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        snap.schema.add("_change_type", "string").add("_version", "long"))
+    } else parts.reduce(_ unionByName _)
+  }
+
   /** Write df's files under a commit-unique directory and return
     * (relative paths, footer row counts, footer INT64 min/max stats).
     * Data is unreferenced until a log entry lands — a crash here leaks

@@ -219,6 +219,45 @@ class TxLogSpec extends SparkTestBase {
     assert(TxLog.read(spark, dir).count() == n)
   }
 
+  test("optimize clusters files: content identical, pruning becomes sharp, feed-silent") {
+    val dir = freshDir()
+    // interleaved appends: every file spans the whole key range, so
+    // range pruning is blunt (all files open)
+    for (b <- 0 until 4)
+      TxLog.append(spark, dir,
+        (0 until 400 by 4).map(i => ((i + b).toLong, s"v${i + b}")).toDF("id", "s")
+          .repartition(1))
+    val before = TxLog.read(spark, dir).as[(Long, String)].collect().sorted.toSeq
+    assert(TxLog.readPruned(spark, dir, "id", 0L, 49L).inputFiles.length == 4)
+    val v = TxLog.optimize(spark, dir, Seq("id"), targetFiles = 8)
+    val after = TxLog.read(spark, dir).as[(Long, String)].collect().sorted.toSeq
+    assert(after == before, "optimize changed table content")
+    val opened = TxLog.readPruned(spark, dir, "id", 0L, 49L).inputFiles.length
+    assert(opened <= 2, s"pruning still blunt after optimize: $opened files")
+    // layout-only: the change feed is empty across an optimize
+    assert(TxLog.changes(spark, dir, v - 1, v).count() == 0L)
+  }
+
+  test("change feed: inserts, overwrite delete+insert, windows, merge pairs") {
+    val dir = freshDir()
+    TxLog.append(spark, dir, batch(0, 5))        // v1: +5
+    TxLog.append(spark, dir, batch(5, 8))        // v2: +3
+    TxLog.overwrite(spark, dir, batch(100, 102)) // v3: -8 +2
+    val got = TxLog.changes(spark, dir, 0L, 3L)
+      .groupBy(col("_version"), col("_change_type")).count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "insert", 5L), (2L, "insert", 3L),
+      (3L, "delete", 8L), (3L, "insert", 2L)))
+    // windowed feed
+    assert(TxLog.changes(spark, dir, 1L, 2L).count() == 3L)
+    assert(TxLog.changes(spark, dir, 3L, 3L).count() == 0L) // empty window
+    // merge: the update appears as its delete+insert pair
+    TxLog.merge(spark, dir, Seq((100L, "U")).toDF("id", "s"), "id") // v4
+    val m = TxLog.changes(spark, dir, 3L, 4L).as[(Long, String, String, Long)].collect()
+    assert(m.exists { case (id, s2, ct, _) => id == 100L && s2 == "U" && ct == "insert" })
+    assert(m.exists { case (id, s2, ct, _) => id == 100L && s2 == "v100" && ct == "delete" })
+  }
+
   test("empty and absent tables read as zero rows, never a crash") {
     val dir = freshDir()
     assert(TxLog.read(spark, dir).count() == 0L)
