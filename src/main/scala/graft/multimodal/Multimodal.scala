@@ -1736,6 +1736,78 @@ object Multimodal {
       }
       out.result()
     }
+
+    /** REAL compressed-video frame decode: MJPEG (fourcc MJPG) — each
+      * '00dc' chunk is a complete JPEG image, decoded with the JDK's own
+      * ImageIO codec (the same real-decode tier as the PNG/JPEG image
+      * gates; no codec jar). Per frame: container-declared vs decoded
+      * geometry and the three channel sums — JPEG is lossy, so a gate
+      * compares the sums against the source formula with the measured
+      * ±8/pixel margin (the q236 JPEG-roundtrip precedent) instead of
+      * exactly. Frames that fail to decode or disagree on geometry are
+      * DROPPED (corrupt-media contract), so a frame-count mismatch is
+      * itself a gate signal. Scale: payload-local mapPartitions decode,
+      * five numbers per frame shuffle.
+      */
+    def mjpegFrameFeatures(media: Dataset[MediaRow]): DataFrame = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { rows =>
+        rows.filter(_.payload != null).flatMap(r => decodeMjpegFrames(r.media_id, r.payload))
+      }.toDF("media_id", "frame_idx", "n_frames", "width", "height",
+        "sum_r", "sum_g", "sum_b")
+    }
+
+    private[graft] def decodeMjpegFrames(id: Long, p: Array[Byte])
+        : Seq[(Long, Int, Long, Int, Int, Long, Long, Long)] = {
+      def le32(o: Int): Long = ContainerCodec.le32(p, o)
+      def fcc(o: Int, s: String): Boolean = ContainerCodec.fccIs(p, o, s)
+      val (w, h, n, _, _) = ContainerCodec.parseAvi(p)
+      if (w <= 0 || h <= 0) return Seq.empty
+      val out = Seq.newBuilder[(Long, Int, Long, Int, Int, Long, Long, Long)]
+      var idx = 0
+      var off = 12L
+      while (off + 12 <= p.length) {
+        val o = off.toInt
+        val size = le32(o + 4)
+        val body = off + 8
+        if (fcc(o, "LIST") && size >= 4 && fcc(o + 8, "movi")) {
+          var so = body + 4
+          val end = math.min(body + size, p.length.toLong)
+          var sok = true
+          while (sok && so + 8 <= end) {
+            val s2 = so.toInt
+            val ssz = le32(s2 + 4)
+            if (so + 8 + ssz > end) sok = false
+            else {
+              if (fcc(s2, "00dc") && ssz >= 4) {
+                val bytes = java.util.Arrays.copyOfRange(p, s2 + 8, (so + 8 + ssz).toInt)
+                val img =
+                  try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+                  catch { case _: Exception => null }
+                if (img != null && img.getWidth == w && img.getHeight == h) {
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y)
+                      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  out += ((id, idx, n, w, h, sr, sg, sb))
+                }
+                idx += 1
+              }
+              so += 8 + ssz + (ssz & 1)
+            }
+          }
+        }
+        off = body + size + (size & 1)
+      }
+      out.result()
+    }
   }
 
   /** Deterministic spec-conformant media payload builders. These exist so
@@ -2286,6 +2358,76 @@ object Multimodal {
           fy -= 1
         }
         f += 1
+      }
+      bb.array()
+    }
+
+    /** AVI carrying REAL MJPEG frames (fourcc MJPG, biCompression MJPG):
+      * each '00dc' chunk is a genuine JDK-encoded JPEG of a SMOOTH
+      * per-frame RGB gradient (linear terms only — every channel value
+      * stays < 256 at these dims, so there are no mod-wrap edges and the
+      * codec's roundtrip error stays far inside the gate's ±8/pixel
+      * margin; measured ≤ 4 in FormatDepthSpec's JPEG precedent).
+      * Geometry/count are formulas of `key`, chunk bodies are sized per
+      * frame and padded to even per RIFF.
+      */
+    def aviMjpeg(key: Long): Array[Byte] = {
+      val w = 16 + (key % 13).toInt
+      val h = 16 + (key % 9).toInt
+      val n = 2 + (key % 3).toInt
+      val mspf = (20000L * (1 + key % 5)).toInt
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val frames = (0 until n).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = 3 * x + 2 * y + ((f * 17 + key) % 64).toInt
+            val g = 2 * x + 3 * y + ((f * 11 + key) % 32).toInt
+            val b = x + y + ((f * 7 + key) % 16).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val frameSpace = frames.map(fb => 8 + fb.length + (fb.length & 1)).sum
+      val maxFrame = frames.map(_.length).max
+      val strlSize = 4 + (8 + 56) + (8 + 40)
+      val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+      val moviSize = 4 + frameSpace
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(ascii)).putInt(riffSize).put("AVI ".getBytes(ascii))
+      bb.put("LIST".getBytes(ascii)).putInt(hdrlSize).put("hdrl".getBytes(ascii))
+      bb.put("avih".getBytes(ascii)).putInt(56)
+        .putInt(mspf).putInt(0).putInt(0).putInt(0)
+        .putInt(n).putInt(0).putInt(1).putInt(maxFrame)
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.put("LIST".getBytes(ascii)).putInt(strlSize).put("strl".getBytes(ascii))
+      bb.put("strh".getBytes(ascii)).putInt(56)
+        .put("vids".getBytes(ascii)).put("MJPG".getBytes(ascii))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(mspf).putInt(1000000).putInt(0)
+        .putInt(n).putInt(maxFrame).putInt(0).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      bb.put("strf".getBytes(ascii)).putInt(40)
+        .putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24)
+        .put("MJPG".getBytes(ascii)) // biCompression fourcc
+        .putInt(maxFrame)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.put("LIST".getBytes(ascii)).putInt(moviSize).put("movi".getBytes(ascii))
+      frames.foreach { fb =>
+        bb.put("00dc".getBytes(ascii)).putInt(fb.length).put(fb)
+        if ((fb.length & 1) == 1) bb.put(0.toByte)
       }
       bb.array()
     }

@@ -963,5 +963,60 @@ object FormatDepthQueries {
              |       true AS err_ok, true AS peak_ok
              |FROM documents ORDER BY media_id ASC""".stripMargin),
       "MS ADPCM block decode (7 rotating predictor pairs, high-first nibbles): exact count/first-sample + bounded reconstruction error vs encoded triangle wave"),
+
+    // ------------------------------------------------------------------
+    // q270 (r9): REAL compressed-VIDEO frame decode — MJPEG (fourcc
+    // MJPG), the codec of capture cards and legacy cameras, and the one
+    // compressed video format a pure JVM can genuinely decode (each
+    // '00dc' chunk is a complete JPEG; the JDK's own ImageIO does the
+    // entropy decode). This moves the video tier past the container
+    // walk (q205 decodes uncompressed DIB): geometry and frame COUNT
+    // gate exactly (a frame that fails to decode is dropped, so the
+    // row count itself is the corruption signal), and per-frame channel
+    // sums gate against the smooth-gradient formula within the measured
+    // JPEG margin (±8/pixel; FormatDepthSpec's roundtrip precedent
+    // measures ≤ 4). 100 TB: map-side decode at the codec boundary,
+    // five numbers per frame shuffle.
+    GQuery(
+      "q270_mjpeg_frames",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id,
+                Multimodal.SyntheticMedia.aviMjpeg(id % 97), "video/x-mjpeg")
+            }
+          }
+        val raw = Multimodal.VideoOps.mjpegFrameFeatures(media)
+        val w = col("width").cast("long")
+        val h = col("height").cast("long")
+        val key = col("media_id") % 97
+        val f = col("frame_idx").cast("long")
+        val sx = w * (w - 1) / 2 // Σx over a row
+        val sy = h * (h - 1) / 2 // Σy over a column
+        val expR = lit(3L) * h * sx + lit(2L) * w * sy + w * h * ((f * 17 + key) % 64)
+        val expG = lit(2L) * h * sx + lit(3L) * w * sy + w * h * ((f * 11 + key) % 32)
+        val expB = h * sx + w * sy + w * h * ((f * 7 + key) % 16)
+        val margin = w * h * 8L
+        raw.select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames"), w.as("width"), h.as("height"),
+          (abs(col("sum_r") - expR) <= margin).as("r_ok"),
+          (abs(col("sum_g") - expG) <= margin).as("g_ok"),
+          (abs(col("sum_b") - expB) <= margin).as("b_ok"))
+          .orderBy(col("media_id").asc, col("frame_idx").asc)
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, 16 + (doc_id % 97) % 13 AS w,
+             |         16 + (doc_id % 97) % 9 AS h, 2 + (doc_id % 97) % 3 AS n
+             |  FROM documents)
+             |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+             |       CAST(n AS BIGINT) AS n_frames,
+             |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |       true AS r_ok, true AS g_ok, true AS b_ok
+             |FROM g, LATERAL (SELECT unnest(range(0, n)) AS f) t
+             |ORDER BY media_id ASC, frame_idx ASC""".stripMargin),
+      "MJPEG video decode (real per-frame JPEG via ImageIO): exact frame count/geometry + channel sums within the measured codec margin"),
   )
 }

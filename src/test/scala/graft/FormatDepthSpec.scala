@@ -799,6 +799,35 @@ class FormatDepthSpec extends SparkTestBase {
     }
   }
 
+  test("MJPEG AVI: frames decode via real ImageIO within margin; corrupt contracts hold") {
+    import graft.multimodal.Multimodal
+    for (key <- Seq(0L, 7L, 41L, 96L)) {
+      val p = Multimodal.SyntheticMedia.aviMjpeg(key)
+      val w = 16 + (key % 13).toInt
+      val h = 16 + (key % 9).toInt
+      val n = 2 + (key % 3).toInt
+      val rows = Multimodal.VideoOps.decodeMjpegFrames(1L, p)
+      assert(rows.length == n, s"key=$key decoded ${rows.length} of $n frames")
+      rows.foreach { case (_, f, nn, ww, hh, sr, sg, sb) =>
+        assert(nn == n && ww == w && hh == h)
+        val sx = w.toLong * (w - 1) / 2; val sy = h.toLong * (h - 1) / 2
+        val expR = 3L * h * sx + 2L * w * sy + w.toLong * h * ((f * 17 + key) % 64)
+        val expG = 2L * h * sx + 3L * w * sy + w.toLong * h * ((f * 11 + key) % 32)
+        val expB = h * sx + w * sy + w.toLong * h * ((f * 7 + key) % 16)
+        val m = w.toLong * h * 8
+        assert(math.abs(sr - expR) <= m && math.abs(sg - expG) <= m &&
+          math.abs(sb - expB) <= m, s"key=$key frame=$f sums off")
+      }
+      // truncation mid-frame: the cut frame is dropped, never a throw
+      val cut = java.util.Arrays.copyOfRange(p, 0, p.length - 12)
+      assert(Multimodal.VideoOps.decodeMjpegFrames(1L, cut).length < n)
+    }
+    // a DIB AVI has no '00dc' chunks; garbage is not an AVI — both empty
+    assert(Multimodal.VideoOps.decodeMjpegFrames(1L,
+      Multimodal.SyntheticMedia.avi(5L)).isEmpty)
+    assert(Multimodal.VideoOps.decodeMjpegFrames(1L, Array.fill(64)(0x3c.toByte)).isEmpty)
+  }
+
   test("nearest resize + center crop replay the channel formulas") {
     val key = 37L
     val img = javax.imageio.ImageIO.read(
