@@ -187,6 +187,10 @@ object Bench {
             try {
               fn(spark, sfDir).count()
               roundTimes(name) = (System.nanoTime() - t0) / 1e9
+              // opt-in per-query trace (stderr): diagnosing a stall in a
+              // full-suite run needs to know WHICH query was running when
+              if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
+                System.err.println(f"[bench-trace] r$r $name ${roundTimes(name)}%.2fs heap=${(Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1048576}%dMB")
             } catch {
               case e: Throwable =>
                 System.err.println(s"[bench] $name FAILED (round $r): ${e.getMessage}")

@@ -185,39 +185,20 @@ object TextFunctions {
     * codepoint-consistent, astral chars included — verified, not
     * assumed). Empty text → empty array.
     */
-  val CdcBase = 131L
-  val CdcMod = 61L
+  val CdcBase = graft.expressions.CdcChunks.Base
+  val CdcMod = graft.expressions.CdcChunks.Mod
 
-  def cdcChunks(text: Column): Column = {
-    val len = length(text)
-    // bind the per-doc codepoint array once: transform over a 1-element
-    // array makes `cs` a lambda variable (evaluated a single time), so
-    // the 8 element_at calls per position index an ArrayData in O(1)
-    // instead of re-evaluating the split
-    val codes = transform(split(text, ""), c => ascii(c).cast("long"))
-    val hitsOf = (cs: Column) =>
-      filter(sequence(lit(8), len), i =>
-        (0 until 8).foldLeft(lit(0L)) { (acc, j) =>
-          (acc * CdcBase + element_at(cs, i - 7 + j)) % CdcMod
-        } === 0)
-    val hits = when(len >= 8,
-      element_at(transform(array(codes), hitsOf), 1))
-      .otherwise(array().cast("array<int>"))
-    // 0 and len bracket the hit positions; array_distinct drops the
-    // duplicate when a hit lands exactly at len (order is preserved —
-    // inputs are sorted, distinct keeps first occurrences)
-    val bounds = array_distinct(concat(
-      when(len > 0, array(lit(0))).otherwise(array().cast("array<int>")),
-      hits,
-      when(len > 0, array(len)).otherwise(array().cast("array<int>"))))
-    val mk = (b: Column) => when(size(b) >= 2,
-      transform(sequence(lit(0), size(b) - 2), j =>
-        substr(text,
-          element_at(b, j + 1) + 1,
-          element_at(b, j + 2) - element_at(b, j + 1))))
-      .otherwise(array().cast("array<string>"))
-    mk(bounds)
-  }
+  def cdcChunks(text: Column): Column =
+    // native codegen'd kernel (graft.expressions.CdcChunks) since r9: the
+    // previous filter/transform higher-order composition was semantically
+    // identical but ran on the SHARED interpreted eval path (HOFs are
+    // CodegenFallback), whose JIT state after a ~250-query session
+    // sometimes degraded this — the suite's most arithmetic-dense query —
+    // by 10× (measured 2.2 s vs a flat 22 s in otherwise-identical full
+    // runs; stack-sampled to Remainder.eval/ArrayTransform.eval). One
+    // tight primitive loop per document is immune to that and faster
+    // outright.
+    graft.expressions.CdcChunks(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
