@@ -109,10 +109,11 @@ object CurationDagQueries {
         val wrapped = concat(lit("<html><body><p>"), TF.htmlEscape(col("text")),
           lit("</p></body></html>"))
         val cleanText = TF.htmlToText(wrapped)
-        val toks = TF.tokens(col("clean_text"))
-        val grams = concat(toks, TF.wordShinglesAll(col("clean_text"), 2))
-        val qScore = aggregate(grams, lit(0L),
-          (acc, g) => acc + (TF.md5Hash60(concat(lit("w:"), g)) % 2001) - 1000)
+        // native GramScore kernel since r9 — identical semantics to the
+        // aggregate-HOF md5 fold (same grams, same modular weights; the
+        // oracle's md5 CTE replay is unchanged), but one tight loop per
+        // document instead of interpreted per-gram expression eval
+        val qScore = graft.expressions.GramScore(col("clean_text"))
         val ttrScore = expr(
           "(CAST(size(array_distinct(split(clean_text, ' '))) AS BIGINT) * 1000000)" +
             " DIV size(split(clean_text, ' '))")

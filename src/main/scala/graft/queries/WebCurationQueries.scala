@@ -98,16 +98,15 @@ object WebCurationQueries {
     GQuery(
       "q217_quality_classifier",
       (s, d) => {
-        val toks = TF.tokens(col("text"))
-        val grams = concat(toks, TF.wordShinglesAll(col("text"), 2))
-        def weight(g: Column): Column =
-          (TF.md5Hash60(concat(lit("w:"), g)) % 2001) - 1000
+        // native GramScore kernel since r9 (the q223/CdcChunks lesson:
+        // the aggregate-HOF form ran md5-per-gram on the shared
+        // interpreted eval path); n_grams = t + max(t-1, 0) is the exact
+        // size of unigrams ++ adjacent bigrams for t >= 1 tokens
+        val t = size(TF.tokens(col("text"))).cast("long")
         Tables.documents(s, d)
-          .select(col("doc_id"), grams.as("grams"))
           .select(col("doc_id"),
-            size(col("grams")).cast("long").as("n_grams"),
-            aggregate(col("grams"), lit(0L), (acc, g) => acc + weight(g))
-              .as("raw_score"))
+            (t + greatest(t - 1, lit(0L))).as("n_grams"),
+            graft.expressions.GramScore(col("text")).as("raw_score"))
           .withColumn("keep", col("raw_score") > 0)
           .orderBy(col("doc_id").asc)
       },

@@ -138,6 +138,32 @@ class WebCurationSpec extends SparkTestBase {
     got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
   }
 
+  test("q217: native GramScore kernel == the builtin aggregate-HOF fold, gram for gram") {
+    // the r9 kernel replaced the higher-order md5 fold (NOTES_r9 #12);
+    // this pins them equal on the shapes that could drift: empty text
+    // (one empty token), single token (no bigrams), trailing space
+    // (kept empty token — Java negative-limit split), multi-space runs,
+    // unicode, and ordinary sentences
+    import graft.functions.{TextFunctions => TF}
+    val texts = Seq("", "one", "two words", "trailing space ", "a  b",
+      "common crawl text with several tokens here", "café naïve 漢字")
+    val toks = TF.tokens(col("t"))
+    val grams = concat(toks, TF.wordShinglesAll(col("t"), 2))
+    val builtin = aggregate(grams, lit(0L),
+      (acc, g) => acc + (TF.md5Hash60(concat(lit("w:"), g)) % 2001) - 1000)
+    val rows = texts.toDF("t")
+      .select(col("t"), builtin.as("b"),
+        graft.expressions.GramScore(col("t")).as("k"),
+        size(grams).cast("long").as("ng"),
+        (size(toks).cast("long") +
+          greatest(size(toks).cast("long") - 1, lit(0L))).as("nk"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"score drift on '${r.getString(0)}'")
+      assert(r.getLong(3) == r.getLong(4), s"gram-count drift on '${r.getString(0)}'")
+    }
+  }
+
   test("q263: RFC 5952 IPv6 canonical form — every rule on hand-built literals") {
     import graft.expressions.Ipv6Normalize
     val cases = Seq(
