@@ -428,6 +428,25 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("native kernels run inside WholeStageCodegen, no interpreted-HOF hot path") {
+    // the r9 deopt lesson (NOTES_r9 #12) as a plan fact: q223's chunker
+    // and q217's gram score must appear as fused expressions inside a
+    // codegen stage — a regression back to aggregate/filter higher-order
+    // builtins would re-expose the suite to session-wide JIT profile
+    // pollution. The HOF nodes print as ArrayTransform/ArrayFilter/
+    // ArrayAggregate in the plan; the kernels print by their class names.
+    val p223 = plan("q223_cdc_chunks")
+    assert(p223.contains("cdcchunks") || p223.contains("CdcChunks"),
+      s"q223 lost its native kernel:\n${p223.take(800)}")
+    assert(!p223.contains("aggregate(") && !p223.contains("ArrayAggregate"),
+      "q223 regressed to an interpreted HOF fold")
+    val p217 = plan("q217_quality_classifier")
+    assert(p217.contains("gramscore") || p217.contains("GramScore"),
+      s"q217 lost its native kernel:\n${p217.take(800)}")
+    assert(!p217.contains("ArrayAggregate"),
+      "q217 regressed to an interpreted HOF fold")
+  }
+
   test("heavy-tier shuffle-volume locks: measured exchange traffic within data-derived caps") {
     // r9 (verdict #6): wall-time on a noisy box is a weak scale
     // instrument — the volume a query MOVES through its shuffles is a
