@@ -2,15 +2,24 @@ package graft.functions
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.expressions.CosineSimilarity
+import graft.expressions.NearestCentroid
 
 /** Lloyd's k-means over an embedding column, expressed purely relationally
   * (no MLlib dependency, no driver-side vectors beyond the k centroids):
-  * each iteration is assign (broadcast the k centroids, pick argmax cosine
-  * inside codegen) + recompute (the mergeable VectorCentroid aggregate) —
-  * i.e. one broadcast + one partial-aggregated shuffle of k rows per
-  * iteration, independent of corpus size. This turns [[Similarity.ivfTopK]]
-  * into a true learned-quantizer IVF instead of relying on a label column.
+  * each iteration is assign (broadcast the k centroids collapsed to ONE
+  * array row, pick argmax cosine inside codegen) + recompute (the mergeable
+  * VectorCentroid aggregate) — i.e. one broadcast + one partial-aggregated
+  * shuffle of k rows per task per iteration, independent of corpus size.
+  * This turns [[Similarity.ivfTopK]] into a true learned-quantizer IVF
+  * instead of relying on a label column.
+  *
+  * Assignment is the native [[NearestCentroid]] kernel — a pure map-side
+  * projection. (Until r9 it was crossJoin(broadcast(centroids)) + a
+  * row_number window partitioned by id, which EXCHANGED N·k exploded rows
+  * — with the vector attached — per iteration; the argmax needs no shuffle
+  * at all. Semantics are identical by the kernel's contract: same cosine
+  * law, ties to the lower cluster id, all-null similarities fall back to
+  * the lowest cluster id.)
   *
   * Determinism: initial centroids are the k lowest-id vectors (no RNG), and
   * the argmax tie-break is the lowest cluster id — iterations are exactly
@@ -51,9 +60,9 @@ object KMeans {
       .localCheckpoint(true, CkptLevel)
 
     for (_ <- 0 until iterations) {
-      // carry the vector THROUGH assignment: re-joining the corpus by id to
-      // recover it would add an extra N-row shuffle join per iteration
-      val recomputed = assignInternal(df, idCol, vecCol, centroids, keepVec = true)
+      // assignment carries the vector for free (it is a projection, not a
+      // join), so recompute reads it directly
+      val recomputed = assignAll(df.select(col(idCol), col(vecCol)), vecCol, centroids)
         .groupBy(col("cluster"))
         .agg(Aggregators.vectorCentroid(col(vecCol), dims).as("c"))
         .select(col("cluster"), col("c").cast("array<float>").as("centroid"))
@@ -67,23 +76,26 @@ object KMeans {
     (assign(df, idCol, vecCol, centroids), centroids)
   }
 
-  /** Nearest-centroid assignment: broadcast join + per-row argmax. */
+  /** Nearest-centroid assignment: (idCol, cluster) — a broadcast
+    * projection, no shuffle.
+    */
   def assign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
-    assignInternal(df, idCol, vecCol, centroids, keepVec = false)
+    assignAll(df.select(col(idCol), col(vecCol)), vecCol, centroids)
+      .select(col(idCol), col("cluster"))
 
-  private def assignInternal(
-      df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, keepVec: Boolean): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("sim").desc, col("cluster").asc)
-    val out = df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol), col("cluster"),
-        CosineSimilarity(col(vecCol), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-    if (keepVec) out.select(col(idCol), col(vecCol), col("cluster"))
-    else out.select(col(idCol), col("cluster"))
+  /** Nearest-centroid assignment keeping EVERY input column (+ cluster):
+    * the k-row centroid table is collapsed to one array row (sorted by
+    * cluster id — the kernel's tie-break contract), broadcast, and the
+    * argmax runs per row inside codegen. Callers that need the vector next
+    * to the cluster (IVF cell build, the recompute step) use this and skip
+    * the corpus-sized re-join by id an (id, cluster)-only result would
+    * force.
+    */
+  def assignAll(df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .agg(sort_array(collect_list(struct(col("cluster"), col("centroid")))).as("_cents"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("cluster", NearestCentroid(col(vecCol), col("_cents")))
+      .drop("_cents")
   }
 }

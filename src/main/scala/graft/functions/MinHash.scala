@@ -61,18 +61,20 @@ object MinHash {
     }: _*)
   }
 
-  /** Scalable signature computation: explode shingles through a generator
-    * (the md5 base hash is computed INSIDE the generator, so no optimizer
-    * rewrite can re-inline it per-permutation), then fold all k per-seed
+  /** Scalable signature computation: explode the shingles, hash each one
+    * ONCE in the post-generate projection (plain codegen'd builtins — the
+    * pre-r9 form hashed inside a `transform` lambda, i.e. on the
+    * interpreted CodegenFallback path, and the hash is still computed
+    * exactly once per shingle either way), then fold all k per-seed
     * minima in ONE TypedImperativeAggregate — map-side combine reduces each
     * partition to one k-long buffer per doc before the single doc_id
     * shuffle, and the generated aggregate code stays O(1) in k (64 separate
     * `min(...)` expressions compile a pathologically large codegen stage).
     */
   def signatures(docsWithShingles: DataFrame, idCol: String, shingleCol: String): DataFrame = {
-    val hashed = docsWithShingles.select(col(idCol),
-      explode(transform(col(shingleCol), s =>
-        pmod(TextFunctions.md5Hash60(s), lit(Prime)))).as("h"))
+    val hashed = docsWithShingles
+      .select(col(idCol), explode(col(shingleCol)).as("s"))
+      .select(col(idCol), pmod(TextFunctions.md5Hash60(col("s")), lit(Prime)).as("h"))
     hashed.groupBy(col(idCol))
       .agg(graft.expressions.MinHashAggregate(col("h"), seedsA, seedsB, Prime).as("sig"))
   }

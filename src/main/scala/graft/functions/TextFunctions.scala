@@ -224,36 +224,39 @@ object TextFunctions {
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
   /** Word n-gram shingles (distinct), the unit set for Jaccard similarity /
-    * MinHash. Empty when the document has fewer than n tokens.
+    * MinHash. Empty when the document has fewer than n tokens. Native
+    * [[graft.expressions.WordShingles]] kernel since r9 (bit-identical to
+    * the old array_distinct∘transform composition — LawsSpec pins it);
+    * the coalesce preserves the old `when().otherwise(empty)` null law.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    when(size(ws) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(ws) - n), i =>
-          concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    coalesce(graft.expressions.WordShingles(text, n, distinct = true, hashed = false),
+      array().cast("array<string>"))
 
   /** Distinct 60-bit hashes of word n-gram shingles: hash each occurrence
-    * first, dedup after, so array_distinct's O(k²) pass compares longs
-    * instead of n-word strings (same set cardinality as
+    * first, dedup after (same set cardinality as
     * `wordShingles(...).map(md5Hash60)` — md5 collisions inside one
-    * document are beyond negligible at 60 bits).
+    * document are beyond negligible at 60 bits). Native fused kernel:
+    * tokenize → shingle → md5-60 → first-occurrence dedup in one loop.
     */
   def wordShingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(wordShinglesAll(text, n), md5Hash60(_)))
+    coalesce(graft.expressions.WordShingles(text, n, distinct = true, hashed = true),
+      array().cast("array<long>"))
+
+  /** 60-bit hashes of EVERY word n-gram occurrence, in position order
+    * (the positional form q125/q175/q176 posexplode) — fused native
+    * replacement for `transform(wordShinglesAll(text, n), md5Hash60)`.
+    */
+  def wordShingleHashesAll(text: Column, n: Int): Column =
+    coalesce(graft.expressions.WordShingles(text, n, distinct = false, hashed = true),
+      array().cast("array<long>"))
 
   /** Word n-grams WITH duplicates (multiset form, for frequency counting —
     * [[wordShingles]] is the distinct/set form for similarity).
     */
-  def wordShinglesAll(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShinglesAll(text: Column, n: Int): Column =
+    coalesce(graft.expressions.WordShingles(text, n, distinct = false, hashed = false),
+      array().cast("array<string>"))
 
   /** Adjacent token pairs as an array of (w1, w2) structs (multiset form —
     * every occurrence kept, for bigram frequency/context statistics à la

@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO.read(InputStream)/write(..., OutputStream) wrap their argument
+  // in an ImageInput/OutputStream via createImageInput/OutputStream, which
+  // with the default useCache=true is a FILE-backed cache: every decode and
+  // every synth round-trips the payload through a temp file on disk. All
+  // payloads here are in-memory byte arrays — disable the disk cache
+  // process-wide (the flag only selects Memory- vs FileCache streams;
+  // decoded bytes are identical).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: payload + typed metadata (the engine-visible schema). */
   case class MediaRow(media_id: Long, payload: Array[Byte], media_type: String)
 

@@ -37,6 +37,10 @@ import org.apache.spark.sql.functions.col
   */
 object Shards {
 
+  // disk-cache-free ImageIO streams (see Multimodal's initializer) — this
+  // object's task closures can run before any Multimodal code is touched
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One tar member's metadata + content fingerprint: byte_sum is the
     * plain Σ of unsigned byte values — integer-exact, so a SQL oracle
     * that knows the member-content formula recomputes it relationally

@@ -23,9 +23,12 @@ object CurationDagQueries {
   val all: Seq[GQuery] = Seq(
     // ------------------------------------------------------------------
     // q229: end-to-end curation DAG. Execution shape (the 100 TB story):
-    //  - every per-doc signal (canonical URL key, deny-suffix chain,
-    //    HTML→text extraction, hashed-linear quality score, type-token
-    //    score) is computed in ONE map-side projection over the corpus;
+    //  - the CHEAP per-doc signals (canonical URL key, deny-suffix chain)
+    //    are computed in ONE map-side projection over the corpus; the
+    //    EXPENSIVE ones (HTML→text extraction, hashed-linear quality
+    //    score, type-token score) are deferred past the stage-1 election
+    //    join and guarded by the stage flags, so each runs only on the
+    //    rows whose stage can observe it (r9);
     //  - the only corpus-sized shuffles are the irreducible per-stage
     //    ones: the canonical-key election groupBy + verdict join
     //    (stage 1), the chunk-hash election + verdict join over stage-3
@@ -119,20 +122,32 @@ object CurationDagQueries {
             " DIV size(split(clean_text, ' '))")
 
         val base = Tables.spread(docs, col("doc_id"))
-          .select(col("doc_id"), col("lang"), col("source"),
-            TF.canonicalizeUrl(messy).as("ckey"), denied.as("denied"),
-            cleanText.as("clean_text"))
-          .withColumn("q_score", qScore)
-          .withColumn("score_fp", ttrScore)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"),
+            TF.canonicalizeUrl(messy).as("ckey"), denied.as("denied"))
 
         // ---- stage 1: canonical-URL dedup election (groupBy + join) ----
         val election = base.groupBy(col("ckey")).agg(min(col("doc_id")).as("first_doc"))
+        // The EXPENSIVE per-doc signals (HTML extract, md5-per-gram quality
+        // score, type-token score) are computed AFTER the election join,
+        // each guarded by the stage flag that gates its first consumer
+        // (r9, guide §2.3 "don't compute things you throw away"): the
+        // extract runs only on stage-2 survivors, the quality score only
+        // where pass2 holds (And short-circuits; false && null = false, so
+        // pass3 is unchanged), the type-token score only on stage-3
+        // survivors. Non-surviving rows carry null in clean_text/score_fp
+        // — provably unobserved: the chunk stage filters pass3, the bucket
+        // window filters pass5 ⊆ pass3, and nothing else reads them. The
+        // shuffle that used to carry every doc's clean_text now carries the
+        // raw text (same bytes); the dropped work is one GramScore + one
+        // extract + one TTR pass over every election/deny LOSER.
         val flags3 = base.join(election, Seq("ckey"))
           .withColumn("pass1", col("doc_id") === col("first_doc"))
           // ---- stage 2: deny-list (map-side predicate) ----
           .withColumn("pass2", col("pass1") && !col("denied"))
+          .withColumn("clean_text", when(col("pass2"), cleanText))
           // ---- stage 3: quality classifier (map-side score) ----
-          .withColumn("pass3", col("pass2") && col("q_score") > 0)
+          .withColumn("pass3", col("pass2") && qScore > 0)
+          .withColumn("score_fp", when(col("pass3"), ttrScore))
           .select(col("doc_id"), col("lang"), col("clean_text"),
             col("score_fp"), col("pass1"), col("pass2"), col("pass3"))
           // consumed by the chunk stage AND the flag chain

@@ -26,6 +26,10 @@ import graft.multimodal.Multimodal
   */
 object FormatDepthQueries {
 
+  // disk-cache-free ImageIO streams (see Multimodal's initializer) — the
+  // JPEG/MJPEG gates here call ImageIO.read/write directly in closures
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** q235's blocklist — border-free terms (no proper prefix == suffix),
     * which makes the AC occurrence count equal DuckDB's replace-based
     * non-overlapping count; unlikely-in-fixture spellings keep injected

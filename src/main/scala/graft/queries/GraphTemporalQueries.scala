@@ -34,7 +34,7 @@ object GraphTemporalQueries {
       maxBucket: Int = 1000): org.apache.spark.sql.DataFrame = {
     val grams = Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"),
-        posexplode(transform(TF.wordShinglesAll(col("text"), k), TF.md5Hash60(_)))
+        posexplode(TF.wordShingleHashesAll(col("text"), k))
           .as(Seq("pos", "h")))
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(col("pos").asc).rowsBetween(0, w - 1)

@@ -560,9 +560,12 @@ object NorthStarQueries {
       "q68_ivf_kmeans",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val (assigned, _) = graft.functions.KMeans.fit(
+        val (_, centroids) = graft.functions.KMeans.fit(
           emb, "vec_id", "embedding", k = 8, dims = 64, iterations = 3)
-        val cells = emb.join(assigned, "vec_id")
+        // assignment is a broadcast projection (r9): the cell id lands next
+        // to the vector in one pass — no corpus self-join by id to re-attach
+        // the embedding to its cluster
+        val cells = graft.functions.KMeans.assignAll(emb, "embedding", centroids)
         graft.functions.Similarity.ivfTopK(cells, cells.filter(col("vec_id") < 10),
             "vec_id", "embedding", "cluster", dims = 64, k = 5, nprobe = 8)
           .orderBy(col("query_id").asc, col("rank").asc)

@@ -53,7 +53,7 @@ object SpanDedupQueries {
   def exactSpans(docs: DataFrame, t: Int = 8, maxBucket: Int = 1000): DataFrame = {
     val grams = Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"),
-        posexplode(transform(TF.wordShinglesAll(col("text"), t), TF.md5Hash60(_)))
+        posexplode(TF.wordShingleHashesAll(col("text"), t))
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
       // both sides of the self-join reference grams: un-persisted, the
