@@ -249,7 +249,7 @@ object SqlFeatureQueries {
             |WITH RECURSIVE walk(ck, ok, step) AS (
             |  SELECT ck, ok, CAST(1 AS BIGINT) FROM $edges WHERE prev_ok IS NULL
             |  UNION ALL
-            |  SELECT e.ck, e.ok, w.step + 1
+            |  SELECT /*+ BROADCAST(w) */ e.ck, e.ok, w.step + 1
             |  FROM walk w JOIN $edges e ON e.prev_ok = w.ok)
             |SELECT ck AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
             |       CAST(MAX(step) AS BIGINT) AS depth,

@@ -210,22 +210,23 @@ object EventStreams {
     * each batch dynamically OVERWRITES its own batch_id partition — a
     * replayed batch rewrites the same partition instead of appending dups.
     */
-  def runForeachBatch(df: DataFrame, outDir: String, checkpoint: String): Unit = {
-    val q = df.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outDir)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+  def runForeachBatch(df: DataFrame, outDir: String, checkpoint: String): Unit =
+    withGateShufflePartitions(df.sparkSession) {
+      val q = df.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
   /** Event-time-timer sessionization (the §2.10 timer tier of
     * transformWithState, complementing [[UserProfileProcessor]]'s
@@ -363,18 +364,50 @@ object EventStreams {
     }
   }
 
+  /** Scope the session's shuffle-partition count down while a BOUNDED gate
+    * stream starts and drains (r9, guide §2.2/§1.2-3): a stateful
+    * streaming operator creates ONE state-store instance per shuffle
+    * partition (pinned into the checkpoint at first start), and every
+    * micro-batch pays a load+commit per instance. The gate streams here
+    * carry ≤ a few hundred rows over ≤ ~100 keys by construction, so at
+    * `spark.sql.shuffle.partitions = 32` the per-batch state-store
+    * machinery outweighs the data by orders of magnitude — 3 batches × 32
+    * RocksDB/HDFS store commits for 100 keys. The partition count is
+    * derived from the gate's bounded key space (capped at 8 — generous for
+    * ≤100-key state at ANY core count), env-overridable for a production-
+    * scale run; it never exceeds the session's parallelism. Results are
+    * partitioning-independent (state sharding only moves keys between
+    * stores), and the conf is read at query START, so the scoped
+    * set/restore cannot affect other running streams (the q186 provider
+    * set/restore precedent). Restored before the caller's batch-side post
+    * processing, which keeps full parallelism.
+    */
+  private def withGateShufflePartitions[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
+      math.min(8, spark.sparkContext.defaultParallelism).toString)
+    spark.conf.set(key, parts)
+    try f finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Run a streaming query over a bounded directory to completion using the
     * memory sink; returns the materialized result. Test/driver utility —
     * production sinks are writeStream.parquet/kafka with checkpoints.
     */
   def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withGateShufflePartitions(df.sparkSession) {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     df.sparkSession.table(name)
   }
 
@@ -486,15 +519,17 @@ object EventStreams {
       .option("rowsPerBatch", rowsPerBatch.toString)
       .load()
     val rows = raw.select(col("id"), (col("id") % 7).as("k"))
-    val q = rows.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.TxLog.idempotentAppend(
-          batch.sparkSession, dir, batch, "q267_sink", batchId)
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withGateShufflePartitions(spark) {
+      val q = rows.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.TxLog.idempotentAppend(
+            batch.sparkSession, dir, batch, "q267_sink", batchId)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // the restart/at-least-once case the idempotent sink exists for:
     // re-deliver batch 0 verbatim — the table must not change
     val replay = spark.range(0, rowsPerBatch).toDF("id")
