@@ -40,25 +40,39 @@ object Components {
     // pipeline in q81) would execute once per branch inside a single job
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).localCheckpoint()
+    // pre-partition the (static) undirected edge set by the join key ONCE:
+    // localCheckpoint preserves the physical partitioning in its
+    // LogicalRDD, so every round's edge-side exchange is planned away —
+    // the per-round shuffle is labels only (r9, guide §2.4 "two operations
+    // keyed the same way can share one exchange")
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("dst")).localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
-    var changed = 1L
+    // Round shape (r9 rework): one join + one union-aggregate per round —
+    // new comp(id) = min(own comp, min over neighbors' comps), identical
+    // to the previous join+agg+left-join form by the min identity. The
+    // old form additionally re-joined next against labels to COUNT
+    // changed rows (two more shuffles per round); convergence is instead
+    // read off a monotone invariant: per-id comp never increases, so the
+    // label sum strictly decreases iff any label changed. DECIMAL(38,0)
+    // sum — vertex ids can be 60-bit hashes, a BIGINT sum would overflow
+    // under ANSI. One scalar job per round, which doubles as the lazy
+    // checkpoint's materializer.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var lastSum = labelSum(labels)
+    var changed = true
     var it = 0
-    while (changed > 0 && it < maxIters) {
-      val nbr = und.join(labels, und("dst") === labels("id"))
-        .groupBy(und("src").as("id2"))
-        .agg(min(col("comp")).as("nbr_comp"))
-      // lazy checkpoint: the convergence count below materializes it, so
-      // each round costs ONE job instead of checkpoint-job + count-job
-      val next = labels.join(nbr, labels("id") === nbr("id2"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+    while (changed && it < maxIters) {
+      val next = und.join(labels, und("dst") === labels("id"))
+        .select(und("src").as("id"), col("comp"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(false)
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("comp").as("old")).as("o"), "id")
-        .filter(col("comp") =!= col("old")).count()
+      val s = labelSum(next)
+      changed = s.compareTo(lastSum) != 0
+      lastSum = s
       labels = next
       it += 1
     }

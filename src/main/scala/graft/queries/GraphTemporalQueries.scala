@@ -480,21 +480,24 @@ object GraphTemporalQueries {
     GQuery(
       "q126_prefix_simjoin",
       (s, d) => {
-        val toks = Tables.spread(Tables.documents(s, d), col("doc_id"))
+        // per-doc distinct shingle-hash SET as one native-kernel array
+        // (r9): the verifier reads candidate pairs' sets via two
+        // candidate-sized joins against this 1-row-per-doc relation,
+        // where the pre-r9 form exploded the corpus and paid two
+        // corpus-sized (doc, tok)-row joins plus a groupBy to count the
+        // intersection (guide §2.3: shuffle keys + set payloads once,
+        // not one row per set element). Intersection cardinality over
+        // distinct-hash arrays equals the exploded row-match count.
+        val tokset = Tables.spread(Tables.documents(s, d), col("doc_id"))
           .filter(size(TF.tokens(col("text"))) >= 3)
-          .select(col("doc_id"),
-            explode(TF.wordShingleHashes(col("text"), 3)).as("tok"))
-          .localCheckpoint(false) // 3 consumers: df, prefix, verify
+          .select(col("doc_id"), TF.wordShingleHashes(col("text"), 3).as("ts"))
+          .select(col("doc_id"), col("ts"), size(col("ts")).as("sz"))
+          .localCheckpoint(false) // 2 consumers: prefix build, verify
+        val toks = tokset.select(col("doc_id"), col("sz"), explode(col("ts")).as("tok"))
         val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        // doc sizes via ONE aggregation, reused by the prefix filter AND
-        // the verifier — a count() window with a different orderBy than
-        // the row_number would cost a second corpus-wide sort
-        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-          .localCheckpoint(false)
         val ranked = toks.join(df, "tok")
           .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
             .orderBy(col("df").asc, col("tok").asc)))
-          .join(sizes, "doc_id")
         // prefix length n − ⌈0.6n⌉ + 1, in integers: ⌈3n/5⌉ = (3n+4) div 5
         val prefix = ranked.filter(col("rn") <= col("sz") - expr("(3*sz + 4) div 5") + 1)
           .select(col("doc_id"), col("tok"))
@@ -502,14 +505,13 @@ object GraphTemporalQueries {
             col("pa.tok") === col("pb.tok") && col("pa.doc_id") < col("pb.doc_id"))
           .select(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
           .distinct()
-        val inter = cand
-          .join(toks.select(col("doc_id").as("id_a"), col("tok")), "id_a")
-          .join(toks.select(col("doc_id").as("id_b"), col("tok")), Seq("id_b", "tok"))
-          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
-        inter
-          .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("na")), "id_a")
-          .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("nb")), "id_b")
-          .withColumn("u", col("na") + col("nb") - col("i"))
+        cand
+          .join(tokset.select(col("doc_id").as("id_a"), col("ts").as("tsa"),
+            col("sz").as("na")), "id_a")
+          .join(tokset.select(col("doc_id").as("id_b"), col("ts").as("tsb"),
+            col("sz").as("nb")), "id_b")
+          .withColumn("i", size(array_intersect(col("tsa"), col("tsb"))).cast("long"))
+          .withColumn("u", col("na").cast("long") + col("nb") - col("i"))
           .filter(col("i") * 10 >= col("u") * 6)
           .select(col("id_a"), col("id_b"),
             (col("i").cast("double") / col("u")).as("jaccard"))

@@ -290,17 +290,31 @@ object MiningQueries {
         var edges = copurchasePairs(s, d, minSupport = 2)
           .select(col("p1").as("u"), col("p2").as("v"))
           .localCheckpoint(false) // round 1 reads it twice (degrees + semi joins)
-        for (_ <- 1 to KcoreRounds) {
+        // Early exit at the peel FIXPOINT (r9): peeling only ever REMOVES
+        // edges, so an unchanged edge count means the keep-set is
+        // unchanged and every remaining round is the identity — the
+        // round-R state the oracle computes is exactly the fixpoint
+        // state (MiningSpec already proves round R is a fixpoint on the
+        // fixtures). The scalar count doubles as each lazy checkpoint's
+        // materializer; the skipped rounds each cost a degree aggregate
+        // plus two semi-join shuffles.
+        var nEdges = edges.count()
+        var converged = false
+        for (_ <- 1 to KcoreRounds if !converged) {
           val keep = edges.select(col("u").as("node"))
             .unionByName(edges.select(col("v").as("node")))
             .groupBy(col("node")).agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= KcoreK)
             .select(col("node"))
             .localCheckpoint(false) // consumed by both semi joins
-          edges = edges
+          val next = edges
             .join(keep, edges("u") === keep("node"), "left_semi")
             .join(keep, edges("v") === keep("node"), "left_semi")
             .localCheckpoint(false) // constant plan depth across rounds
+          val m = next.count()
+          converged = m == nEdges
+          edges = next
+          nEdges = m
         }
         edges.select(col("u").as("node"))
           .unionByName(edges.select(col("v").as("node")))

@@ -592,15 +592,20 @@ object NorthStarQueries {
     // output a curation pipeline actually consumes (pick one exemplar per
     // cluster) rather than raw pairs. Same scale shape as q81: pair
     // generation is label-blocked (never all-pairs), clustering is the
-    // O(log n)-round label propagation. Oracle: naive all-pairs cosine
+    // O(log² n)-round star contraction. Oracle: naive all-pairs cosine
     // within label blocks + recursive-CTE closure (q117's oracle pattern).
+    // r9: switched from min-label propagation to large-star/small-star —
+    // the 0.3-threshold embedding graph is CHAIN-shaped (measured diameter
+    // ~20 at sf0.1, i.e. ~20 propagation rounds of fixed per-round job
+    // cost vs ~5 star rounds; labelings verified identical), unlike the
+    // clique-shaped MinHash dup groups where propagation's 2-3 rounds win.
     GQuery(
       "q138_embed_clusters",
       (s, d) => {
         val pairs = Similarity.blockedNearDupPairs(Tables.embeddings(s, d),
             "vec_id", "embedding", "label", threshold = 0.3)
           .select(col("id_a"), col("id_b"))
-        graft.functions.Components.connectedComponents(pairs, "id_a", "id_b")
+        graft.functions.Components.connectedComponentsStar(pairs, "id_a", "id_b")
           .select(col("id").as("vec_id"), col("comp").as("cluster"))
           .orderBy(col("vec_id").asc)
       },

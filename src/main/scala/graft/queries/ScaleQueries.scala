@@ -330,16 +330,20 @@ object ScaleQueries {
         val mBits = 65536L
         val nWords = (mBits / 32L).toInt
         val kHash = 3
+        // the filter's bit layout is ENGINE-INTERNAL (the oracle is the
+        // plain join — bloom correctness is result invariance), so the
+        // index hash needs no oracle-replayable md5: xxhash64 over the
+        // (key, round) pair is one codegen'd mix per probe instead of a
+        // digest + hex + base-conversion chain (r9; was 3 md5s per
+        // lineitem row — the probe side's dominant cost)
         def idx(key: org.apache.spark.sql.Column, r: Int) =
-          pmod(TF.md5Hash60(concat(key.cast("string"), lit("#f"), lit(r.toString))),
-            lit(mBits))
+          pmod(xxhash64(key, lit(r)), lit(mBits))
         val sel = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
           .select(col("o_orderkey"), col("o_orderpriority"))
           .localCheckpoint(false) // consumed by the build AND the exact join
         val rs = explode(array((0 until kHash).map(lit(_)): _*)).as("r")
         val cells = sel.select(col("o_orderkey"), rs)
-          .select(pmod(TF.md5Hash60(concat(col("o_orderkey").cast("string"),
-            lit("#f"), col("r").cast("string"))), lit(mBits)).as("idx"))
+          .select(pmod(xxhash64(col("o_orderkey"), col("r")), lit(mBits)).as("idx"))
           .select((col("idx") / 32).cast("long").as("word_id"),
             expr("shiftleft(1L, CAST(idx % 32 AS INT))").as("contrib"))
         val words = cells.groupBy(col("word_id"))
