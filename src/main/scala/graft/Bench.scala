@@ -293,16 +293,33 @@ object Bench {
       System.err.println(f"[bench] SLOW $n: $gateName $t%.2fs > ${SlowFactor}x env-adjusted baseline $b%.2fs (env $envFactor%.2fx)")
     }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"$statName","queries":$qs,"spread":$spreads,"reps":$reps,"rounds_completed":$roundsCompleted,"round_totals":$roundTotals,"env_factor":${fmt(envFactor)},"failed":$failedJson,"not_run":$notRunJson,"slow_gate":"$gateName","slow":$slowJson,"sf":"$sfDir"}""")
+    val totalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"$statName","queries":$qs,"spread":$spreads,"reps":$reps,"rounds_completed":$roundsCompleted,"round_totals":$roundTotals,"env_factor":${fmt(envFactor)},"failed":$failedJson,"not_run":$notRunJson,"slow_gate":"$gateName","slow":$slowJson,"sf":"$sfDir"}"""
+    // The FULL per-query result also goes to a FILE (r9 verdict #1): the
+    // driver's stdout capture keeps only a ~2000-char tail, so the ~15 KB
+    // line above has never been machine-parseable from the capture alone.
+    // The file is the durable per-query record; the stdout lines remain the
+    // contract for a consumer that reads the stream.
+    val jsonPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
+      (totalLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $jsonPath: ${e.getMessage}")
+    }
+    println(totalLine)
     // Compact trailer, printed LAST: every external capture of this run
     // observed so far stores only the final ~2000 chars of output, and the
     // full line above (200 queries ≈ 8 KB) loses its head — including
-    // "value" — to that truncation. This line is small enough to always
-    // survive whole and repeats the gate-relevant numbers plus the
-    // slowest queries.
+    // "value" — to that truncation. This line is small enough (< 1.5 KB) to
+    // always survive whole and repeats the gate-relevant numbers plus the
+    // slowest queries; "bench_json" names the file holding the full
+    // per-query map. Mirrored to stderr: sbt decorates forked stdout with
+    // an "[info] " prefix unless build.sbt redirects it (it now does — see
+    // `run / outputStrategy`), while stderr passes through untouched.
     val top = published.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","value":${fmt(total)},"unit":"sec","stat":"$statName","n_queries":${published.count(_._2 >= 0)},"n_failed":${failed.size},"n_not_run":${notRun.length},"reps":$reps,"rounds_completed":$roundsCompleted,"round_totals":$roundTotals,"env_factor":${fmt(envFactor)},"slow_gate":"$gateName","n_slow":${slow.size},"top10":$top,"sf":"$sfDir"}""")
+    val compactLine = s"""{"metric":"total_compact","value":${fmt(total)},"unit":"sec","stat":"$statName","n_queries":${published.count(_._2 >= 0)},"n_failed":${failed.size},"n_not_run":${notRun.length},"reps":$reps,"rounds_completed":$roundsCompleted,"round_totals":$roundTotals,"env_factor":${fmt(envFactor)},"slow_gate":"$gateName","n_slow":${slow.size},"top10":$top,"bench_json":"$jsonPath","sf":"$sfDir"}"""
+    System.err.println(compactLine)
+    println(compactLine)
     spark.stop()
     if (slow.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
       sys.exit(2)

@@ -25,6 +25,19 @@ import org.apache.spark.sql.types._
   * [[graft.functions.KMeans]] builder uses sort_array), so a strict `>`
   * scan gives the lower-id tie-break and slot 0 is the all-null fallback.
   *
+  * Documented deviations from the window form (ADVICE r9 — intentional,
+  * all unreachable from the KMeans/IVF callers and oracle-pinned there):
+  *  - a NULL input vector yields a NULL cluster (BinaryExpression null
+  *    propagation), where crossJoin+row_number assigned such rows the
+  *    lowest cluster id; the gated pipelines never produce null embeddings
+  *    (ArrayReduce/JL projection outputs are non-null by construction);
+  *  - NaN similarities are skipped by the strict `>` scan, where Spark's
+  *    DESC ordering sorts NaN above any double — finite-input assumption,
+  *    holds for all gated embeddings (no ±Inf/NaN elements);
+  *  - Int.MinValue is the reserved interpreted/codegen null sentinel: a
+  *    caller-supplied centroid table must not use it as a cluster id
+  *    (KMeans ids are 0..k-1).
+  *
   * WHY: the window form shuffles N·k exploded rows (with the vector
   * attached) per assignment pass — at any scale the argmax needs no
   * shuffle at all, just a broadcast of the k-row centroid table. This

@@ -12,9 +12,9 @@ import graft.sources.Tables
   * pair mining (q157), a distributed 2-D skyline / Pareto frontier (q158),
   * and a Deequ-style data-quality assertion audit (q159).
   *
-  * Scale shapes: q157 never materialises the unpruned pair space (candidate
-  * pairs come only from baskets after the frequent-item semi join, and the
-  * per-basket expansion is C(|basket|,2) with TPC-H-bounded basket size);
+  * Scale shapes: q157 never materialises the global pair space (candidate
+  * pairs are generated map-side per basket, and the per-basket expansion is
+  * C(|basket|,2) with TPC-H-bounded basket size);
   * q158 replaces the textbook single-partition sorted scan with the
   * two-level bucket prefix-max (the only global structure is the
   * bucket-summary relation, domain/width rows at any SF); q159 is a
@@ -24,25 +24,35 @@ object MiningQueries {
 
   /** The shared co-purchase candidate core (q157 / q162 / q170 — one
     * implementation so the semantics cannot drift, the Bpe-trainer
-    * precedent): distinct (basket, item) pairs → Apriori item prune
-    * (lossless for ANY minSupport by downward closure) → basket-key
-    * co-shuffled pair self-join → support filter. Output (p1, p2,
-    * support) with p1 < p2.
+    * precedent). Output (p1, p2, support) with p1 < p2; support = number of
+    * baskets containing both items.
+    *
+    * r10 shape (guide §2.3/§2.4 — the r9-verdict q170 item): ONE shuffle
+    * gathers each basket's DISTINCT items into a sorted array (collect_set
+    * performs the per-basket dedup the old `distinct()` exchange paid for
+    * separately), then the C(|basket|,2) candidate pairs are generated
+    * map-side with two codegen'd generators (posexplode + explode(slice)) —
+    * no corpus-sized pair self-join, no second exchange of the item set,
+    * and partial aggregation collapses duplicate pairs before the final
+    * (p1, p2) shuffle. The old Apriori item prune is dropped: it is
+    * LOSSLESS by downward closure (MiningSpec proves output == the naive
+    * unpruned recompute), so the final support filter alone yields the
+    * identical pair set, and the prune's own aggregate + semi-join
+    * exchanges cost more than the sub-threshold candidates they removed
+    * once generation is map-side. Basket size stays the bound: work is
+    * Σ C(|basket|,2) (TPC-H baskets ≤ 7 lines), never |items|².
     */
   private[graft] def copurchasePairs(
       s: org.apache.spark.sql.SparkSession, d: String, minSupport: Int): DataFrame = {
-    val items = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .localCheckpoint(false) // consumed by the prune build AND both join sides
-    val freqItems = items.groupBy(col("pk"))
-      .agg(count(lit(1)).as("item_sup"))
-      .filter(col("item_sup") >= minSupport)
-      .select(col("pk"))
-    val pruned = items.join(freqItems, Seq("pk"), "left_semi")
-    pruned.select(col("ok"), col("pk").as("p1"))
-      .join(pruned.select(col("ok").as("ok2"), col("pk").as("p2")),
-        col("ok") === col("ok2") && col("p1") < col("p2"))
+    val baskets = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    baskets
+      .select(posexplode(col("ps")).as(Seq("i", "p1")), col("ps"))
+      // elements strictly after 0-based index i start at 1-based slot i+2;
+      // slice tolerates an over-long length (returns through the end)
+      .select(col("p1"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("p2"))
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
@@ -134,17 +144,17 @@ object MiningQueries {
 
   val all: Seq[GQuery] = Seq(
     // ------------------------------------------------------------------
-    // q157: frequent pair mining (Agrawal & Srikant, VLDB 1994 — the
-    // Apriori candidate prune). Baskets = orders, items = parts. The
-    // pair self-join runs AFTER (a) per-basket item dedup and (b) the
-    // frequent-item semi join (downward closure: a pair can reach minsup
-    // only if both members do), and it co-shuffles both sides on the
-    // basket key, so the work is Σ C(|basket|,2) over surviving baskets
-    // — never |items|² and never an unpartitioned cross. At 100 TB the
-    // same plan holds: the prune is what keeps candidate generation
-    // proportional to basket content rather than vocabulary size (plus,
-    // for adversarial basket-size skew, the documented per-basket cap —
-    // TPC-H baskets are ≤7 lines so the fixture never triggers one).
+    // q157: frequent pair mining (Agrawal & Srikant, VLDB 1994).
+    // Baskets = orders, items = parts. Candidate pairs are generated
+    // MAP-SIDE from each basket's sorted distinct-item array (see
+    // copurchasePairs — one basket shuffle, codegen'd generators, partial
+    // aggregation before the pair exchange), so the work is Σ C(|basket|,2)
+    // over baskets — never |items|² and never an unpartitioned cross. At
+    // 100 TB the same plan holds: basket content, not vocabulary size,
+    // bounds candidate generation (plus, for adversarial basket-size skew,
+    // the documented per-basket cap — TPC-H baskets are ≤7 lines so the
+    // fixture never triggers one). MiningSpec proves the output equals the
+    // naive unpruned self-join recompute.
     GQuery(
       "q157_frequent_pairs",
       (s, d) => copurchasePairs(s, d, minSupport = 3)
@@ -300,21 +310,30 @@ object MiningQueries {
         // plus two semi-join shuffles.
         var nEdges = edges.count()
         var converged = false
-        for (_ <- 1 to KcoreRounds if !converged) {
-          val keep = edges.select(col("u").as("node"))
-            .unionByName(edges.select(col("v").as("node")))
-            .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= KcoreK)
-            .select(col("node"))
-            .localCheckpoint(false) // consumed by both semi joins
-          val next = edges
-            .join(keep, edges("u") === keep("node"), "left_semi")
-            .join(keep, edges("v") === keep("node"), "left_semi")
-            .localCheckpoint(false) // constant plan depth across rounds
-          val m = next.count()
-          converged = m == nEdges
-          edges = next
-          nEdges = m
+        // Per-round reduce tasks sized to the LIVE edge set, not the session
+        // default (r10, guide §2.2 — the r9-verdict inverse-scaling item:
+        // 12 rounds × 32 near-empty reduce tasks made q162 slower at 32
+        // cores than at 8). partitionsFor clamps to full parallelism, so a
+        // corpus-sized edge set is unaffected. The pair-core materialization
+        // and its count above run OUTSIDE the scope at full parallelism.
+        graft.functions.IterLoop.withShufflePartitions(s,
+          graft.functions.IterLoop.partitionsFor(s, nEdges)) {
+          for (_ <- 1 to KcoreRounds if !converged) {
+            val keep = edges.select(col("u").as("node"))
+              .unionByName(edges.select(col("v").as("node")))
+              .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+              .filter(col("deg") >= KcoreK)
+              .select(col("node"))
+              .localCheckpoint(false) // consumed by both semi joins
+            val next = edges
+              .join(keep, edges("u") === keep("node"), "left_semi")
+              .join(keep, edges("v") === keep("node"), "left_semi")
+              .localCheckpoint(false) // constant plan depth across rounds
+            val m = next.count()
+            converged = m == nEdges
+            edges = next
+            nEdges = m
+          }
         }
         edges.select(col("u").as("node"))
           .unionByName(edges.select(col("v").as("node")))

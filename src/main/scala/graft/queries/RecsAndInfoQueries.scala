@@ -28,28 +28,39 @@ object RecsAndInfoQueries {
     GQuery(
       "q170_copurchase_recs",
       (s, d) => {
-        val purch = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
-          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-          .distinct()
-          .localCheckpoint(false) // consumed by ownership, scoring, and the anti join
-        // the shared candidate core (q157/q162 — one implementation)
-        val tri = MiningQueries.copurchasePairs(s, d, minSupport = 2)
-          .select(col("p1").as("pa"), col("p2").as("pb"), col("support").as("w"))
-        val graph = tri.select(col("pa"), col("pb"), col("w"))
-          .unionByName(tri.select(col("pb").as("pa"), col("pa").as("pb"), col("w")))
+        // r10 rework (guide §2.3/§3 — the r9-verdict q170 item): scoring,
+        // ownership, and the already-owned anti join only ever observe the
+        // FIVE target users, so the corpus-wide purch relation (lineitem ⋈
+        // orders, corpus-distinct, three consumers) is replaced by a
+        // filter-first chain: topCust (one orders aggregate) → their orders
+        // (broadcast semi of 5 keys) → their distinct items (broadcast join
+        // against lineitem — the corpus side is never shuffled). Restricting
+        // purch to c ∈ topCust is exact: both its join and the anti join
+        // condition on scored.c ∈ topCust. The one remaining corpus-scale
+        // job is the shared co-purchase pair core.
         val topCust = Tables.orders(s, d)
           .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("o_custkey").asc)
           .limit(5)
           .select(col("o_custkey").as("tc"))
-        val owned = purch.join(broadcast(topCust), col("c") === col("tc"))
-          .select(col("c"), col("p"))
-        val scored = owned.join(graph, col("p") === col("pa"))
+        val topOrders = Tables.orders(s, d)
+          .join(broadcast(topCust), col("o_custkey") === col("tc"))
+          .select(col("o_orderkey").as("tok"), col("o_custkey").as("c"))
+        val owned = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+          .join(broadcast(topOrders), col("l_orderkey") === col("tok"))
+          .select(col("c"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint(false) // consumed by scoring AND the anti join
+        // the shared candidate core (q157/q162 — one implementation)
+        val tri = MiningQueries.copurchasePairs(s, d, minSupport = 2)
+          .select(col("p1").as("pa"), col("p2").as("pb"), col("support").as("w"))
+        val graph = tri.select(col("pa"), col("pb"), col("w"))
+          .unionByName(tri.select(col("pb").as("pa"), col("pa").as("pb"), col("w")))
+        val scored = graph.join(broadcast(owned), col("p") === col("pa"))
           .groupBy(col("c"), col("pb"))
           .agg(sum(col("w")).as("score"))
-        val fresh = scored.join(purch,
-            scored("c") === purch("c") && scored("pb") === purch("p"), "left_anti")
+        val fresh = scored.join(broadcast(owned.select(col("c").as("oc"), col("p").as("op"))),
+            scored("c") === col("oc") && scored("pb") === col("op"), "left_anti")
         val rn = row_number().over(
           Window.partitionBy(col("c")).orderBy(col("score").desc, col("pb").asc))
         fresh.withColumn("rn", rn)

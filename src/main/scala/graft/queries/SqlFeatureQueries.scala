@@ -239,10 +239,21 @@ object SqlFeatureQueries {
         import org.apache.spark.sql.expressions.Window
         val iso = recursionSession(s)
         val edges = freshViewName("g_rec_edges")
+        // The recursion re-scans the materialized edge relation EVERY
+        // iteration (~25×), so its checkpoint block count is a per-
+        // iteration fixed cost (r10, guide §2.2 — the r9-verdict
+        // iterative-loop item). Size it from the metadata-only footer row
+        // count; the clamp returns full parallelism on a corpus-sized
+        // relation, so only small inputs coalesce. (The cached recursion
+        // session's conf is immutable by contract, so this right-sizes the
+        // RELATION, not the session's shuffle partitions.)
+        val edgeParts = graft.functions.IterLoop.partitionsFor(
+          iso, Tables.parquetRowCount(iso, s"$d/orders.parquet"))
         Tables.orders(iso, d)
           .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
             lag(col("o_orderkey"), 1).over(Window.partitionBy(col("o_custkey"))
               .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)).as("prev_ok"))
+          .coalesce(edgeParts)
           .localCheckpoint(false)
           .createOrReplaceTempView(edges)
         try iso.sql(s"""

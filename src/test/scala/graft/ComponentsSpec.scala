@@ -19,6 +19,12 @@ class ComponentsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("components: empty edge set yields empty labels, no NPE") {
+    // ADVICE r9: near-dup pair inputs (q81/q117 callers) can legitimately
+    // be empty on a dup-free corpus; labelSum() is null over zero rows
+    assert(run(Seq.empty) == Map.empty)
+  }
+
   test("components: deterministic across runs and edge orderings") {
     val e1 = Seq((1L, 2L), (2L, 3L), (7L, 8L))
     assert(run(e1) == run(e1.reverse.map { case (a, b) => (b, a) }))

@@ -7,18 +7,19 @@ import org.apache.spark.sql.functions._
 import graft.queries.MiningQueries
 import graft.sources.Tables
 
-/** Specs for q157–q159: the Apriori prune is lossless (downward closure),
-  * the distributed skyline satisfies the dominance laws against a naive
-  * recompute, and the DQ audit reports exact planted violation counts.
+/** Specs for q157–q159: map-side basket pair generation equals the naive
+  * pair self-join recompute, the distributed skyline satisfies the
+  * dominance laws against a naive recompute, and the DQ audit reports
+  * exact planted violation counts.
   */
 class MiningSpec extends SparkTestBase {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
-  test("q157 prune is lossless: pruned result == naive unpruned frequent pairs") {
+  test("q157 map-side pair generation == naive pair self-join recompute") {
     val out = q("q157_frequent_pairs").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // naive recompute with NO Apriori prune
+    // naive recompute via the corpus-sized pair self-join (the pre-r10 shape)
     val items = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val naive = items.as("a")
