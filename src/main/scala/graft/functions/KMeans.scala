@@ -52,26 +52,43 @@ object KMeans {
     // does). On a real cluster prefer reliable checkpoint() for fault
     // tolerance; local[N] has no executor loss.
     val CkptLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // rank the k seed rows via one-row collect_list + sort_array +
+    // posexplode instead of an unpartitioned row_number window (r10,
+    // r9-verdict item 6): the input is k-row bounded by the limit either
+    // way, but the window form planned a partition-less WindowExec whose
+    // "single partition" warning is indistinguishable from a real
+    // corpus-sized window in a plan audit. Same rows, same order (ids are
+    // unique, struct sort orders by id first), zero-based cluster ids.
     var centroids = df.orderBy(col(idCol).asc).limit(k)
-      .select((row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col(idCol).asc)) - 1)
-          .as("cluster"),
-        col(vecCol).as("centroid"))
+      .agg(sort_array(collect_list(struct(col(idCol), col(vecCol)))).as("a"))
+      .select(posexplode(col("a")).as(Seq("cluster", "s")))
+      .select(col("cluster").cast("int").as("cluster"),
+        col("s").getField(vecCol).as("centroid"))
       .localCheckpoint(true, CkptLevel)
 
-    for (_ <- 0 until iterations) {
-      // assignment carries the vector for free (it is a projection, not a
-      // join), so recompute reads it directly
-      val recomputed = assignAll(df.select(col(idCol), col(vecCol)), vecCol, centroids)
-        .groupBy(col("cluster"))
-        .agg(Aggregators.vectorCentroid(col(vecCol), dims).as("c"))
-        .select(col("cluster"), col("c").cast("array<float>").as("centroid"))
-      // clusters that captured no rows keep their previous centroid —
-      // otherwise k silently shrinks across iterations
-      centroids = centroids.select(col("cluster"), col("centroid").as("_prev"))
-        .join(recomputed.withColumnRenamed("centroid", "_new"), Seq("cluster"), "left")
-        .select(col("cluster"), coalesce(col("_new"), col("_prev")).as("centroid"))
-        .localCheckpoint(true, CkptLevel)
+    // Per-iteration reduce side sized to the k-row centroid relation (r10,
+    // guide §2.2): the recompute aggregate's MAP side runs at scan
+    // parallelism regardless (partial aggregation emits ≤ k rows per task);
+    // only the k-row final aggregate + centroid-update join live behind the
+    // shuffle, so session-default partition counts are pure per-iteration
+    // fixed cost. Checkpoints are already eager, so every iteration plans
+    // inside the scope.
+    IterLoop.withShufflePartitions(df.sparkSession,
+      IterLoop.partitionsFor(df.sparkSession, k.toLong)) {
+      for (_ <- 0 until iterations) {
+        // assignment carries the vector for free (it is a projection, not a
+        // join), so recompute reads it directly
+        val recomputed = assignAll(df.select(col(idCol), col(vecCol)), vecCol, centroids)
+          .groupBy(col("cluster"))
+          .agg(Aggregators.vectorCentroid(col(vecCol), dims).as("c"))
+          .select(col("cluster"), col("c").cast("array<float>").as("centroid"))
+        // clusters that captured no rows keep their previous centroid —
+        // otherwise k silently shrinks across iterations
+        centroids = centroids.select(col("cluster"), col("centroid").as("_prev"))
+          .join(recomputed.withColumnRenamed("centroid", "_new"), Seq("cluster"), "left")
+          .select(col("cluster"), coalesce(col("_new"), col("_prev")).as("centroid"))
+          .localCheckpoint(true, CkptLevel)
+      }
     }
     (assign(df, idCol, vecCol, centroids), centroids)
   }

@@ -210,8 +210,13 @@ object LayoutQueries {
         val dir = tmpDir("txlog", d)
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        // one parquet scan feeds all four lifecycle writes (r10, guide §6 /
+        // r9-verdict item 7): the narrow projection is materialized once and
+        // each commit's filter reads the checkpoint blocks instead of
+        // re-scanning + re-decoding the fixture per version
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .localCheckpoint(false)
         graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 5 === 0))
         graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 5 === 1))
         graft.sources.TxLog.overwrite(s, dir, li.filter(col("l_orderkey") % 5 === 2))
@@ -242,7 +247,9 @@ object LayoutQueries {
         val dir = tmpDir("txlogtt", d)
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        // one scan feeds the four versioned writes (r10, guide §6)
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+          .localCheckpoint(false)
         graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 7 === 0))
         graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 7 === 1))
         graft.sources.TxLog.overwrite(s, dir, li.filter(col("l_orderkey") % 7 === 2))
@@ -293,8 +300,10 @@ object LayoutQueries {
         val dir = tmpDir("txlogmg", d)
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        // one scan feeds the seed append and both merge-source slices (r10)
         val ords = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .localCheckpoint(false)
         graft.sources.TxLog.append(s, dir, ords.filter(col("o_orderkey") % 3 === 0))
         val src = ords.filter(col("o_orderkey") % 6 === 0)
           .withColumn("o_custkey", col("o_custkey") + 1000000L)
@@ -364,8 +373,10 @@ object LayoutQueries {
         val dir = tmpDir("txlogopt", d)
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        // one scan feeds both interleaved appends (r10, guide §6)
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .localCheckpoint(false)
         graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 2 === 0))
         graft.sources.TxLog.append(s, dir, li.filter(col("l_orderkey") % 2 === 1))
         graft.sources.TxLog.optimize(s, dir, Seq("l_orderkey"), targetFiles = 8)
@@ -397,7 +408,9 @@ object LayoutQueries {
         val dir = tmpDir("txlogcdc", d)
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        // one scan feeds the four lifecycle writes (r10, guide §6)
         val ords = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .localCheckpoint(false)
         graft.sources.TxLog.append(s, dir, ords.filter(col("o_orderkey") % 4 === 0))
         graft.sources.TxLog.append(s, dir, ords.filter(col("o_orderkey") % 4 === 1))
         graft.sources.TxLog.overwrite(s, dir, ords.filter(col("o_orderkey") % 4 === 2))

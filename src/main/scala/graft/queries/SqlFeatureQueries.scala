@@ -320,8 +320,14 @@ object SqlFeatureQueries {
       (s, d) => {
         val iso = recursionSession(s)
         val cust = freshViewName("g_rec_customer")
+        // same right-sizing as q199's edge relation (r10): the recursion
+        // re-scans this checkpoint once per depth level (~log₂ n), so its
+        // block count is a per-iteration fixed cost; the footer-derived
+        // clamp keeps corpus-scale inputs at full parallelism
         Tables.customer(iso, d)
           .select(col("c_custkey"), col("c_acctbal"))
+          .coalesce(graft.functions.IterLoop.partitionsFor(
+            iso, Tables.parquetRowCount(iso, s"$d/customer.parquet")))
           .localCheckpoint(false)
           .createOrReplaceTempView(cust)
         try iso.sql(s"""

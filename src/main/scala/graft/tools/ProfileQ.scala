@@ -10,7 +10,10 @@ object ProfileQ {
       else Seq("q36_dedup_minhash", "q68_ivf_kmeans")
     val reps = sys.env.getOrElse("REPS", "3").toInt
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PROF_PARTS", "32"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_PROF_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // mirror Bench's session exactly — its NOTES_r2 harness artifacts

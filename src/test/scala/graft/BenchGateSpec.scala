@@ -150,4 +150,15 @@ class BenchGateSpec extends AnyFunSuite {
       assert(missing.isEmpty, s"$f missing baselines for: ${missing.toSeq.sorted}")
     }
   }
+
+  test("fast-tier trim: only consistently-sub-cap queries trim; 0 disables") {
+    val warm = Seq(
+      Map("fast" -> 0.08, "mixed" -> 0.10, "slow" -> 2.0, "edge" -> 0.15),
+      Map("fast" -> 0.12, "mixed" -> 0.30, "slow" -> 1.9, "edge" -> 0.14))
+    val names = Seq("fast", "mixed", "slow", "edge", "absent")
+    val t = Bench.fastTier(names, warm, cap = 0.15)
+    assert(t == Set("fast"), t) // mixed crossed the cap once; edge hit it exactly (0.15 !< 0.15 in round 1); absent unobserved
+    assert(Bench.fastTier(names, warm, cap = 0.0).isEmpty)
+    assert(Bench.fastTier(names, Seq.empty, cap = 0.15).isEmpty)
+  }
 }
